@@ -63,6 +63,7 @@ def pixel_schema(bands: List[str]) -> T.StructType:
         T.StructField("view_azimuth", T.DoubleType()),
         T.StructField("view_zenith", T.DoubleType()),
         T.StructField("aoi_pixels", T.IntegerType()),
+        T.StructField("gsd", T.DoubleType()),
     ]
     return T.StructType(fields)
 
@@ -138,12 +139,11 @@ def _make_decoder(bands: List[str], gsd_override: Optional[float]):
         for c in _META_COLS:
             res[c] = first[c]
         res["aoi_pixels"] = np.int32(aoi_px)
-        cols = ["doc_id"] + _META_COLS[:5] + ["x", "y", "cell"] + bands \
-            + _META_COLS[5:] + ["aoi_pixels"]
+        res["gsd"] = gsd
         return res[["doc_id", "aoi", "tileid", "assetid", "productid",
                     "acquisition_time", "x", "y", "cell"] + bands
                    + ["sun_azimuth", "sun_zenith", "view_azimuth",
-                      "view_zenith", "aoi_pixels"]]
+                      "view_zenith", "aoi_pixels", "gsd"]]
 
     return decode_group
 
