@@ -132,7 +132,10 @@ def snap_sql_expr(variable: str, round_digits: int | None = None) -> str:
         terms = " + ".join(
             f"({lit(p['w1'][i, j])})*{feats[j]}" for j in range(N_FEATURES)
         )
-        neurons.append(f"TANH(({lit(p['b1'][i])}) + {terms})")
+        arg = f"(({lit(p['b1'][i])}) + {terms})"
+        # tanh via exp identity — DuckDB 1.0 has no TANH; saturates
+        # correctly at ±1 when exp overflows to inf / underflows to 0
+        neurons.append(f"(1.0 - 2.0/(EXP(2.0*{arg}) + 1.0))")
     raw = " + ".join(f"({lit(p['w2'][i])})*{neurons[i]}" for i in range(5))
     y = (f"(0.5*(({lit(p['b2'])}) + {raw} + 1.0)"
          f"*({lit(p['denorm_max'] - p['denorm_min'])}))")

@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes:
+- exact dedup = one hash-agg on a normalized md5 fingerprint;
+- n-gram Jaccard = shingle explode → equi-join on shingle → count
+  intersections (the classic pair-join; shuffle keyed on shingle, so hot
+  shingles are the skew risk — mitigated by dropping ubiquitous shingles
+  ``max_df`` style and by AQE skew-join);
+- MinHash+LSH is the 10^12-scale path: signatures via xxHash64 (JVM-side,
+  one shuffle), banding → candidate pairs only where a band bucket
+  collides, then *exact* Jaccard verification of candidates — the emitted
+  pairs are exact matches of the brute-force operator above threshold
+  (up to LSH recall, ≥1-3e-8 at J≥0.9 with 16 bands × 4 rows);
+- SimHash = 64-bit signature per doc from md5-derived token hashes,
+  vectorized in one pandas UDF; near-dup = small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import fingerprint
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc fingerprint + canonical keeper (min doc_id per fingerprint)."""
+    fp = fingerprint(docs, text_col)
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.min("doc_id").over(w).alias("keeper"),
+        (F.count("*").over(w) > 1).alias("is_duplicate"),
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (long table)."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                  text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥ t)."""
+    sh = word_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_sql(table: str = "documents", n: int = 3,
+                      threshold: float = 0.5, text_col: str = "text") -> str:
+    gram = " || ' ' || ".join(f"arr[pos+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim({text_col}), '\\s+') AS arr
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {n - 1})) AS pos FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signature per doc: min of seeded xxHash64 per hash function.
+
+    One explode + one hash-agg; all hashing JVM-side (xxhash64 with seed),
+    no Python. Signature is an array<long> column.
+    """
+    sh = word_shingles(docs, n, text_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """LSH candidate generation + exact Jaccard verification.
+
+    Scale path: candidates come only from band-bucket collisions (shuffle on
+    band hash), then candidates are verified with an exact intersection
+    count — output equals :func:`jaccard_pairs` up to LSH recall.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                              for r in range(rows)]).alias("bucket"))
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+        .select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("a").join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of the (small) candidate set
+    sh = word_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
+              "doc_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, vectorized per Arrow batch."""
+
+    def compute(batches):
+        import hashlib
+        for pdf in batches:
+            out_ids = pdf[id_col].to_numpy()
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].astype(str)):
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for tok in text.lower().split():
+                    h = np.uint64(int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"))
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += np.where(bits == 1, 1, -1)
+                bits = (acc >= 0).astype(np.uint64)
+                val = 0
+                for b in range(64):
+                    val |= int(bits[b]) << b
+                sigs[i] = np.int64(np.uint64(val).astype(np.int64))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": sigs})
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        compute, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using 4×16-bit block
+    banding (any pair within distance 3 shares at least one exact block)."""
+    sig = simhash(docs, text_col)
+    blocks = [
+        F.struct(F.lit(b).alias("blk"),
+                 F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for b in range(4)
+    ]
+    bt = sig.select("doc_id", "simhash", F.explode(F.array(*blocks)).alias("bb")) \
+        .select("doc_id", "simhash", "bb.blk", "bb.key")
+    cand = (
+        bt.alias("a").join(
+            bt.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sig_a"),
+                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
