@@ -23,17 +23,21 @@ Weights are the public ESA SNAP s2tbx auxdata (version 2_1), bundled under
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
+from importlib import resources
 from typing import Dict, Iterable, List
 
 import numpy as np
 
 from ..constants import BIOPHYS_VARIABLES, SNAP_BIO_BANDS
 
-_AUX_DIR = os.path.join(os.path.dirname(__file__), "snap_auxdata")
-
 N_FEATURES = 11
+
+
+def _aux(variable: str, name: str):
+    """Zip-safe auxdata handle: works from a filesystem checkout and from a
+    ``spark-submit --py-files satellitetools_spark.zip`` archive alike."""
+    return resources.files(__package__) / "snap_auxdata" / variable / name
 
 
 @lru_cache(maxsize=None)
@@ -41,10 +45,10 @@ def load_nn_params(variable: str) -> Dict[str, np.ndarray]:
     """Load the 8 auxdata arrays for one variable (biophys.py:130-186)."""
     if variable not in BIOPHYS_VARIABLES:
         raise ValueError(f"unknown biophysical variable {variable!r}")
-    d = os.path.join(_AUX_DIR, variable)
 
     def ld(suffix: str) -> np.ndarray:
-        return np.loadtxt(os.path.join(d, f"{variable}_{suffix}"), delimiter=",")
+        with _aux(variable, f"{variable}_{suffix}").open("r") as f:
+            return np.loadtxt(f, delimiter=",")
 
     defdom = ld("DefinitionDomain_MinMax")
     return {
@@ -64,10 +68,11 @@ def load_nn_params(variable: str) -> Dict[str, np.ndarray]:
 
 def load_test_cases(variable: str) -> np.ndarray | None:
     """Golden vectors: 100 rows x (11 inputs + expected output), when present."""
-    path = os.path.join(_AUX_DIR, variable, f"{variable}_TestCases")
-    if not os.path.exists(path):
+    handle = _aux(variable, f"{variable}_TestCases")
+    if not handle.is_file():
         return None
-    return np.loadtxt(path, delimiter=",")
+    with handle.open("r") as f:
+        return np.loadtxt(f, delimiter=",")
 
 
 def run_nn(features: np.ndarray, variable: str) -> np.ndarray:

@@ -105,7 +105,13 @@ SIZE_PRESETS = {
     "sf0.001": (["qvidja_ec", "multipolygon"], 4, 0),
     "sf0.01": (None, 10, 0),
     "sf0.1": (None, 60, 33),
+    # scaling-evidence datasets: compute-bound (≈48k / ≈95k documents) so
+    # the two-cluster-size throughput comparison measures the engine, not
+    # fixed per-job latency. No oracle tables (correctness runs at sf0.01).
+    "sfbench": (None, 240, 153),
+    "sfscale": (None, 480, 153),
 }
+NO_ORACLE_TAGS = {"sfbench", "sfscale"}
 
 
 def _aoi_registry(tag: str) -> Dict[str, Tuple[List[np.ndarray], List[str], int, float]]:
@@ -205,17 +211,27 @@ _SPAN_TYPE = pa.struct([
 ])
 
 
-def _write_docs(docs, path: str):
-    rows = [
-        [{"kind": k, "text": txt, "media_ref": ref, "offset": o}
-         for (k, txt, ref, o) in d["spans"]]
-        for d in docs
-    ]
-    table = pa.table({
-        "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
-        "spans": pa.array(rows, pa.list_(_SPAN_TYPE)),
-    })
-    pq.write_table(table, path)
+def _write_docs(docs, path: str, n_files: int = 32):
+    """Write the document table as a DIRECTORY of parquet files (the shape
+    of a real Iceberg table: many data files → the Spark scan parallelizes
+    naturally instead of serializing on one file/row group)."""
+    os.makedirs(path, exist_ok=True)
+    n_files = max(1, min(n_files, (len(docs) + 3) // 4))
+    per = (len(docs) + n_files - 1) // n_files
+    for fi in range(n_files):
+        part = docs[fi * per:(fi + 1) * per]
+        if not part:
+            break
+        rows = [
+            [{"kind": k, "text": txt, "media_ref": ref, "offset": o}
+             for (k, txt, ref, o) in d["spans"]]
+            for d in part
+        ]
+        table = pa.table({
+            "doc_id": pa.array([d["doc_id"] for d in part], pa.string()),
+            "spans": pa.array(rows, pa.list_(_SPAN_TYPE)),
+        })
+        pq.write_table(table, os.path.join(path, f"part-{fi:05d}.parquet"))
 
 
 def _write_scenes(docs, path: str):
@@ -339,10 +355,12 @@ def ensure_geodata(tag: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     docs = build_documents(tag)
-    _write_docs(docs, os.path.join(d, "docs.parquet"))
+    n_files = 64 if tag in NO_ORACLE_TAGS else 32
+    _write_docs(docs, os.path.join(d, "docs.parquet"), n_files=n_files)
     _write_scenes(docs, os.path.join(d, "scenes.parquet"))
-    _write_oracle_pixels(docs, os.path.join(d, "oracle_pixels.parquet"),
-                         os.path.join(d, "oracle_scl20.parquet"))
+    if tag not in NO_ORACLE_TAGS:
+        _write_oracle_pixels(docs, os.path.join(d, "oracle_pixels.parquet"),
+                             os.path.join(d, "oracle_scl20.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return d

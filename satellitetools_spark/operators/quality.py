@@ -63,6 +63,16 @@ def quality_information(scl_pixels: DataFrame, dim: DataFrame) -> DataFrame:
     return qi
 
 
+def quality_information_from_pcts(dim: DataFrame, pcts: DataFrame) -> DataFrame:
+    """QI table from the fused per-doc percentage pass
+    (sources/decode.qi_percentages) — same output as
+    :func:`quality_information`, without a pixel-level shuffle."""
+    return dim.select(
+        "doc_id", "aoi", "tileid", "assetid", "productid",
+        "acquisition_time", "projection", "datasource", "processing",
+    ).join(pcts, "doc_id", "left")
+
+
 def filter_by_quality(qi: DataFrame, qi_threshold: float = 0.02,
                       qi_filter: Optional[List[str]] = None) -> DataFrame:
     """P6: NaN-drop + threshold on the filtered-class percentage sum."""
@@ -101,6 +111,15 @@ def dedup_products(df: DataFrame, priority_col: str = "processing") -> DataFrame
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def select_survivors(qi: DataFrame, qi_threshold: float = 0.02,
+                     qi_filter: Optional[List[str]] = None) -> DataFrame:
+    """Composite P8 over a self-contained QI table (the fused
+    ``qi_percentages`` output, which carries scene metadata): QI threshold →
+    intended dedup → tile mode. All document-cardinality shuffles."""
+    passing = filter_by_quality(qi, qi_threshold, qi_filter)
+    return filter_to_mode_tile(dedup_products(passing))
 
 
 def filter_docs_by_quality(dim: DataFrame, qi: DataFrame,

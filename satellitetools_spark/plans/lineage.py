@@ -27,11 +27,21 @@ from pyspark.sql import functions as F
 
 
 def write_with_lineage(pixels: DataFrame, out_dir: str, lineage_dir: str,
-                       run_id: str | None = None) -> str:
+                       run_id: str | None = None,
+                       attempted: DataFrame | None = None) -> str:
     """Append ``pixels`` to parquet and record per-document lineage.
 
     Lineage columns: run_id, doc_id, n_rows, file (physical attribution),
     finished_at. Returns the run_id.
+
+    ``attempted`` (a ``doc_id`` DataFrame) is the set of documents this run
+    covered. Docs that legitimately emit zero rows (e.g. every scene failed
+    the QI filter — a deterministic outcome) still get a lineage row with
+    ``n_rows = 0``; otherwise resume would re-decode them on every run.
+    Lineage is appended only after the output write action commits, so a
+    mid-run crash leaves no lineage and the whole run is redone — safe,
+    because the parquet job committer publishes files atomically at job
+    commit (no partial output is visible to readers).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     spark = pixels.sparkSession
@@ -46,17 +56,26 @@ def write_with_lineage(pixels: DataFrame, out_dir: str, lineage_dir: str,
         os.path.join(out_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet") and f not in before
     ]
-    if not new_files:
-        return run_id
-    written = spark.read.parquet(*new_files)
-    lin = (
-        written.groupBy("doc_id", F.input_file_name().alias("file"))
-        .agg(F.count("*").alias("n_rows"))
-        .select(
-            F.lit(run_id).alias("run_id"),
-            "doc_id", "n_rows", "file",
-            F.lit(time.time()).alias("finished_at"),
+    if new_files:
+        written = spark.read.parquet(*new_files)
+        per_doc = (
+            written.groupBy("doc_id", F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("n_rows"))
         )
+    else:
+        per_doc = spark.createDataFrame(
+            [], "doc_id string, file string, n_rows long")
+    if attempted is not None:
+        per_doc = (
+            attempted.select("doc_id").distinct()
+            .join(per_doc, "doc_id", "left_outer")
+            .select("doc_id", "file",
+                    F.coalesce("n_rows", F.lit(0)).alias("n_rows"))
+        )
+    lin = per_doc.select(
+        F.lit(run_id).alias("run_id"),
+        "doc_id", "n_rows", "file",
+        F.lit(time.time()).alias("finished_at"),
     )
     lin.write.mode("append").parquet(lineage_dir)
     return run_id
@@ -85,5 +104,5 @@ def run_resumable(docs: DataFrame,
     if n == 0:
         return ("noop", 0)
     pixels = build_pixels(todo)
-    rid = write_with_lineage(pixels, out_dir, lineage_dir)
+    rid = write_with_lineage(pixels, out_dir, lineage_dir, attempted=todo)
     return (rid, n)

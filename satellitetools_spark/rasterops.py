@@ -74,10 +74,12 @@ def scene_has_missing(productid: str) -> bool:
 
 
 def _missing_mask(productid: str, xs2d: np.ndarray, ys2d: np.ndarray) -> np.ndarray:
+    shape = np.broadcast_shapes(np.shape(xs2d), np.shape(ys2d))
     if not scene_has_missing(productid):
-        return np.zeros(xs2d.shape, dtype=bool)
+        return np.zeros(shape, dtype=bool)
     p = _phase(productid, "mstripe")
-    return np.sin(xs2d / 1700.0 + p) * np.cos(ys2d / 1500.0 + 0.7 * p) > 0.55
+    m = np.sin(xs2d / 1700.0 + p) * np.cos(ys2d / 1500.0 + 0.7 * p) > 0.55
+    return np.broadcast_to(m, shape)
 
 
 def native_band_dn(band: str, productid: str, xs2d: np.ndarray, ys2d: np.ndarray) -> np.ndarray:
@@ -106,7 +108,8 @@ def native_scl(productid: str, xs2d: np.ndarray, ys2d: np.ndarray) -> np.ndarray
     bias = scene_cloud_bias(productid)
     c = np.sin(xs2d / 830.0 + p1) * np.cos(ys2d / 640.0 + p2) + bias
     w = np.sin(xs2d / 2100.0 + 0.3) * np.cos(ys2d / 2600.0 + 1.1)
-    scl = np.full(xs2d.shape, 4, dtype=np.int64)          # VEGETATION
+    c, w = np.broadcast_arrays(c, w)
+    scl = np.full(c.shape, 4, dtype=np.int64)             # VEGETATION
     scl[w > 0.80] = 6                                      # WATER
     scl[(c > 0.30) & (c <= 0.55)] = 8                      # CLOUD_MEDIUM_PROBA
     scl[c > 0.55] = 9                                      # CLOUD_HIGH_PROBA
@@ -136,9 +139,9 @@ def decode_chunk(ref: str) -> np.ndarray:
     center is ((cx*CHUNK_PX + i + 0.5)·gsd, (cy*CHUNK_PX + j + 0.5)·gsd).
     """
     _tile, productid, band, gsd, cy, cx = parse_media_ref(ref)
-    xs = (cx * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd
-    ys = (cy * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd
-    xs2d, ys2d = np.meshgrid(xs, ys)
+    # open (broadcasting) grids — no dense meshgrid copies in the hot path
+    xs2d = ((cx * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd)[None, :]
+    ys2d = ((cy * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd)[:, None]
     if band == "SCL":
         return native_scl(productid, xs2d, ys2d).astype(np.float64)
     return native_band_dn(band, productid, xs2d, ys2d)
@@ -226,11 +229,36 @@ def sample_grid(win: np.ndarray, gsd: float, cx0: int, cy0: int,
     """
     x_org = cx0 * CHUNK_PX * gsd   # window's left edge
     y_org = cy0 * CHUNK_PX * gsd
-    # pad with 1-pixel analytic halo (in the same value space as win)
     ny, nx = win.shape
-    xs_h = x_org + (np.arange(-1, nx + 1) + 0.5) * gsd
-    ys_h = y_org + (np.arange(-1, ny + 1) + 0.5) * gsd
-    xh2, yh2 = np.meshgrid(xs_h, ys_h)
+
+    # fast path: when every support pixel of every target lies inside the
+    # window (the normal case — the chunk cover includes a native-pixel
+    # margin around the target grid), the halo is never read, so skip
+    # synthesizing it. Numerically identical to the general path.
+    fx0 = (tgt_xs[None, :] - x_org) / gsd - 0.5
+    fy0 = (tgt_ys[:, None] - y_org) / gsd - 0.5
+    if method == "nearest":
+        interior = (fx0.min() > -0.5 and fx0.max() < nx - 0.5
+                    and fy0.min() > -0.5 and fy0.max() < ny - 0.5)
+    else:
+        interior = (fx0.min() >= 0.0 and fx0.max() <= nx - 1.0
+                    and fy0.min() >= 0.0 and fy0.max() <= ny - 1.0)
+    if interior:
+        if method == "nearest":
+            return win[np.rint(fy0).astype(np.int64),
+                       np.rint(fx0).astype(np.int64)]
+        ix0 = np.minimum(np.floor(fx0).astype(np.int64), nx - 2)
+        iy0 = np.minimum(np.floor(fy0).astype(np.int64), ny - 2)
+        wx = fx0 - ix0
+        wy = fy0 - iy0
+        return (win[iy0, ix0] * (1 - wx) * (1 - wy)
+                + win[iy0, ix0 + 1] * wx * (1 - wy)
+                + win[iy0 + 1, ix0] * (1 - wx) * wy
+                + win[iy0 + 1, ix0 + 1] * wx * wy)
+
+    # pad with 1-pixel analytic halo (in the same value space as win)
+    xh2 = (x_org + (np.arange(-1, nx + 1) + 0.5) * gsd)[None, :]
+    yh2 = (y_org + (np.arange(-1, ny + 1) + 0.5) * gsd)[:, None]
     if band == "SCL":
         halo = native_scl(productid, xh2, yh2).astype(np.float64)
     else:
@@ -240,9 +268,9 @@ def sample_grid(win: np.ndarray, gsd: float, cx0: int, cy0: int,
     x_org -= gsd
     y_org -= gsd
 
-    tx2, ty2 = np.meshgrid(tgt_xs, tgt_ys)
-    fx = (tx2 - x_org) / gsd - 0.5   # fractional source index of target center
-    fy = (ty2 - y_org) / gsd - 0.5
+    # open target grids: fancy indexing + arithmetic broadcast to (ny, nx)
+    fx = (tgt_xs[None, :] - x_org) / gsd - 0.5   # fractional source index
+    fy = (tgt_ys[:, None] - y_org) / gsd - 0.5
     if method == "nearest":
         ix = np.clip(np.rint(fx).astype(np.int64), 0, win.shape[1] - 1)
         iy = np.clip(np.rint(fy).astype(np.int64), 0, win.shape[0] - 1)

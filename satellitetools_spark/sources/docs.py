@@ -82,44 +82,58 @@ def reassemble_documents(spans: DataFrame) -> DataFrame:
     )
 
 
+AOI_META_SCHEMA = T.StructType([
+    T.StructField("type", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("crs", T.StringType()),
+    T.StructField("utm_zone", T.IntegerType()),
+    T.StructField("target_gsd", T.DoubleType()),
+    T.StructField("qi_evaluation_scale", T.DoubleType()),
+])
+
+
+def _dim_columns() -> list:
+    """Dimension column expressions computed from the ``spans`` array of the
+    SAME row — a pure projection, no explode, no shuffle. The text spans are
+    located inside the array with ``filter`` lambdas; each JSON document is
+    parsed exactly once (``from_json``; the AOI geometry subtree is kept as
+    raw JSON via one ``get_json_object``). The scan stays column-pruned to
+    (doc_id, spans)."""
+    texts = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    meta_txt = F.element_at(
+        F.filter(texts, lambda s: F.get_json_object(s["text"], "$.type")
+                 == F.lit("scene_meta")), 1)["text"]
+    aoi_txt = F.element_at(
+        F.filter(texts, lambda s: F.get_json_object(s["text"], "$.type")
+                 == F.lit("aoi")), 1)["text"]
+    m = F.from_json(meta_txt, SCENE_META_SCHEMA)
+    a = F.from_json(aoi_txt, AOI_META_SCHEMA)
+    return [
+        a["name"].alias("aoi"),
+        F.get_json_object(aoi_txt, "$.geometry").alias("aoi_geometry"),
+        a["utm_zone"].alias("utm_zone"),
+        a["target_gsd"].alias("target_gsd"),
+        a["qi_evaluation_scale"].alias("qi_scale"),
+        m["productid"].alias("productid"),
+        m["assetid"].alias("assetid"),
+        m["tileid"].alias("tileid"),
+        F.to_timestamp(m["acquisition_time"]).alias("acquisition_time"),
+        m["projection"].alias("projection"),
+        m["datasource"].alias("datasource"),
+        m["processing"].alias("processing"),
+        m["sun_azimuth"].alias("sun_azimuth"),
+        m["sun_zenith"].alias("sun_zenith"),
+        m["view_azimuth"].alias("view_azimuth"),
+        m["view_zenith"].alias("view_zenith"),
+    ]
+
+
 def doc_dimension(docs: DataFrame) -> DataFrame:
     """Per-document dimension row parsed from the text spans.
 
     Columns: scene metadata (typed), AOI name + geometry JSON + grid params.
-    One hash-agg over the tiny text spans; media spans are never touched
-    (column/row pruning keeps them out of this scan).
+    Implemented as a single narrow projection over the document rows
+    (array ``filter`` + ``from_json`` inside whole-stage codegen) — zero
+    shuffles; Catalyst prunes the parquet scan to (doc_id, spans).
     """
-    txt = explode_spans(docs).filter(F.col("kind") == "text")
-    meta = F.from_json("text", SCENE_META_SCHEMA).alias("m")
-    parsed = txt.select(
-        "doc_id",
-        meta,
-        F.get_json_object("text", "$.type").alias("jtype"),
-        F.get_json_object("text", "$.name").alias("aoi_name"),
-        F.get_json_object("text", "$.geometry").alias("aoi_geometry"),
-        F.get_json_object("text", "$.utm_zone").alias("utm_zone"),
-        F.get_json_object("text", "$.target_gsd").alias("target_gsd"),
-        F.get_json_object("text", "$.qi_evaluation_scale").alias("qi_scale"),
-    )
-    scene_cols = [f.name for f in SCENE_META_SCHEMA.fields if f.name != "type"]
-    agg = [
-        F.first(F.when(F.col("jtype") == "scene_meta", F.col(f"m.{c}")),
-                ignorenulls=True).alias(c)
-        for c in scene_cols
-    ] + [
-        F.first(F.when(F.col("jtype") == "aoi", F.col(c)), ignorenulls=True).alias(c)
-        for c in ["aoi_name", "aoi_geometry", "utm_zone", "target_gsd", "qi_scale"]
-    ]
-    dim = parsed.groupBy("doc_id").agg(*agg)
-    return dim.select(
-        "doc_id",
-        F.col("aoi_name").alias("aoi"),
-        "aoi_geometry",
-        F.col("utm_zone").cast("int").alias("utm_zone"),
-        F.col("target_gsd").cast("double").alias("target_gsd"),
-        F.col("qi_scale").cast("double").alias("qi_scale"),
-        "productid", "assetid", "tileid",
-        F.to_timestamp("acquisition_time").alias("acquisition_time"),
-        "projection", "datasource", "processing",
-        "sun_azimuth", "sun_zenith", "view_azimuth", "view_zenith",
-    )
+    return docs.select("doc_id", *_dim_columns())
