@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame
 def knn_fill(pixels: DataFrame, bands: List[str], k: int = 4) -> DataFrame:
     """Return ``pixels`` with NULL band values replaced by IDW-kNN fills
     (adds ``<band>_filled`` flags)."""
-    schema_fields = pixels.schema.fields
-    out_schema = pixels.schema
-    for b in bands:
-        from pyspark.sql import types as T
-        out_schema = out_schema.add(T.StructField(f"{b}_filled", T.BooleanType()))
+    from pyspark.sql import types as T
+    # build a NEW StructType — StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema
+    out_schema = T.StructType(
+        list(pixels.schema.fields)
+        + [T.StructField(f"{b}_filled", T.BooleanType()) for b in bands])
 
     def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["x"].to_numpy(dtype=float)
@@ -39,11 +40,17 @@ def knn_fill(pixels: DataFrame, bands: List[str], k: int = 4) -> DataFrame:
                 continue
             good = ~missing
             gx, gy, gv = x[good], y[good], v[good]
+            # deterministic neighbor order: distance, then (x, y) — ties at
+            # equal distance are common on a regular grid and must resolve
+            # identically to the SQL oracle's ORDER BY d2, x, y
+            order = np.lexsort((gy, gx))
+            gx, gy, gv = gx[order], gy[order], gv[order]
             mx, my = x[missing], y[missing]
             # vectorized distance matrix: (n_missing, n_good)
             d2 = (mx[:, None] - gx[None, :]) ** 2 + (my[:, None] - gy[None, :]) ** 2
             kk = min(k, len(gv))
-            idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # stable argsort keeps the (x, y) pre-sort as the tiebreaker
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
             rows = np.arange(len(mx))[:, None]
             dk = np.sqrt(d2[rows, idx])
             wk = 1.0 / np.maximum(dk, 1e-9)

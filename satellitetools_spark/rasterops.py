@@ -78,7 +78,8 @@ def _missing_mask(productid: str, xs2d: np.ndarray, ys2d: np.ndarray) -> np.ndar
     if not scene_has_missing(productid):
         return np.zeros(shape, dtype=bool)
     p = _phase(productid, "mstripe")
-    m = np.sin(xs2d / 1700.0 + p) * np.cos(ys2d / 1500.0 + 0.7 * p) > 0.55
+    # ~150 m-scale swaths so even field-sized AOIs intersect nodata
+    m = np.sin(xs2d / 240.0 + p) * np.cos(ys2d / 210.0 + 0.7 * p) > 0.75
     return np.broadcast_to(m, shape)
 
 
