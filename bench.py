@@ -69,13 +69,17 @@ def materialize(df) -> int:
     return n
 
 
-def run_flagship(master_cores: int, geodir: str, shuffle: int):
-    """One flagship run in a fresh session; returns (sec, docs, pixels).
+def run_flagship(master_cores: int, geodir: str, shuffle: int,
+                 inner_reps: int = 1):
+    """Flagship timing in a fresh session; returns (sec, docs, pixels).
 
     A small warm-up job spins up the Python worker pool and JIT before the
     timed region, so the measurement reflects steady-state throughput (the
     quantity the N-vs-4N scaling criterion is about) rather than one-time
-    session bring-up.
+    session bring-up. With ``inner_reps`` > 1 the flagship is executed
+    several times in the same session and the MINIMUM is returned: this VM
+    shows minute-scale 2x hypervisor-steal bursts, and in-session repeats
+    buy robustness without paying JVM startup per sample.
     """
     spark = get_spark(f"bench-flagship-{master_cores}",
                       master=f"local[{master_cores}]",
@@ -84,11 +88,14 @@ def run_flagship(master_cores: int, geodir: str, shuffle: int):
         docs = read_documents(spark, os.path.join(geodir, "docs.parquet"))
         n_docs = docs.count()
         flagship_timeseries(docs.limit(4 * master_cores)).count()  # warm-up
-        t0 = time.perf_counter()
-        ts = flagship_timeseries(docs)
-        n_rows = ts.count()
-        sec = time.perf_counter() - t0
-        return sec, n_docs, n_rows
+        best, n_rows = None, 0
+        for _ in range(max(1, inner_reps)):
+            spark.catalog.clearCache()  # qi cache is per-plan; drop old entries
+            t0 = time.perf_counter()
+            n_rows = flagship_timeseries(docs).count()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return best, n_docs, n_rows
     finally:
         spark.stop()
 
@@ -129,20 +136,28 @@ def main() -> None:
     }
 
     if SCALING:
-        sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfscale"))
-        reps = int(os.environ.get("BENCH_REPS", "2"))
+        sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfbench"))
+        reps = int(os.environ.get("BENCH_REPS", "3"))
+        budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "720"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
-            f"{HI_CORES} cores, best of {reps}+1/{reps}, interleaved")
-        # best-of-N per level, levels interleaved: this VM shows 5-15%
-        # hypervisor CPU steal that varies over minutes — the minimum is
-        # the standard robust estimator for intrinsic runtime under
-        # external interference, and interleaving decorrelates a noise
-        # burst from one level. The short hi run gets one extra rep.
+            f"{HI_CORES} cores, up to {reps} proc pairs x in-session reps, "
+            f"budget {budget:.0f}s")
+        # minute-scale 2x hypervisor-steal bursts make single timings
+        # unreliable: each level runs CPU-bound subprocesses (interleaved
+        # to decorrelate bursts between levels), each taking the min of
+        # BENCH_INNER_REPS in-session flagship executions; the overall
+        # minimum estimates intrinsic runtime. Pairs repeat while the
+        # wall-clock budget allows, so the bench always finishes and
+        # prints its JSON line.
+        t_start = time.perf_counter()
         his, los = [], []
         for i in range(reps):
+            pair_t0 = time.perf_counter()
             his.append(run_scaling_proc(HI_CORES, sdir))
             los.append(run_scaling_proc(LO_CORES, sdir))
-        his.append(run_scaling_proc(HI_CORES, sdir))
+            pair_cost = time.perf_counter() - pair_t0
+            if time.perf_counter() - t_start + pair_cost > budget:
+                break
         hi = min(his, key=lambda r: r["sec"])
         lo = min(los, key=lambda r: r["sec"])
         log(f"hi reps: {[r['sec'] for r in his]}  lo reps: {[r['sec'] for r in los]}")

@@ -117,9 +117,27 @@ def select_survivors(qi: DataFrame, qi_threshold: float = 0.02,
                      qi_filter: Optional[List[str]] = None) -> DataFrame:
     """Composite P8 over a self-contained QI table (the fused
     ``qi_percentages`` output, which carries scene metadata): QI threshold →
-    intended dedup → tile mode. All document-cardinality shuffles."""
+    intended dedup → tile mode. All document-cardinality shuffles.
+
+    One explicit hash repartition on ``aoi`` up front satisfies every
+    downstream distribution requirement — the dedup window (aoi, productid),
+    the tile-count window (aoi, tileid), and the mode window (aoi) — and the
+    tile-mode filter is expressed as windows instead of an aggregate+join,
+    so Catalyst plans the whole chain with a SINGLE exchange."""
     passing = filter_by_quality(qi, qi_threshold, qi_filter)
-    return filter_to_mode_tile(dedup_products(passing))
+    passing = passing.repartition("aoi")
+    deduped = dedup_products(passing)
+    # tile mode via windows: per-(aoi,tile) count, then the first tileid in
+    # (count desc, tileid asc) order — same semantics as tile_mode()
+    w_cnt = Window.partitionBy("aoi", "tileid")
+    w_mode = Window.partitionBy("aoi").orderBy(
+        F.desc("_tile_cnt"), F.asc("tileid"))
+    return (
+        deduped.withColumn("_tile_cnt", F.count("*").over(w_cnt))
+        .withColumn("_mode_tile", F.first("tileid").over(w_mode))
+        .filter(F.col("tileid") == F.col("_mode_tile"))
+        .drop("_tile_cnt", "_mode_tile")
+    )
 
 
 def filter_docs_by_quality(dim: DataFrame, qi: DataFrame,

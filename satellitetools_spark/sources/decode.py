@@ -320,7 +320,10 @@ def _maybe_repartition(prep: DataFrame, n_partitions: Optional[int]) -> DataFram
     if n_partitions is not None:
         return prep.repartition(n_partitions)
     par = prep.sparkSession.sparkContext.defaultParallelism
-    if prep.rdd.getNumPartitions() >= par:
+    # require several task waves, not just one-per-core: documents are
+    # heterogeneous (a 10 m-GSD AOI decodes ~4x slower than a 20 m one),
+    # and a single wave runs at the speed of its slowest straggler
+    if prep.rdd.getNumPartitions() >= 3 * par:
         return prep
     return prep.repartition(4 * par)
 

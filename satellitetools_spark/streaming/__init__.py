@@ -1,0 +1,3 @@
+from .ingest import stream_documents, streaming_qi, streaming_scene_counts
+
+__all__ = ["stream_documents", "streaming_qi", "streaming_scene_counts"]

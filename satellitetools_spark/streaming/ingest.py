@@ -1,0 +1,59 @@
+"""Structured Streaming ingest of the interleaved-document table.
+
+The reference is strictly batch (SURVEY §2.9) and the north rule is a batch
+job, so streaming is an *additional* capability, not a parity requirement:
+new document files (the shape of an Iceberg commit feed) are discovered by
+a file-source stream and flow through the SAME operators as the batch path —
+``qi_percentages`` is a deterministic per-document map, so it lifts to
+streaming unchanged (mapInPandas is streaming-compatible; no state needed).
+
+Late/out-of-order scenes are handled with an event-time watermark on
+``acquisition_time`` for the windowed rollup; exactly-once delivery comes
+from the standard checkpoint + idempotent-sink contract of Structured
+Streaming (the streaming analog of the batch path's lineage table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.decode import qi_percentages
+from ..sources.docs import SPAN_SCHEMA
+
+
+def stream_documents(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a document-table directory (each new parquet
+    file = one micro-batch increment — the Iceberg-commit-feed stand-in)."""
+    return (
+        spark.readStream
+        .schema(f"doc_id string, spans {SPAN_SCHEMA.simpleString()}")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_qi(doc_stream: DataFrame) -> DataFrame:
+    """Per-document QI rows (scene metadata + SCL class percentages) over a
+    document stream — the batch operator applied unchanged (stateless map)."""
+    return qi_percentages(doc_stream)
+
+
+def streaming_scene_counts(doc_stream: DataFrame,
+                           window: str = "10 days",
+                           watermark: str = "30 days") -> DataFrame:
+    """Watermarked tumbling-window rollup: scenes and cloud statistics per
+    (tileid, acquisition window), tolerating ``watermark`` of event-time
+    lateness. Output mode: append (finalized windows only) or update."""
+    qi = streaming_qi(doc_stream)
+    return (
+        qi.withWatermark("acquisition_time", watermark)
+        .groupBy(F.window("acquisition_time", window).alias("w"), "tileid")
+        .agg(F.count("*").alias("n_scenes"),
+             F.avg(F.col("CLOUD_HIGH_PROBA")
+                   + F.col("CLOUD_MEDIUM_PROBA")).alias("avg_cloud_frac"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "tileid", "n_scenes", "avg_cloud_frac")
+    )

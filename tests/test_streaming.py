@@ -1,0 +1,64 @@
+"""Structured Streaming ingest: the batch QI operator lifted to a file
+stream must produce exactly the batch result once all files are processed,
+and the watermarked window rollup must aggregate scene counts."""
+
+import glob
+import os
+import shutil
+
+from satellitetools_spark.sources import read_documents
+from satellitetools_spark.sources.decode import qi_percentages
+from satellitetools_spark.streaming import (
+    stream_documents,
+    streaming_qi,
+    streaming_scene_counts,
+)
+
+
+def test_streaming_qi_matches_batch(spark, geodata_small, tmp_path):
+    src = os.path.join(geodata_small, "docs.parquet")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(files) >= 2
+    for f in files:
+        shutil.copy(f, feed / os.path.basename(f))
+
+    stream = stream_documents(spark, str(feed), max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        streaming_qi(stream).writeStream
+        .format("memory").queryName("qi_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM qi_stream").toPandas()
+    batch = qi_percentages(
+        read_documents(spark, src)).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    batch = batch.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(batch["doc_id"])
+    for c in ("VEGETATION", "CLOUD_HIGH_PROBA", "NODATA"):
+        assert (got[c].fillna(-1).round(9)
+                == batch[c].fillna(-1).round(9)).all()
+
+
+def test_streaming_windowed_rollup(spark, geodata_small, tmp_path):
+    src = os.path.join(geodata_small, "docs.parquet")
+    stream = stream_documents(spark, src)
+    q = (
+        streaming_scene_counts(stream, window="10 days", watermark="30 days")
+        .writeStream.format("memory").queryName("rollup_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT sum(n_scenes) AS n FROM rollup_stream").collect()
+    n_docs = read_documents(spark, src).count()
+    assert rows[0]["n"] == n_docs
