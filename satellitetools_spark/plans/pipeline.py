@@ -54,12 +54,16 @@ def get_s2_qi_and_data(
 
     # Phase 1 — quality scan: fused SCL decode + per-doc scene metadata +
     # class percentages (map-side pre-aggregation; document-cardinality
-    # output). Cached AND eagerly materialized: the survivor-filter DAG
-    # references this subtree from several branches, and AQE materializes
-    # racing query stages concurrently — an unpopulated cache would be
-    # computed once per branch. One count() action populates it first.
-    qi = qi_percentages(docs, qi_scale=qi_scale).cache()
-    qi.count()
+    # output). Eagerly materialized via localCheckpoint: the survivor-filter
+    # DAG references this subtree from several branches, and AQE
+    # materializes racing query stages concurrently — an unmaterialized
+    # subtree would be decoded once per branch. Unlike .cache() (which pins
+    # CacheManager storage until an explicit unpersist), the checkpoint
+    # blocks are freed by the ContextCleaner once callers drop the
+    # DataFrame — no session-lifetime storage leak per invocation. (On a
+    # real cluster with executor loss, swap for .checkpoint() to a
+    # reliable dir; the plan is identical.)
+    qi = qi_percentages(docs, qi_scale=qi_scale).localCheckpoint(eager=True)
 
     # Phase 2 — filter scenes, then full decode of survivors only. The
     # survivor id list is document-cardinality metadata (bytes per doc), so

@@ -202,7 +202,14 @@ def _decode_one(raw: dict, bands: List[str], gsd_override: Optional[float],
             band, row["productid"], txs, tys,
             refs_with_payload=payloads or None,
         ).ravel()[inside]
-        out[band] = vals.astype(np.int32) if band == "SCL" else vals
+        if band == "SCL":
+            # partial chunk cover leaves NaN in the nearest-sampled class
+            # raster; cast would fold it to a large negative int and
+            # bincount would reject the whole task — map it to NO_DATA (0)
+            vals = np.where(np.isfinite(vals), vals, 0.0)
+            out[band] = vals.astype(np.int32)
+        else:
+            out[band] = vals
     with np.errstate(invalid="ignore", divide="ignore"):
         for vi in vi_vars:
             out[vi] = _VI_NUMPY[vi](out)
@@ -320,6 +327,12 @@ def _maybe_repartition(prep: DataFrame, n_partitions: Optional[int]) -> DataFram
     if n_partitions is not None:
         return prep.repartition(n_partitions)
     par = prep.sparkSession.sparkContext.defaultParallelism
+    if prep.isStreaming:
+        # probing .rdd triggers batch planning (AnalysisException on a
+        # streaming DataFrame); micro-batch size is governed by
+        # maxFilesPerTrigger upstream, so a fixed round-robin fan-out is
+        # the streaming-safe equivalent of the wave guard below
+        return prep.repartition(4 * par)
     # require several task waves, not just one-per-core: documents are
     # heterogeneous (a 10 m-GSD AOI decodes ~4x slower than a 20 m one),
     # and a single wave runs at the speed of its slowest straggler
