@@ -36,9 +36,15 @@ from satellitetools_spark.sources import read_documents  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
-# N vs 4N "cluster sizes": CPU-affinity-bound runs (see scripts/scaling_run.py)
-LO_CORES = int(os.environ.get("BENCH_LO_CORES", "4"))
-HI_CORES = int(os.environ.get("BENCH_HI_CORES", "16"))
+# N vs 4N "cluster sizes": CPU-affinity-bound runs (see scripts/scaling_run.py).
+# 2 vs 8 cores, NOT 4 vs 16: a pure-CPU microbenchmark of this VM (see
+# BASELINE.md "hardware ceiling") shows per-core speed is flat from 1 to ~8
+# active vCPUs and then drops ~25% (host SMT sharing / all-core turbo), so a
+# hi level above 8 cores conflates host frequency effects with parallel
+# efficiency. On a real cluster N -> 4N adds NODES at constant per-core
+# clock, so the faithful proxy keeps both levels inside the flat region.
+LO_CORES = int(os.environ.get("BENCH_LO_CORES", "2"))
+HI_CORES = int(os.environ.get("BENCH_HI_CORES", "8"))
 
 # The per-query timing set: the geo core (decode+join, QI agg, full
 # flagship) plus the training-data-pipeline headliners.
@@ -137,18 +143,19 @@ def main() -> None:
 
     if SCALING:
         sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfbench"))
-        reps = int(os.environ.get("BENCH_REPS", "3"))
+        reps = int(os.environ.get("BENCH_REPS", "4"))
         budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "720"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
             f"{HI_CORES} cores, up to {reps} proc pairs x in-session reps, "
             f"budget {budget:.0f}s")
-        # minute-scale 2x hypervisor-steal bursts make single timings
-        # unreliable: each level runs CPU-bound subprocesses (interleaved
-        # to decorrelate bursts between levels), each taking the min of
-        # BENCH_INNER_REPS in-session flagship executions; the overall
-        # minimum estimates intrinsic runtime. Pairs repeat while the
-        # wall-clock budget allows, so the bench always finishes and
-        # prints its JSON line.
+        # minute-scale hypervisor contention bursts (PSI shows guest-side
+        # CPU pressure with no guest load; KVM steal accounting is absent)
+        # make single timings unreliable: each level runs CPU-bound
+        # subprocesses (interleaved to decorrelate bursts between levels)
+        # and the per-level MINIMUM estimates intrinsic runtime — noise is
+        # strictly additive, so min converges to the uncontended time.
+        # Pairs repeat while the wall-clock budget allows, so the bench
+        # always finishes and prints its JSON line.
         t_start = time.perf_counter()
         his, los = [], []
         for i in range(reps):

@@ -355,7 +355,11 @@ def ensure_geodata(tag: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     docs = build_documents(tag)
-    n_files = 64 if tag in NO_ORACLE_TAGS else 32
+    # enough data files that the Spark scan natively yields >= 3x
+    # defaultParallelism splits at every bench core count (up to 32) under
+    # the session's decode-tuned split sizing — the decode mapInPandas then
+    # fuses with the scan (no round-robin exchange; see decode.py)
+    n_files = 128 if tag in NO_ORACLE_TAGS or tag == "sf0.1" else 32
     _write_docs(docs, os.path.join(d, "docs.parquet"), n_files=n_files)
     _write_scenes(docs, os.path.join(d, "scenes.parquet"))
     if tag not in NO_ORACLE_TAGS:

@@ -54,16 +54,19 @@ def get_s2_qi_and_data(
 
     # Phase 1 — quality scan: fused SCL decode + per-doc scene metadata +
     # class percentages (map-side pre-aggregation; document-cardinality
-    # output). Eagerly materialized via localCheckpoint: the survivor-filter
-    # DAG references this subtree from several branches, and AQE
-    # materializes racing query stages concurrently — an unmaterialized
-    # subtree would be decoded once per branch. Unlike .cache() (which pins
-    # CacheManager storage until an explicit unpersist), the checkpoint
-    # blocks are freed by the ContextCleaner once callers drop the
-    # DataFrame — no session-lifetime storage leak per invocation. (On a
-    # real cluster with executor loss, swap for .checkpoint() to a
+    # output). Materialized via LAZY localCheckpoint: the first job that
+    # touches the subtree (normally the survivor-broadcast build inside the
+    # pixels query) computes and stores it, and every later consumer — the
+    # returned qi handle included — reuses the stored blocks, so the QI
+    # decode runs exactly once however many branches reference it. Lazy
+    # (vs eager) folds that single evaluation into the pixels job instead
+    # of paying a separate blocking job barrier up front. Unlike .cache()
+    # (which pins CacheManager storage until an explicit unpersist), the
+    # checkpoint blocks are freed by the ContextCleaner once callers drop
+    # the DataFrame — no session-lifetime storage leak per invocation. (On
+    # a real cluster with executor loss, swap for .checkpoint() to a
     # reliable dir; the plan is identical.)
-    qi = qi_percentages(docs, qi_scale=qi_scale).localCheckpoint(eager=True)
+    qi = qi_percentages(docs, qi_scale=qi_scale).localCheckpoint(eager=False)
 
     # Phase 2 — filter scenes, then full decode of survivors only. The
     # survivor id list is document-cardinality metadata (bytes per doc), so

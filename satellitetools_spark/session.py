@@ -23,6 +23,17 @@ def get_spark(app: str = "satellitetools-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # split sizing tuned for a decode-dominated workload: per-document
+        # Python decode CPU (~2-5 ms/doc, ~1 KB/doc on disk) dwarfs file-open
+        # cost, so small splits (a) give the scan enough native parallelism
+        # that the decode mapInPandas fuses with it into ONE stage (no
+        # round-robin exchange — the packed span strings never get
+        # re-serialized through a shuffle; measured ~5 s of bandwidth-bound
+        # JVM time per exchange at sfbench scale) and (b) yield several task
+        # waves per core for straggler amortization. On a production cluster
+        # raise maxPartitionBytes toward 32-128 MB so tasks stay 10 s+.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "262144")
         # Arrow batches for pandas UDFs (the engine's only Python path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -328,15 +328,27 @@ def _maybe_repartition(prep: DataFrame, n_partitions: Optional[int]) -> DataFram
         return prep.repartition(n_partitions)
     par = prep.sparkSession.sparkContext.defaultParallelism
     if prep.isStreaming:
-        # probing .rdd triggers batch planning (AnalysisException on a
+        # probing the plan triggers batch planning (AnalysisException on a
         # streaming DataFrame); micro-batch size is governed by
         # maxFilesPerTrigger upstream, so a fixed round-robin fan-out is
         # the streaming-safe equivalent of the wave guard below
         return prep.repartition(4 * par)
     # require several task waves, not just one-per-core: documents are
     # heterogeneous (a 10 m-GSD AOI decodes ~4x slower than a 20 m one),
-    # and a single wave runs at the speed of its slowest straggler
-    if prep.rdd.getNumPartitions() >= 3 * par:
+    # and a single wave runs at the speed of its slowest straggler.
+    # The probe must be driver-side METADATA only: an .rdd probe on the
+    # full plan would — under AQE — eagerly materialize every upstream
+    # query stage (e.g. the survivor broadcast) once for the probe and
+    # again for the real job. len(inputFiles) is a pure file-listing; with
+    # the session's decode-tuned split sizing (files.maxPartitionBytes)
+    # each file maps to >= 1 scan split, so it lower-bounds scan
+    # parallelism. A non-file source (memory relation, tests) lists no
+    # files and conservatively gets the explicit fan-out.
+    try:
+        n_files = len(prep.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= 3 * par:
         return prep
     return prep.repartition(4 * par)
 
@@ -359,7 +371,7 @@ def decode_input(docs: DataFrame, bands: List[str]) -> DataFrame:
       band filter (exact segment match).
     """
     refs = F.col("spans.media_ref")
-    if bands is not None and len(bands) <= 2:
+    if bands is not None and len(bands) <= 8:
         pats = [f"/{b}/" for b in bands]
         refs = F.filter(refs, lambda r: _contains_any(r, pats))
     packed_refs = F.concat_ws(REF_SEP, refs)
