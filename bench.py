@@ -190,6 +190,10 @@ def main() -> None:
             "docs_per_sec_lo": round(n_docs / sec_lo, 2),
             "docs_per_sec_hi": round(n_docs / sec_hi, 2),
             "efficiency": round(eff, 3),
+            # raw per-pair samples — the efficiency above is min/min; the
+            # spread documents the VM's contention noise for the reader
+            "reps_lo": [r["sec"] for r in los],
+            "reps_hi": [r["sec"] for r in his],
         }
         log(f"scaling: lo={sec_lo:.2f}s hi={sec_hi:.2f}s efficiency={eff:.3f}")
 

@@ -40,14 +40,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (long table)."""
+def _shingle_expr(text_col: str, n: int):
+    """Word n-gram shingle array expression (codegen, no shuffle)."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(
+    return F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (long table)."""
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        docs.select("doc_id", F.explode(_shingle_expr(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -111,7 +115,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     One explode + one hash-agg; all hashing JVM-side (xxhash64 with seed),
     no Python. Signature is an array<long> column.
     """
-    sh = word_shingles(docs, n, text_col)
+    # NO .distinct() before the min-agg: min over a multiset equals min over
+    # its distinct support, so the signature is identical while skipping a
+    # full shingle-table dedup shuffle. The explode feeds partial (map-side)
+    # min aggregation, so the only exchange carries doc-cardinality rows of
+    # 64 longs.
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_expr(text_col, n)).alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -177,26 +187,43 @@ _SIMHASH_SCHEMA = T.StructType([
 
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document, vectorized per Arrow batch."""
+    """64-bit SimHash per document, vectorized per Arrow batch.
+
+    Each UNIQUE token is md5-hashed exactly once per executor (memoized
+    vocabulary cache, natural-language vocabularies are Zipfian so the hit
+    rate is high); per document the signature is one NumPy gather + one
+    bit-matrix accumulation — no per-token Python in the steady state.
+    Signature values are bit-identical to the per-token reference loop.
+    """
 
     def compute(batches):
         import hashlib
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        vocab: dict = {}
+
+        def tok_hash(tok: str) -> int:
+            h = vocab.get(tok)
+            if h is None:
+                if len(vocab) > 1_000_000:
+                    vocab.clear()
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                vocab[tok] = h
+            return h
+
         for pdf in batches:
             out_ids = pdf[id_col].to_numpy()
             sigs = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col].astype(str)):
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for tok in text.lower().split():
-                    h = np.uint64(int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"))
-                    bits = (h >> shifts) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                bits = (acc >= 0).astype(np.uint64)
-                val = 0
-                for b in range(64):
-                    val |= int(bits[b]) << b
-                sigs[i] = np.int64(np.uint64(val).astype(np.int64))
+                toks = text.lower().split()
+                hs = np.fromiter((tok_hash(t) for t in toks),
+                                 dtype=np.uint64, count=len(toks))
+                # n_tok x 64 bit matrix -> column sums of (+1/-1)
+                bits = ((hs[:, None] >> shifts) & one).astype(np.int64)
+                acc = 2 * bits.sum(axis=0) - len(toks)
+                packed = np.bitwise_or.reduce(
+                    (acc >= 0).astype(np.uint64) << shifts)
+                sigs[i] = np.int64(packed.astype(np.int64))
             yield pd.DataFrame({"doc_id": out_ids, "simhash": sigs})
 
     return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(

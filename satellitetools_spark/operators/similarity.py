@@ -78,21 +78,36 @@ FROM ranked WHERE rank <= {k}
 
 
 def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4,
+             n_centroids: int = 16, nprobe: int = 4, n_assign: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style approximate top-k: probe only the nprobe nearest centroid
-    buckets per query. Centroids = deterministic sample (lowest ids)."""
+    buckets per query.
+
+    Centroids are a deterministic HASH-STRATIFIED sample: rank every vector
+    by ``xxhash64(id)`` and take the first ``n_centroids`` — uniform over
+    the dataset regardless of id assignment or ingestion order (taking the
+    lowest ids instead collapses on clustered real data: ids correlate with
+    insertion batches, so all centroids land in one region and most buckets
+    sit empty). The global limit plans as TakeOrderedAndProject (per-
+    partition top-K, merge on driver) — no full sort, scale-safe.
+
+    ``n_assign`` > 1 replicates every vector into its ``n_assign`` nearest
+    inverted lists (SPANN-style boundary spill): vectors near a Voronoi
+    boundary — where probe misses concentrate — become reachable from
+    either side, trading ``n_assign``x index size for recall.
+    """
     centroids = (
-        emb.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        emb.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
-    # assign every vector to its nearest centroid (one broadcast pass)
+    # assign every vector to its n_assign nearest centroids (one broadcast pass)
     assigned = emb.crossJoin(F.broadcast(centroids))
     assigned = with_cosine(assigned, vec_col, "cvec", "ccos")
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
     assigned = (
         assigned.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .select(id_col, vec_col, "centroid_id")
     )
     # queries probe their nprobe closest centroids
@@ -106,9 +121,14 @@ def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qvec", "centroid_id")
     )
-    # search only vectors in probed buckets
-    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
-        F.col(id_col) != F.col("query_id"))
+    # search only vectors in probed buckets; a vector replicated into two
+    # probed lists must be scored once (distinct on the candidate pair)
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "qvec", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
+    )
     cand = with_cosine(cand, vec_col, "qvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -5,17 +5,19 @@ The document pipeline joins pixels to their own document's AOI locally
 for: an arbitrary pixel/point DataFrame joined against an AOI polygon
 table via the planar cell index —
 
-1. driver-side (AOIs are a dimension table): project each AOI to its tile's
-   UTM plane and compute its cell cover (full / partial cells);
-2. explode the cover into a (aoi, tileid, cell, is_full) DataFrame and
-   broadcast-hash-join it to the pixels on (tileid, cell) — Catalyst plans
-   a BroadcastHashJoin, no pixel shuffle at all;
+1. DISTRIBUTED cover build: a ``mapInPandas`` over the AOI DataFrame
+   projects each polygon to its tile's UTM plane and emits its cell cover
+   as (aoi, tileid, cell, is_full, rings_utm) rows — no driver collect,
+   no task-closure geometry dict, so 10^5+ AOIs stream through executors
+   like any other table;
+2. the cover is hash-joined to the pixels on (tileid, cell) — broadcast by
+   default (a cover is KBs per AOI), or a shuffle hash join with
+   ``broadcast_cover=False`` for AOI dimensions too large to broadcast;
 3. pixels landing in 'full' cells are inside by construction; pixels in
-   'partial' (boundary) cells go through one vectorized ray-casting pandas
-   UDF for exact refinement.
+   'partial' (boundary) cells carry the projected polygon along the join
+   and go through one vectorized ray-casting pandas UDF for exact
+   refinement (geometry parsed once per polygon per executor, memoized).
 
-For very large AOI sets, pass ``broadcast_cover=False`` to fall back to a
-shuffle hash join on the same key — the plan shape is otherwise identical.
 Skewed hot tiles are handled by the cell key itself (cells subdivide
 tiles ~1e9:1) plus AQE skew-join splitting.
 """
@@ -36,10 +38,115 @@ from pyspark.sql.functions import pandas_udf
 from .. import geometry as G
 from ..constants import CELL_SIZE_M
 
+_COVER_SCHEMA = ("aoi string, tileid string, cell bigint, is_full boolean, "
+                 "rings_utm string")
+
+
+def aoi_cover_df(aois: DataFrame, cell_m: float = CELL_SIZE_M) -> DataFrame:
+    """Distributed AOI cell-cover build.
+
+    ``aois`` columns: aoi, tileid, geometry (GeoJSON string), utm_zone.
+    Output: one row per covered cell with ``is_full`` (interior cell, no
+    refinement needed) and, for boundary cells only, the UTM-projected
+    rings as JSON (carried through the join so refinement needs no side
+    channel).
+    """
+
+    def cover_batches(batches):
+        for pdf in batches:
+            aoi_l, tile_l, cell_l, full_l, rings_l = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                rings4326 = G.rings_from_geojson(r.geometry)
+                rings_utm = G.project_rings_to_utm(rings4326, int(r.utm_zone))
+                gj = json.dumps([rr.tolist() for rr in rings_utm])
+                cover = G.polygon_cell_cover(rings_utm, cell_m)
+                for c in cover["full"]:
+                    aoi_l.append(r.aoi); tile_l.append(r.tileid)
+                    cell_l.append(int(c)); full_l.append(True)
+                    rings_l.append(None)
+                for c in cover["partial"]:
+                    aoi_l.append(r.aoi); tile_l.append(r.tileid)
+                    cell_l.append(int(c)); full_l.append(False)
+                    rings_l.append(gj)
+            yield pd.DataFrame({"aoi": aoi_l, "tileid": tile_l,
+                                "cell": cell_l, "is_full": full_l,
+                                "rings_utm": rings_l})
+
+    return aois.select("aoi", "tileid", "geometry", "utm_zone").mapInPandas(
+        cover_batches, schema=_COVER_SCHEMA)
+
+
+# executor-local memo: rings JSON -> parsed ring arrays
+_RINGS_CACHE: Dict[str, list] = {}
+
+
+def _parsed_rings(gj: str) -> list:
+    rings = _RINGS_CACHE.get(gj)
+    if rings is None:
+        if len(_RINGS_CACHE) > 4096:
+            _RINGS_CACHE.clear()
+        rings = [np.asarray(r, dtype=float) for r in json.loads(gj)]
+        _RINGS_CACHE[gj] = rings
+    return rings
+
+
+@pandas_udf(T.BooleanType())
+def _pip_refine(rings_utm: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = np.zeros(len(rings_utm), dtype=bool)
+    xs = x.to_numpy(dtype=float)
+    ys = y.to_numpy(dtype=float)
+    for gj in rings_utm.dropna().unique():
+        m = (rings_utm == gj).to_numpy()
+        out[m] = G.points_in_rings(xs[m], ys[m], _parsed_rings(gj))
+    return pd.Series(out)
+
+
+def with_cell(px: DataFrame, cell_m: float = CELL_SIZE_M) -> DataFrame:
+    """Planar cell id from (x, y) — codegen expression, no Python."""
+    cell = (F.floor(F.col("y") / cell_m).cast("long") * F.lit(2**32)
+            + F.pmod(F.floor(F.col("x") / cell_m).cast("long"), F.lit(2**32)))
+    return px.withColumn("cell", cell)
+
+
+def cell_join_df(pixels: DataFrame, aois: DataFrame,
+                 cell_m: float = CELL_SIZE_M,
+                 broadcast_cover: bool = True) -> DataFrame:
+    """Join pixel rows (tileid, x, y, ...) to an AOI polygon DataFrame;
+    returns the input columns + ``aoi``, keeping only inside-polygon
+    pixels. Fully distributed — no driver collect at any AOI cardinality."""
+    cover = aoi_cover_df(aois, cell_m)
+    if broadcast_cover:
+        cover = F.broadcast(cover)
+
+    px = pixels
+    if "cell" not in px.columns:
+        px = with_cell(px, cell_m)
+
+    joined = px.join(cover, ["tileid", "cell"])
+    # full-cover cells skip refinement entirely (the common case); the
+    # refine UDF treats NULL rings (full cells, if evaluated) as outside
+    inside = joined.filter(
+        F.col("is_full") | _pip_refine(F.col("rings_utm"),
+                                       F.col("x"), F.col("y")))
+    return inside.drop("is_full", "rings_utm")
+
+
+def cell_join(pixels: DataFrame, aois: List[dict],
+              cell_m: float = CELL_SIZE_M,
+              broadcast_cover: bool = True) -> DataFrame:
+    """List-of-dicts convenience wrapper over :func:`cell_join_df` for
+    small literal AOI dimensions (keys: aoi, tileid, geometry, utm_zone)."""
+    spark = pixels.sparkSession
+    aoi_df = spark.createDataFrame(
+        [(a["aoi"], a["tileid"], a["geometry"] if isinstance(a["geometry"], str)
+          else json.dumps(a["geometry"]), int(a["utm_zone"])) for a in aois],
+        "aoi string, tileid string, geometry string, utm_zone int")
+    return cell_join_df(pixels, aoi_df, cell_m, broadcast_cover)
+
 
 def aoi_cover_table(aois: List[dict], cell_m: float = CELL_SIZE_M) -> Tuple[List[tuple], Dict[str, list]]:
-    """Compute cover rows + geometry lookup for a list of AOI dicts with
-    keys (aoi, tileid, geometry [GeoJSON], utm_zone)."""
+    """Driver-side cover build for tests/tools: cover rows + geometry map
+    for a list of AOI dicts with keys (aoi, tileid, geometry, utm_zone)."""
     rows = []
     geoms: Dict[str, list] = {}
     for a in aois:
@@ -52,42 +159,3 @@ def aoi_cover_table(aois: List[dict], cell_m: float = CELL_SIZE_M) -> Tuple[List
         for c in cover["partial"]:
             rows.append((a["aoi"], a["tileid"], int(c), False))
     return rows, geoms
-
-
-def cell_join(pixels: DataFrame, aois: List[dict],
-              cell_m: float = CELL_SIZE_M,
-              broadcast_cover: bool = True) -> DataFrame:
-    """Join pixel rows (tileid, x, y, ...) to AOI polygons; returns the
-    input columns + ``aoi``, keeping only inside-polygon pixels."""
-    spark = pixels.sparkSession
-    rows, geoms = aoi_cover_table(aois, cell_m)
-    cover = spark.createDataFrame(
-        rows, "aoi string, tileid string, cell bigint, is_full boolean")
-    if broadcast_cover:
-        cover = F.broadcast(cover)
-
-    px = pixels
-    if "cell" not in px.columns:
-        cell = (F.floor(F.col("y") / cell_m).cast("long") * F.lit(2**32)
-                + F.pmod(F.floor(F.col("x") / cell_m).cast("long"), F.lit(2**32)))
-        px = px.withColumn("cell", cell)
-
-    joined = px.join(cover, ["tileid", "cell"])
-
-    geom_json = {k: json.dumps(v) for k, v in geoms.items()}
-
-    @pandas_udf(T.BooleanType())
-    def pip_refine(aoi: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-        out = np.zeros(len(aoi), dtype=bool)
-        xs = x.to_numpy(dtype=float)
-        ys = y.to_numpy(dtype=float)
-        for name in aoi.unique():
-            rings = [np.asarray(r, dtype=float) for r in json.loads(geom_json[name])]
-            m = (aoi == name).to_numpy()
-            out[m] = G.points_in_rings(xs[m], ys[m], rings)
-        return pd.Series(out)
-
-    # full-cover cells skip refinement entirely (the common case)
-    inside = joined.filter(
-        F.col("is_full") | pip_refine(F.col("aoi"), F.col("x"), F.col("y")))
-    return inside.drop("is_full")

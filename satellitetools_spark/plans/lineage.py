@@ -1,35 +1,43 @@
 """Per-partition lineage + metrics and exact resume (Axis B).
 
-Design: a materializing run appends the pixel output to parquet, then
-derives a lineage table *from the committed output* — one row per document
-with its row count and the output file that holds it (``input_file_name``,
-i.e. the physical partition attribution). Deriving lineage from what
-actually landed (rather than from in-flight task counters) makes resume
-exact even across task retries and speculative execution: a document is
-"done" iff its rows are readable in the output.
+Design: a materializing run appends the pixel output to parquet under a
+``run_id=<id>`` partition, then derives a lineage table *from the committed
+output* — one row per document with its row count and the output file that
+holds it (``input_file_name``, i.e. the physical partition attribution).
+Deriving lineage from what actually landed (rather than from in-flight task
+counters) makes resume exact even across task retries and speculative
+execution: a document is "done" iff its rows are readable in the output.
+
+The current run's output is located by PARTITION PRUNING on the stamped
+``run_id`` column — no filesystem directory diffing anywhere, so the same
+code runs against HDFS/S3/Iceberg where listing-and-comparing a bucket
+prefix is either unreliable (eventual consistency) or a full-prefix
+enumeration. ``run_id`` partitioning is also the natural Iceberg layout:
+one snapshot per run, pruned scans per run.
 
 Resume = anti-join the input's doc_ids against the union of completed
 doc_ids across prior runs — exactly-once at document granularity,
 idempotent with append-mode parquet (the Iceberg snapshot/MERGE analog in
 this environment). The lineage scan is a metadata-light aggregate over the
-freshly written files.
+current run's partition only.
 """
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 from typing import Callable, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def write_with_lineage(pixels: DataFrame, out_dir: str, lineage_dir: str,
                        run_id: str | None = None,
                        attempted: DataFrame | None = None) -> str:
-    """Append ``pixels`` to parquet and record per-document lineage.
+    """Append ``pixels`` to parquet (partitioned by ``run_id``) and record
+    per-document lineage.
 
     Lineage columns: run_id, doc_id, n_rows, file (physical attribution),
     finished_at. Returns the run_id.
@@ -46,25 +54,15 @@ def write_with_lineage(pixels: DataFrame, out_dir: str, lineage_dir: str,
     run_id = run_id or uuid.uuid4().hex[:12]
     spark = pixels.sparkSession
 
-    before = set()
-    if os.path.exists(out_dir):
-        before = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    (pixels.withColumn("run_id", F.lit(run_id))
+     .write.mode("append").partitionBy("run_id").parquet(out_dir))
 
-    pixels.write.mode("append").parquet(out_dir)
-
-    new_files = [
-        os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet") and f not in before
-    ]
-    if new_files:
-        written = spark.read.parquet(*new_files)
-        per_doc = (
-            written.groupBy("doc_id", F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("n_rows"))
-        )
-    else:
-        per_doc = spark.createDataFrame(
-            [], "doc_id string, file string, n_rows long")
+    # locate this run's rows by partition pruning, not directory diffing
+    written = spark.read.parquet(out_dir).filter(F.col("run_id") == run_id)
+    per_doc = (
+        written.groupBy("doc_id", F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("n_rows"))
+    )
     if attempted is not None:
         per_doc = (
             attempted.select("doc_id").distinct()
@@ -82,9 +80,11 @@ def write_with_lineage(pixels: DataFrame, out_dir: str, lineage_dir: str,
 
 
 def completed_doc_ids(spark: SparkSession, lineage_dir: str) -> DataFrame:
-    if not os.path.exists(lineage_dir):
+    try:
+        return spark.read.parquet(lineage_dir).select("doc_id").distinct()
+    except AnalysisException:
+        # no lineage written yet (first run) — empty completed set
         return spark.createDataFrame([], "doc_id string")
-    return spark.read.parquet(lineage_dir).select("doc_id").distinct()
 
 
 def resume_filter(docs: DataFrame, lineage_dir: str) -> DataFrame:
