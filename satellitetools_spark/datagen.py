@@ -110,8 +110,15 @@ SIZE_PRESETS = {
     # fixed per-job latency. No oracle tables (correctness runs at sf0.01).
     "sfbench": (None, 240, 153),
     "sfscale": (None, 480, 153),
+    # ragged-ingest variant of the correctness scale: a deterministic
+    # subset of documents is malformed — one band is missing a chunk span,
+    # so its per-band chunk counts disagree with its resolution group (the
+    # reference's inconsistent-array dates, gee.py:161-174). Exercises the
+    # P9 consistency filter; no pixel oracle needed (docs-level check).
+    "sf0.01r": (None, 10, 0),
 }
-NO_ORACLE_TAGS = {"sfbench", "sfscale"}
+NO_ORACLE_TAGS = {"sfbench", "sfscale", "sf0.01r"}
+RAGGED_TAGS = {"sf0.01r"}
 
 
 def _aoi_registry(tag: str) -> Dict[str, Tuple[List[np.ndarray], List[str], int, float]]:
@@ -141,12 +148,21 @@ def _product_id(tile: str, t: datetime) -> str:
     return f"S2A_MSIL2A_{stamp}_N0509_R065_T{tile}_{t.strftime('%Y%m%d')}T120000"
 
 
-def _obs_geometry(productid: str) -> Dict[str, float]:
+def _obs_geometry(productid: str) -> Dict[str, object]:
+    """Observation geometry: per-detector view-angle arrays (the raw form
+    the reference parses out of granule-metadata XML, aws.py:685-727) plus
+    their exact means as the scalar fields every downstream consumer uses.
+    """
+    n_det = 4
+    va = [360.0 * R._hash01(productid, f"va{k}") for k in range(n_det)]
+    vz = [12.0 * R._hash01(productid, f"vz{k}") for k in range(n_det)]
     return {
         "sun_azimuth": 140.0 + 60.0 * R._hash01(productid, "sa"),
         "sun_zenith": 35.0 + 30.0 * R._hash01(productid, "sz"),
-        "view_azimuth": 360.0 * R._hash01(productid, "va"),
-        "view_zenith": 12.0 * R._hash01(productid, "vz"),
+        "view_azimuth": float(np.mean(va)),
+        "view_zenith": float(np.mean(vz)),
+        "view_azimuth_detectors": va,
+        "view_zenith_detectors": vz,
     }
 
 
@@ -195,6 +211,18 @@ def build_documents(tag: str):
                     for ref in R.chunk_refs_for_bbox(tile, productid, band, cover_bbox):
                         spans.append(("media", "", ref, off))
                         off += 1
+                if tag in RAGGED_TAGS:
+                    # malform a deterministic subset: drop the last chunk
+                    # span of one band so its count disagrees with its
+                    # resolution group (P9 ragged ingest)
+                    k = len(docs)
+                    victim = "/B5/" if k % 7 == 3 else (
+                        "/B3/" if k % 11 == 5 else None)
+                    if victim:
+                        for si in range(len(spans) - 1, -1, -1):
+                            if victim in spans[si][2]:
+                                del spans[si]
+                                break
                 docs.append({
                     "doc_id": doc_id, "aoi": aoi_name, "tile": tile,
                     "productid": productid, "assetid": assetid,
@@ -250,6 +278,8 @@ def _write_scenes(docs, path: str):
         "sun_zenith": [d["meta"]["sun_zenith"] for d in docs],
         "view_azimuth": [d["meta"]["view_azimuth"] for d in docs],
         "view_zenith": [d["meta"]["view_zenith"] for d in docs],
+        "view_azimuth_detectors": [d["meta"]["view_azimuth_detectors"] for d in docs],
+        "view_zenith_detectors": [d["meta"]["view_zenith_detectors"] for d in docs],
     }
     table = pa.table({
         k: pa.array(v, pa.timestamp("us") if k == "acquisition_time" else None)

@@ -152,3 +152,49 @@ def filter_docs_by_quality(dim: DataFrame, qi: DataFrame,
     survivors = dim.join(passing.select("doc_id"), "doc_id", "left_semi")
     survivors = dedup_products(survivors)
     return filter_to_mode_tile(survivors, tile_mode(survivors))
+
+
+# --- P9: ragged-data consistency drop (reference gee.py:161-174) ----------
+
+def band_chunk_counts(docs: DataFrame, bands: Optional[List[str]] = None) -> DataFrame:
+    """Per-document chunk-span count for every band — one codegen pass over
+    the spans array, no explode, no shuffle."""
+    from ..constants import S2_BANDS_10_20
+    bands = list(bands) if bands is not None else S2_BANDS_10_20 + ["SCL"]
+    refs = F.col("spans.media_ref")
+    counts = [
+        F.size(F.filter(refs, lambda r: r.contains(f"/{b}/")))
+        .alias(f"n_{b}") for b in bands
+    ]
+    return docs.select("doc_id", *counts)
+
+
+def drop_ragged_documents(docs: DataFrame) -> DataFrame:
+    """P9: drop documents whose per-band chunk counts are inconsistent
+    within a native-resolution group (the reference drops dates whose data
+    arrays have mismatched lengths, gee.py:161-174; its missing-data test
+    scenarios are tests/test_aws.py:207-237).
+
+    Bands at the same native GSD share a chunk grid over the same read
+    window, so a well-formed document has identical chunk counts within
+    each group; any disagreement means a lost/duplicated chunk and the
+    document is dropped whole (a torn scene cannot be decoded
+    consistently). Pure whole-stage-codegen span expressions — the filter
+    runs inside the scan stage.
+    """
+    from ..constants import S2_BANDS_10_20, S2_BAND_GSD
+    bands = S2_BANDS_10_20 + ["SCL"]
+    groups: dict = {}
+    for b in bands:
+        groups.setdefault(S2_BAND_GSD[b], []).append(b)
+    refs = F.col("spans.media_ref")
+
+    def cnt(b):
+        return F.size(F.filter(refs, lambda r: r.contains(f"/{b}/")))
+
+    consistent = F.lit(True)
+    for _gsd, grp in sorted(groups.items()):
+        first = cnt(grp[0])
+        for b in grp[1:]:
+            consistent = consistent & (cnt(b) == first)
+    return docs.filter(consistent)

@@ -37,6 +37,11 @@ SCENE_META_SCHEMA = T.StructType([
     T.StructField("sun_zenith", T.DoubleType()),
     T.StructField("view_azimuth", T.DoubleType()),
     T.StructField("view_zenith", T.DoubleType()),
+    # raw per-detector view-angle arrays (the granule-XML form the
+    # reference averages, aws.py:685-727); NULL on documents that only
+    # carry pre-averaged scalars
+    T.StructField("view_azimuth_detectors", T.ArrayType(T.DoubleType())),
+    T.StructField("view_zenith_detectors", T.ArrayType(T.DoubleType())),
 ])
 
 
@@ -137,3 +142,33 @@ def doc_dimension(docs: DataFrame) -> DataFrame:
     shuffles; Catalyst prunes the parquet scan to (doc_id, spans).
     """
     return docs.select("doc_id", *_dim_columns())
+
+
+def observation_angle_means(docs: DataFrame) -> DataFrame:
+    """F18: mean observation angles from the RAW per-detector arrays in the
+    scene-metadata text span (the reference's granule-XML parse + mean,
+    aws.py:685-727, re-expressed as one codegen projection: locate the span
+    with an array ``filter``, parse once with ``from_json``, fold with
+    ``aggregate`` — no explode, no shuffle, no Python).
+
+    Output: doc_id, the scalar means recomputed from the arrays, and the
+    pre-averaged scalars for comparison. NULL means on documents without
+    detector arrays.
+    """
+    texts = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    meta_txt = F.element_at(
+        F.filter(texts, lambda s: F.get_json_object(s["text"], "$.type")
+                 == F.lit("scene_meta")), 1)["text"]
+    m = F.from_json(meta_txt, SCENE_META_SCHEMA)
+
+    def arr_mean(arr):
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, v: acc + v) / F.size(arr)
+
+    return docs.select(
+        "doc_id",
+        arr_mean(m["view_azimuth_detectors"]).alias("view_azimuth_mean"),
+        arr_mean(m["view_zenith_detectors"]).alias("view_zenith_mean"),
+        m["view_azimuth"].alias("view_azimuth"),
+        m["view_zenith"].alias("view_zenith"),
+    )

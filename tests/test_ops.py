@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from satellitetools_spark import geometry as G
 from satellitetools_spark.operators import dedup as D
 from satellitetools_spark.operators import media as M
@@ -221,3 +223,29 @@ def test_resume_is_exact_noop(spark, tmp_path, geodata_small):
     # lineage covers every attempted doc, including zero-row (QI-filtered)
     lineage = spark.read.parquet(lin)
     assert lineage.select("doc_id").distinct().count() == n1
+
+
+def test_rh_lsh_pairs_matches_bruteforce_at_high_tau(spark):
+    # the production regime: cloned near-dup vectors at cosine >= 0.9 with
+    # the selective 16-band x 4-bit banding — output must equal the exact
+    # brute-force pair join (verification keeps precision; banding keeps
+    # recall at this tau)
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 32)
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, [float(x) for x in base[i]])); vid += 1
+        if i % 4 == 0:  # a near-clone at small perturbation
+            rows.append((vid, [float(x) for x in base[i] + rng.randn(32) * 0.05]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["vec_id_a"], r["vec_id_b"], r["cosine"]) for r in
+           SIM.rh_lsh_pairs(emb, threshold=0.9, bands=16).collect()}
+    a = emb.selectExpr("vec_id as vec_id_a", "embedding as va")
+    b = emb.selectExpr("vec_id as vec_id_b", "embedding as vb")
+    brute = SIM.with_cosine(
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b")), "va", "vb")
+    want = {(r["vec_id_a"], r["vec_id_b"], round(r["cosine"], 6)) for r in
+            brute.filter(F.col("cosine") >= 0.9).collect()}
+    assert len(want) >= 10 and got == want
