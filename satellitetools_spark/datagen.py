@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from . import geometry as G
 from . import rasterops as R
-from .constants import S2_BANDS_10_20
+from .constants import CELL_SIZE_M, S2_BANDS_10_20
 
 # ---------------------------------------------------------------------------
 # Reference test AOIs (EPSG:4326 lon/lat), verbatim
@@ -365,6 +365,30 @@ def _write_oracle_pixels(docs, path: str, scl20_path: str):
     pq.write_table(scl_table, scl20_path)
 
 
+def _write_dem(docs, path: str):
+    """Synthetic DEM dimension: one elevation per planar cell covering any
+    AOI's buffered grid (the reference's DEM point lookup, gee.py:748-773,
+    re-expressed as a second lookup table keyed by the engine's cell id).
+    Elevation is a deterministic hash of the cell id so engine and oracle
+    agree bit-for-bit."""
+    cells: set = set()
+    seen: set = set()
+    for d in docs:
+        key = (d["aoi"], d["gsd_t"])
+        if key in seen:
+            continue
+        seen.add(key)
+        txs, tys = R.target_grid(d["bbox"], d["gsd_t"])
+        x2, y2 = np.meshgrid(txs, tys)
+        cells.update(G.cell_id(x2.ravel(), y2.ravel(), CELL_SIZE_M).tolist())
+    cell_list = sorted(cells)
+    elev = [round(100.0 + 400.0 * R._hash01(str(c), "dem"), 3)
+            for c in cell_list]
+    pq.write_table(pa.table({"cell": pa.array(cell_list, pa.int64()),
+                             "elevation": pa.array(elev, pa.float64())}),
+                   path)
+
+
 GEODATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".geodata")
 
 
@@ -395,6 +419,7 @@ def ensure_geodata(tag: str) -> str:
     if tag not in NO_ORACLE_TAGS:
         _write_oracle_pixels(docs, os.path.join(d, "oracle_pixels.parquet"),
                              os.path.join(d, "oracle_scl20.parquet"))
+        _write_dem(docs, os.path.join(d, "dem.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return d

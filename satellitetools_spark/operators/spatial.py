@@ -159,3 +159,17 @@ def aoi_cover_table(aois: List[dict], cell_m: float = CELL_SIZE_M) -> Tuple[List
         for c in cover["partial"]:
             rows.append((a["aoi"], a["tileid"], int(c), False))
     return rows, geoms
+
+
+def dem_lookup(pixels: DataFrame, dem: DataFrame,
+               cell_m: float = CELL_SIZE_M,
+               broadcast_dem: bool = True) -> DataFrame:
+    """S8: DEM point lookup (reference gee.py:748-773) as a cell-keyed
+    lookup join against a second table ``dem(cell, elevation, ...)``: pixel
+    (x, y) → planar cell id (codegen) → hash join. A DEM dimension is
+    ~KB/km², so it broadcasts up to continent scale; pass
+    ``broadcast_dem=False`` to shuffle-join against a planetary DEM, where
+    the cell key co-partitions both sides."""
+    px = pixels if "cell" in pixels.columns else with_cell(pixels, cell_m)
+    d = F.broadcast(dem) if broadcast_dem else dem
+    return px.join(d, "cell", "left")
