@@ -40,18 +40,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _shingle_expr(text_col: str, n: int):
-    """Word n-gram shingle array expression (codegen, no shuffle)."""
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+def _tokenized(docs: DataFrame, text_col: str) -> DataFrame:
+    """Project the token array as its OWN column first. Building shingles
+    directly over a ``split(...)`` subexpression makes the lambda re-split
+    the full text for every array element (O(len²) per document — measured
+    ~20x slower); a two-step projection evaluates the split once per row
+    (CollapseProject keeps multi-referenced aliases un-inlined)."""
+    return docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("_toks"))
+
+
+def _shingles_from_tokens(n: int):
+    tk = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(-1)))
     return F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+        " ", *[F.element_at(tk, i + k + 1) for k in range(n)]))
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document (long table)."""
     return (
-        docs.select("doc_id", F.explode(_shingle_expr(text_col, n)).alias("shingle"))
+        _tokenized(docs, text_col)
+        .select("doc_id", F.explode(_shingles_from_tokens(n)).alias("shingle"))
         .distinct()
     )
 
@@ -120,8 +130,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     # full shingle-table dedup shuffle. The explode feeds partial (map-side)
     # min aggregation, so the only exchange carries doc-cardinality rows of
     # 64 longs.
-    sh = docs.select(
-        "doc_id", F.explode(_shingle_expr(text_col, n)).alias("shingle"))
+    sh = _tokenized(docs, text_col).select(
+        "doc_id", F.explode(_shingles_from_tokens(n)).alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
