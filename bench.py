@@ -143,8 +143,8 @@ def main() -> None:
 
     if SCALING:
         sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfbench"))
-        reps = int(os.environ.get("BENCH_REPS", "4"))
-        budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "720"))
+        reps = int(os.environ.get("BENCH_REPS", "5"))
+        budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "900"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
             f"{HI_CORES} cores, up to {reps} proc pairs x in-session reps, "
             f"budget {budget:.0f}s")
@@ -160,8 +160,12 @@ def main() -> None:
         his, los = [], []
         for i in range(reps):
             pair_t0 = time.perf_counter()
-            his.append(run_scaling_proc(HI_CORES, sdir))
-            los.append(run_scaling_proc(LO_CORES, sdir))
+            # alternate pair order so a multi-minute contention burst
+            # cannot systematically land on the same level every pair
+            order = ((HI_CORES, his), (LO_CORES, los)) if i % 2 == 0 \
+                else ((LO_CORES, los), (HI_CORES, his))
+            for cores, sink in order:
+                sink.append(run_scaling_proc(cores, sdir))
             pair_cost = time.perf_counter() - pair_t0
             if time.perf_counter() - t_start + pair_cost > budget:
                 break

@@ -1,3 +1,9 @@
-from .ingest import stream_documents, streaming_qi, streaming_scene_counts
+from .ingest import (
+    stream_documents,
+    streaming_first_seen,
+    streaming_qi,
+    streaming_scene_counts,
+)
 
-__all__ = ["stream_documents", "streaming_qi", "streaming_scene_counts"]
+__all__ = ["stream_documents", "streaming_first_seen", "streaming_qi",
+           "streaming_scene_counts"]

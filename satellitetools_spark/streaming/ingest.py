@@ -57,3 +57,57 @@ def streaming_scene_counts(doc_stream: DataFrame,
                 F.col("w.end").alias("window_end"),
                 "tileid", "n_scenes", "avg_cloud_frac")
     )
+
+
+def content_fingerprint():
+    """md5 of the span sequence — the document content identity (building
+    the higher-order-function lambda requires an active session, hence a
+    factory instead of a module-level Column)."""
+    return F.md5(F.concat_ws(
+        "\x1e", F.transform("spans", lambda s: F.concat_ws(
+            "\x1f", s["kind"], s["text"], s["media_ref"]))))
+
+
+def streaming_first_seen(doc_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    exactly-once content dedup over an unbounded document stream.
+
+    Keyed by the content fingerprint (md5 of the span sequence — the same
+    identity the batch ``exact_dedup`` keeper uses), the state holds
+    (first-seen doc_id, running count); each micro-batch emits the updated
+    row per touched fingerprint (output mode ``update``). This is the
+    streaming analog of the batch exact-dedup keeper table: downstream
+    sinks treat ``first_doc_id`` as the canonical copy and ``n_seen > 1``
+    as the duplicate signal. State is partitioned by the fingerprint key —
+    the state store shards across executors like any keyed aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = doc_stream.select(
+        "doc_id", content_fingerprint().alias("fingerprint"))
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            first, n = state.get
+        else:
+            first, n = None, 0
+        ids = []
+        for pdf in pdfs:
+            ids.extend(pdf["doc_id"].tolist())
+        ids.sort()
+        if first is None and ids:
+            first = ids[0]
+        n += len(ids)
+        state.update((first, n))
+        yield pd.DataFrame({"fingerprint": [key[0]],
+                            "first_doc_id": [first],
+                            "n_seen": [n]})
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update_fn,
+        outputStructType="fingerprint string, first_doc_id string, n_seen long",
+        stateStructType="first_doc_id string, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -62,3 +62,42 @@ def test_streaming_windowed_rollup(spark, geodata_small, tmp_path):
         "SELECT sum(n_scenes) AS n FROM rollup_stream").collect()
     n_docs = read_documents(spark, src).count()
     assert rows[0]["n"] == n_docs
+
+
+def test_streaming_stateful_first_seen_dedup(spark, geodata_small, tmp_path):
+    # feed every document file twice (under two names): the stateful
+    # operator must report every fingerprint with n_seen == 2 and a stable
+    # first_doc_id equal to the document's own id
+    from satellitetools_spark.streaming import streaming_first_seen
+
+    src = os.path.join(geodata_small, "docs.parquet")
+    feed = tmp_path / "feed_dup"
+    feed.mkdir()
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    for f in files:
+        shutil.copy(f, feed / os.path.basename(f))
+        shutil.copy(f, feed / ("again-" + os.path.basename(f)))
+
+    stream = stream_documents(spark, str(feed), max_files_per_trigger=2)
+    q = (
+        streaming_first_seen(stream).writeStream
+        .format("memory").queryName("dedup_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # memory sink in update mode appends every update — take the final
+    # state per fingerprint (max n_seen)
+    rows = spark.sql("""
+        SELECT fingerprint, max_by(first_doc_id, n_seen) AS first_doc_id,
+               max(n_seen) AS n_seen
+        FROM dedup_stream GROUP BY fingerprint
+    """).collect()
+    n_docs = read_documents(spark, src).count()
+    assert len(rows) == n_docs
+    assert all(r["n_seen"] == 2 for r in rows)
+    ids = {r["first_doc_id"] for r in rows}
+    want = {r["doc_id"] for r in read_documents(spark, src).collect()}
+    assert ids == want
