@@ -169,6 +169,14 @@ _VI_NUMPY = {
 # the pandas→Arrow conversion over many documents
 _DOCS_PER_FRAME = 128
 
+# JVM media-ref prefilter kicks in at band subsets up to this size: each
+# pattern costs one substring scan per ref in the scan stage, while the
+# Python side skips non-matching refs nearly for free after one split —
+# A/B measurement shows the prefilter only pays off when it prunes MOST
+# refs (1-2-band narrow reads like the SCL-only QI pass); at 5+ bands the
+# JVM string scans cost more than the Python-side skip they save
+_PREFILTER_MAX = 2
+
 
 def _decode_one(raw: dict, bands: List[str], gsd_override: Optional[float],
                 vi_vars: List[str] = (), snap_vars: List[str] = (),
@@ -371,7 +379,7 @@ def decode_input(docs: DataFrame, bands: List[str]) -> DataFrame:
       band filter (exact segment match).
     """
     refs = F.col("spans.media_ref")
-    if bands is not None and len(bands) <= 8:
+    if bands is not None and len(bands) <= _PREFILTER_MAX:
         pats = [f"/{b}/" for b in bands]
         refs = F.filter(refs, lambda r: _contains_any(r, pats))
     packed_refs = F.concat_ws(REF_SEP, refs)
