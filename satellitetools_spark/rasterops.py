@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import zlib
+from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -34,6 +35,9 @@ CHUNK_PX = 16            # chunk side length in pixels
 BUFFER_M = 100.0         # buffered-read margin around the AOI bbox
 DN_NODATA = -99999       # transport no-data sentinel (gee.py:38)
 MEDIA_SCHEME = "s2cog"
+
+# pixel-center offset template within a chunk (i + 0.5 for i in 0..CHUNK_PX)
+_CHUNK_OFFS = np.arange(CHUNK_PX) + 0.5
 
 # Synthetic reflectance field: base + amplitude per band (kept mostly inside
 # the SNAP definition domains, with tails that exercise the domain checks).
@@ -49,12 +53,16 @@ _BAND_AMP = {
 }
 
 
+@lru_cache(maxsize=65536)
 def _phase(key: str, salt: str) -> float:
-    """Deterministic phase in [0, 2π) from a string key."""
+    """Deterministic phase in [0, 2π) from a string key. Memoized: the
+    decode path evaluates the same (productid, band) phase for every chunk
+    of a band — one crc32 per key instead of one per chunk."""
     h = zlib.crc32(f"{salt}|{key}".encode()) & 0xFFFFFFFF
     return h / 4294967296.0 * 2.0 * math.pi
 
 
+@lru_cache(maxsize=65536)
 def _hash01(key: str, salt: str) -> float:
     h = zlib.crc32(f"{salt}|{key}".encode()) & 0xFFFFFFFF
     return h / 4294967296.0
@@ -97,8 +105,11 @@ def native_band_dn(band: str, productid: str, xs2d: np.ndarray, ys2d: np.ndarray
         + amp * np.sin(xs2d / 530.0 + p1) * np.cos(ys2d / 710.0 + p2)
         + 0.25 * amp * np.sin((xs2d + ys2d) / 190.0 + 1.7 * p1)
     )
-    dn = np.rint(np.clip(v, 0.0, 1.2) * S2_REFL_TRANS)
-    dn[_missing_mask(productid, xs2d, ys2d)] = DN_NODATA
+    # minimum/maximum instead of np.clip: identical IEEE result without
+    # the np.clip dispatch overhead (hot path: called once per chunk)
+    dn = np.rint(np.minimum(np.maximum(v, 0.0), 1.2) * S2_REFL_TRANS)
+    if scene_has_missing(productid):
+        dn[_missing_mask(productid, xs2d, ys2d)] = DN_NODATA
     return dn
 
 
@@ -140,9 +151,12 @@ def decode_chunk(ref: str) -> np.ndarray:
     center is ((cx*CHUNK_PX + i + 0.5)·gsd, (cy*CHUNK_PX + j + 0.5)·gsd).
     """
     _tile, productid, band, gsd, cy, cx = parse_media_ref(ref)
-    # open (broadcasting) grids — no dense meshgrid copies in the hot path
-    xs2d = ((cx * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd)[None, :]
-    ys2d = ((cy * CHUNK_PX + np.arange(CHUNK_PX) + 0.5) * gsd)[:, None]
+    # open (broadcasting) grids — no dense meshgrid copies in the hot path.
+    # (k*CHUNK_PX + _CHUNK_OFFS) is exact float arithmetic (integers and
+    # half-integers ≪ 2^53), so reusing the precomputed offset template is
+    # bit-identical to rebuilding arange(CHUNK_PX)+0.5 per chunk.
+    xs2d = ((cx * CHUNK_PX + _CHUNK_OFFS) * gsd)[None, :]
+    ys2d = ((cy * CHUNK_PX + _CHUNK_OFFS) * gsd)[:, None]
     if band == "SCL":
         return native_scl(productid, xs2d, ys2d).astype(np.float64)
     return native_band_dn(band, productid, xs2d, ys2d)
