@@ -67,6 +67,29 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def cpu_probe() -> float:
+    """Seconds for a fixed single-thread CPU workload (steal detector).
+
+    This VM suffers multi-minute hypervisor-steal episodes during which
+    guest processes appear partially idle (PSI reports CPU pressure with no
+    guest load and process CPU% drops) and identical runs come out 2-5x
+    slower — at BOTH parallelism levels, which silently collapses the
+    measured N→4N efficiency toward 1/ratio. The probe gives every timing
+    rep a same-moment measurement of raw per-core speed: elementwise NumPy
+    (deliberately no matmul — BLAS would multithread and measure the wrong
+    thing) whose clean-machine time is ~0.1 s. Reps whose probe is far off
+    the calibrated minimum were taken during an episode and get rejected.
+    """
+    import numpy as np
+    x = np.arange(4_000_000, dtype=np.float64)
+    np.sqrt(x[:1000])  # touch pages / import costs outside the timed region
+    t0 = time.perf_counter()
+    for _ in range(6):
+        x = np.sqrt(x * 1.000001 + 0.5)
+        x += float(x[::4096].sum()) * 1e-9
+    return time.perf_counter() - t0
+
+
 def materialize(df) -> int:
     """Fully evaluate every column (noop sink), then count cheaply."""
     df = df.cache()
@@ -77,7 +100,7 @@ def materialize(df) -> int:
 
 def run_flagship(master_cores: int, geodir: str, shuffle: int,
                  inner_reps: int = 1):
-    """Flagship timing in a fresh session; returns (sec, docs, pixels).
+    """Flagship timing in a fresh session; returns (sec, docs, rows, probe).
 
     A small warm-up job spins up the Python worker pool and JIT before the
     timed region, so the measurement reflects steady-state throughput (the
@@ -94,14 +117,19 @@ def run_flagship(master_cores: int, geodir: str, shuffle: int,
         docs = read_documents(spark, os.path.join(geodir, "docs.parquet"))
         n_docs = docs.count()
         flagship_timeseries(docs.limit(4 * master_cores)).count()  # warm-up
-        best, n_rows = None, 0
+        best, best_probe, n_rows = None, None, 0
         for _ in range(max(1, inner_reps)):
             spark.catalog.clearCache()  # qi cache is per-plan; drop old entries
+            p0 = cpu_probe()
             t0 = time.perf_counter()
             n_rows = flagship_timeseries(docs).count()
             sec = time.perf_counter() - t0
-            best = sec if best is None else min(best, sec)
-        return best, n_docs, n_rows
+            # probe bracketing the timed region: the rep's probe is the max
+            # of before/after — a steal episode on EITHER side marks it
+            probe = max(p0, cpu_probe())
+            if best is None or sec < best:
+                best, best_probe = sec, probe
+        return best, n_docs, n_rows, best_probe
     finally:
         spark.stop()
 
@@ -120,6 +148,7 @@ def main() -> None:
                       shuffle_partitions=2 * CPUS)
     queries = E.queries()
     per_query: dict[str, float] = {}
+    query_probes: dict[str, float] = {}
     pixel_rows = 0
     try:
         for name in names:
@@ -127,6 +156,9 @@ def main() -> None:
             n = materialize(queries[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
             per_query[name] = round(dt, 3)
+            # same-moment steal probe: a query timed during a hypervisor
+            # episode shows probe >> the bench's probe_cal
+            query_probes[name] = round(cpu_probe(), 4)
             if name == "geo_pixels":
                 pixel_rows = n
             log(f"{name}: {dt:.2f}s rows={n}")
@@ -138,26 +170,46 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "query_probes": query_probes,
         "sf": sf,
     }
 
     if SCALING:
         sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfbench"))
-        reps = int(os.environ.get("BENCH_REPS", "5"))
-        budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "900"))
+        reps = int(os.environ.get("BENCH_REPS", "8"))
+        budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1500"))
+        clean_target = int(os.environ.get("BENCH_CLEAN_REPS", "2"))
+        tol = float(os.environ.get("BENCH_PROBE_TOL", "1.25"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
-            f"{HI_CORES} cores, up to {reps} proc pairs x in-session reps, "
-            f"budget {budget:.0f}s")
-        # minute-scale hypervisor contention bursts (PSI shows guest-side
-        # CPU pressure with no guest load; KVM steal accounting is absent)
-        # make single timings unreliable: each level runs CPU-bound
-        # subprocesses (interleaved to decorrelate bursts between levels)
-        # and the per-level MINIMUM estimates intrinsic runtime — noise is
-        # strictly additive, so min converges to the uncontended time.
-        # Pairs repeat while the wall-clock budget allows, so the bench
-        # always finishes and prints its JSON line.
+            f"{HI_CORES} cores, up to {reps} proc pairs, probe-gated "
+            f"(tol {tol}x), budget {budget:.0f}s")
+        # This VM has multi-MINUTE hypervisor-steal episodes (PSI shows
+        # guest-side CPU pressure with no guest load; KVM steal accounting
+        # is absent) during which identical runs come out 2-5x slower at
+        # BOTH levels — which drives the measured efficiency toward
+        # 1/ratio even though the engine is scaling fine. Defense in
+        # depth: (a) each rep is a CPU-bound subprocess, pairs interleaved
+        # so an episode cannot systematically hit one level; (b) every rep
+        # carries a same-moment single-thread cpu_probe() sample, and reps
+        # whose probe exceeds tol x the calibrated minimum (= the fastest
+        # probe seen anywhere in this bench) are REJECTED as
+        # episode-contaminated; (c) per-level minimum over the surviving
+        # reps — noise is strictly additive, min converges to the
+        # uncontended time. Sampling stops early once both levels have
+        # `clean_target` clean reps; otherwise pairs continue while the
+        # wall-clock budget allows, so the bench always terminates.
+        probes_cal = [cpu_probe() for _ in range(3)]
         t_start = time.perf_counter()
         his, los = [], []
+
+        def cal() -> float:
+            return min(probes_cal
+                       + [r["probe"] for r in his + los if r.get("probe")])
+
+        def clean(rs):
+            c = cal()
+            return [r for r in rs if r.get("probe") and r["probe"] <= tol * c]
+
         for i in range(reps):
             pair_t0 = time.perf_counter()
             # alternate pair order so a multi-minute contention burst
@@ -166,12 +218,22 @@ def main() -> None:
                 else ((LO_CORES, los), (HI_CORES, his))
             for cores, sink in order:
                 sink.append(run_scaling_proc(cores, sdir))
+            probes_cal.append(cpu_probe())
+            if len(clean(his)) >= clean_target and len(clean(los)) >= clean_target:
+                break
             pair_cost = time.perf_counter() - pair_t0
             if time.perf_counter() - t_start + pair_cost > budget:
                 break
-        hi = min(his, key=lambda r: r["sec"])
-        lo = min(los, key=lambda r: r["sec"])
+        his_ok, los_ok = clean(his), clean(los)
+        contended = not (his_ok and los_ok)
+        if contended:  # every rep of a level was episode-contaminated:
+            his_ok, los_ok = his_ok or his, los_ok or los  # best effort
+        hi = min(his_ok, key=lambda r: r["sec"])
+        lo = min(los_ok, key=lambda r: r["sec"])
         log(f"hi reps: {[r['sec'] for r in his]}  lo reps: {[r['sec'] for r in los]}")
+        log(f"probes: cal={cal():.3f}s hi={[round(r.get('probe') or -1, 3) for r in his]} "
+            f"lo={[round(r.get('probe') or -1, 3) for r in los]} "
+            f"clean: {len(clean(his))}/{len(his)} hi, {len(clean(los))}/{len(los)} lo")
         n_docs = hi["docs"]
         sec_hi, sec_lo = hi["sec"], lo["sec"]
         ratio = HI_CORES / LO_CORES
@@ -194,12 +256,18 @@ def main() -> None:
             "docs_per_sec_lo": round(n_docs / sec_lo, 2),
             "docs_per_sec_hi": round(n_docs / sec_hi, 2),
             "efficiency": round(eff, 3),
-            # raw per-pair samples — the efficiency above is min/min; the
-            # spread documents the VM's contention noise for the reader
+            # raw per-pair samples — the efficiency above is min-of-clean /
+            # min-of-clean; probe_* document which reps were taken during a
+            # hypervisor-steal episode (probe >> probe_cal) and rejected
             "reps_lo": [r["sec"] for r in los],
             "reps_hi": [r["sec"] for r in his],
+            "probe_cal": round(cal(), 4),
+            "probes_lo": [round(r.get("probe") or -1, 4) for r in los],
+            "probes_hi": [round(r.get("probe") or -1, 4) for r in his],
+            "contended": contended,
         }
-        log(f"scaling: lo={sec_lo:.2f}s hi={sec_hi:.2f}s efficiency={eff:.3f}")
+        log(f"scaling: lo={sec_lo:.2f}s hi={sec_hi:.2f}s efficiency={eff:.3f}"
+            + (" [CONTENDED — no clean reps at one level]" if contended else ""))
 
     print(json.dumps(result), flush=True)
 
@@ -224,9 +292,9 @@ def run_scaling_proc(cores: int, geodir: str) -> dict:
         res["cpu_bound"] = True
         return res
     log("taskset unavailable — falling back to unbound local[N] (JVM slots only)")
-    sec, docs, rows = run_flagship(cores, geodir, 2 * cores)
+    sec, docs, rows, probe = run_flagship(cores, geodir, 2 * cores)
     return {"cores": cores, "sec": round(sec, 3), "docs": docs,
-            "rows": rows, "cpu_bound": False}
+            "rows": rows, "probe": round(probe, 4), "cpu_bound": False}
 
 
 if __name__ == "__main__":

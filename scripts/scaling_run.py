@@ -23,9 +23,10 @@ def main() -> None:
     cores = int(sys.argv[1])
     geodir = sys.argv[2]
     inner = int(os.environ.get("BENCH_INNER_REPS", "1"))
-    sec, docs, rows = run_flagship(cores, geodir, 2 * cores, inner_reps=inner)
-    print(json.dumps({"cores": cores, "sec": round(sec, 3),
-                      "docs": docs, "rows": rows}), flush=True)
+    sec, docs, rows, probe = run_flagship(cores, geodir, 2 * cores,
+                                          inner_reps=inner)
+    print(json.dumps({"cores": cores, "sec": round(sec, 3), "docs": docs,
+                      "rows": rows, "probe": round(probe, 4)}), flush=True)
 
 
 if __name__ == "__main__":
