@@ -68,17 +68,20 @@ def log(msg: str) -> None:
 
 
 def cpu_probe() -> float:
-    """Seconds for a fixed single-thread CPU workload (steal detector).
+    """Seconds for a fixed allocation-heavy workload (episode detector).
 
-    This VM suffers multi-minute hypervisor-steal episodes during which
-    guest processes appear partially idle (PSI reports CPU pressure with no
-    guest load and process CPU% drops) and identical runs come out 2-5x
-    slower — at BOTH parallelism levels, which silently collapses the
-    measured N→4N efficiency toward 1/ratio. The probe gives every timing
-    rep a same-moment measurement of raw per-core speed: elementwise NumPy
-    (deliberately no matmul — BLAS would multithread and measure the wrong
-    thing) whose clean-machine time is ~0.1 s. Reps whose probe is far off
-    the calibrated minimum were taken during an episode and get rejected.
+    This VM suffers bursty HOST MEMORY-PRESSURE episodes: faulting in fresh
+    pages degrades to ~10 MB/s while pure-CPU loops stay full speed, and the
+    stall is charged as guest CPU time — invisible to load, PSI, and steal
+    accounting (measured 2026-08-17: 63 s to touch 576 MB on an idle guest).
+    Allocation-heavy work (Spark/Arrow batches, NumPy temporaries) slows
+    2-90x, at BOTH parallelism levels, which silently collapses the measured
+    N→4N efficiency toward 1/ratio. The probe gives every timing rep a
+    same-moment measurement of exactly that path: elementwise NumPy with
+    fresh temporaries (deliberately no matmul — BLAS would multithread and
+    measure the wrong thing), clean-machine time ~0.1 s. Reps whose probe is
+    far off the calibrated minimum were taken during an episode and get
+    rejected.
     """
     import numpy as np
     x = np.arange(4_000_000, dtype=np.float64)
@@ -150,18 +153,38 @@ def main() -> None:
     per_query: dict[str, float] = {}
     query_probes: dict[str, float] = {}
     pixel_rows = 0
+    # Per-query timings self-heal against host contention episodes: each
+    # attempt is bracketed by cpu_probe(); if the probe shows the attempt
+    # was taken during an episode (> tol x the best probe seen so far) the
+    # query is re-run (bounded retries + a phase wall budget) and the
+    # minimum attempt wins. The recorded probe is the winning attempt's.
+    q_retries = int(os.environ.get("BENCH_QUERY_RETRIES", "2"))
+    q_tol = float(os.environ.get("BENCH_PROBE_TOL", "1.25"))
+    q_budget = float(os.environ.get("BENCH_QUERY_BUDGET_SEC", "1200"))
+    probe_best = cpu_probe()
+    phase_t0 = time.perf_counter()
     try:
         for name in names:
-            t0 = time.perf_counter()
-            n = materialize(queries[name](spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            per_query[name] = round(dt, 3)
-            # same-moment steal probe: a query timed during a hypervisor
-            # episode shows probe >> the bench's probe_cal
-            query_probes[name] = round(cpu_probe(), 4)
+            best_dt, best_probe, n = None, None, 0
+            for attempt in range(1 + q_retries):
+                p0 = cpu_probe()
+                t0 = time.perf_counter()
+                n = materialize(queries[name](spark, SF_DIR))
+                dt = time.perf_counter() - t0
+                probe = max(p0, cpu_probe())
+                probe_best = min(probe_best, p0, probe)
+                if best_dt is None or dt < best_dt:
+                    best_dt, best_probe = dt, probe
+                clean = probe <= q_tol * probe_best
+                if attempt:
+                    log(f"{name} (retry {attempt}): {dt:.2f}s probe={probe:.2f}s")
+                if clean or time.perf_counter() - phase_t0 > q_budget:
+                    break
+            per_query[name] = round(best_dt, 3)
+            query_probes[name] = round(best_probe, 4)
             if name == "geo_pixels":
                 pixel_rows = n
-            log(f"{name}: {dt:.2f}s rows={n}")
+            log(f"{name}: {best_dt:.2f}s rows={n}")
     finally:
         spark.stop()
 
@@ -183,12 +206,11 @@ def main() -> None:
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
             f"{HI_CORES} cores, up to {reps} proc pairs, probe-gated "
             f"(tol {tol}x), budget {budget:.0f}s")
-        # This VM has multi-MINUTE hypervisor-steal episodes (PSI shows
-        # guest-side CPU pressure with no guest load; KVM steal accounting
-        # is absent) during which identical runs come out 2-5x slower at
-        # BOTH levels — which drives the measured efficiency toward
-        # 1/ratio even though the engine is scaling fine. Defense in
-        # depth: (a) each rep is a CPU-bound subprocess, pairs interleaved
+        # This VM has minutes-long host memory-pressure episodes (see
+        # cpu_probe docstring) during which identical runs come out 2-90x
+        # slower at BOTH levels — which drives the measured efficiency
+        # toward 1/ratio even though the engine is scaling fine. Defense
+        # in depth: (a) each rep is a CPU-bound subprocess, pairs interleaved
         # so an episode cannot systematically hit one level; (b) every rep
         # carries a same-moment single-thread cpu_probe() sample, and reps
         # whose probe exceeds tol x the calibrated minimum (= the fastest
