@@ -93,6 +93,37 @@ def cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+# Absolute clean-probe ceiling. The relative gate (tol x best-seen probe)
+# is blind to an episode spanning the WHOLE bench: every probe is inflated
+# ~equally, the observed minimum rises with them, and contaminated reps
+# pass as clean. Clean-machine probe is ~0.10-0.17 s here; episodes measure
+# >= 2 s — 0.6 s separates them with margin on either side (overridable for
+# a genuinely slower host).
+ABS_CLEAN = float(os.environ.get("BENCH_PROBE_ABS", "0.6"))
+
+
+def wait_for_clean(max_wait: float, poll: float = 20.0) -> bool:
+    """Block until cpu_probe() drops under ABS_CLEAN (a contention episode
+    has ended), up to ``max_wait`` seconds. Episodes last minutes to ~20+
+    min; timing taken inside one is unusable at any parallelism level, so
+    trading wall-clock for a clean window strictly improves the artifact.
+    Returns True if a clean window was reached."""
+    if max_wait <= 0:
+        return False
+    t0 = time.perf_counter()
+    p = cpu_probe()
+    while p > ABS_CLEAN:
+        waited = time.perf_counter() - t0
+        if waited > max_wait:
+            log(f"wait_for_clean: gave up after {waited:.0f}s (probe {p:.2f}s)")
+            return False
+        log(f"wait_for_clean: episode in progress (probe {p:.2f}s), "
+            f"{waited:.0f}/{max_wait:.0f}s")
+        time.sleep(poll)
+        p = cpu_probe()
+    return True
+
+
 def materialize(df) -> int:
     """Fully evaluate every column (noop sink), then count cheaply."""
     df = df.cache()
@@ -161,6 +192,7 @@ def main() -> None:
     q_retries = int(os.environ.get("BENCH_QUERY_RETRIES", "2"))
     q_tol = float(os.environ.get("BENCH_PROBE_TOL", "1.25"))
     q_budget = float(os.environ.get("BENCH_QUERY_BUDGET_SEC", "1200"))
+    wait_for_clean(float(os.environ.get("BENCH_WAIT_CLEAN_SEC", "900")))
     probe_best = cpu_probe()
     phase_t0 = time.perf_counter()
     try:
@@ -175,7 +207,7 @@ def main() -> None:
                 probe_best = min(probe_best, p0, probe)
                 if best_dt is None or dt < best_dt:
                     best_dt, best_probe = dt, probe
-                clean = probe <= q_tol * probe_best
+                clean = probe <= q_tol * probe_best and probe <= ABS_CLEAN
                 if attempt:
                     log(f"{name} (retry {attempt}): {dt:.2f}s probe={probe:.2f}s")
                 if clean or time.perf_counter() - phase_t0 > q_budget:
@@ -220,6 +252,7 @@ def main() -> None:
         # uncontended time. Sampling stops early once both levels have
         # `clean_target` clean reps; otherwise pairs continue while the
         # wall-clock budget allows, so the bench always terminates.
+        wait_for_clean(float(os.environ.get("BENCH_WAIT_CLEAN_SEC", "900")))
         probes_cal = [cpu_probe() for _ in range(3)]
         t_start = time.perf_counter()
         his, los = [], []
@@ -230,7 +263,8 @@ def main() -> None:
 
         def clean(rs):
             c = cal()
-            return [r for r in rs if r.get("probe") and r["probe"] <= tol * c]
+            return [r for r in rs if r.get("probe")
+                    and r["probe"] <= tol * c and r["probe"] <= ABS_CLEAN]
 
         for i in range(reps):
             pair_t0 = time.perf_counter()
@@ -246,6 +280,13 @@ def main() -> None:
             pair_cost = time.perf_counter() - pair_t0
             if time.perf_counter() - t_start + pair_cost > budget:
                 break
+            # if this pair ran inside an episode, wait it out instead of
+            # burning the budget on more doomed reps
+            last_probes = [r.get("probe") or 9e9 for _, s in order
+                           for r in s[-1:]]
+            if min(last_probes) > ABS_CLEAN:
+                remaining = budget - (time.perf_counter() - t_start)
+                wait_for_clean(min(300.0, max(0.0, remaining - pair_cost)))
         his_ok, los_ok = clean(his), clean(los)
         contended = not (his_ok and los_ok)
         if contended:  # every rep of a level was episode-contaminated:

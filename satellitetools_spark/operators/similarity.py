@@ -82,8 +82,40 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _lloyd_refine(emb: DataFrame, centroids: DataFrame, iters: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Distributed Lloyd iterations over a sampled centroid seed.
+
+    Each iteration: nearest-centroid assignment (broadcast cross join, same
+    shape as the IVF assignment itself), then the elementwise bucket mean
+    via ``posexplode`` + hash aggregation — the partial (map-side) agg
+    reduces every partition to ``n_centroids x dim`` cells, so the shuffle
+    is constant-size regardless of table size. Buckets that lose all
+    vectors drop out (fewer, better-placed centroids).
+    """
+    for _ in range(iters):
+        a = with_cosine(emb.crossJoin(F.broadcast(centroids)),
+                        vec_col, "cvec", "ccos")
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"),
+                                               F.asc("centroid_id"))
+        a1 = (a.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("centroid_id",
+                      F.col(vec_col).cast("array<double>").alias("v")))
+        centroids = (
+            a1.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select("centroid_id",
+                    F.transform("pm", lambda s: s["m"]).alias("cvec")))
+    return centroids
+
+
 def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, n_assign: int = 2,
+             refine_iters: int = 0,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style approximate top-k: probe only the nprobe nearest centroid
     buckets per query.
@@ -100,12 +132,20 @@ def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
     inverted lists (SPANN-style boundary spill): vectors near a Voronoi
     boundary — where probe misses concentrate — become reachable from
     either side, trading ``n_assign``x index size for recall.
+
+    ``refine_iters`` > 0 runs that many distributed Lloyd (k-means)
+    iterations on the sampled seed before building the index — bucket
+    balance and recall improve on clustered data at the cost of one extra
+    assignment pass per iteration (see :func:`_lloyd_refine`).
     """
     centroids = (
         emb.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
+    if refine_iters:
+        centroids = _lloyd_refine(emb, centroids, refine_iters,
+                                  id_col, vec_col)
     # assign every vector to its n_assign nearest centroids (one broadcast pass)
     assigned = emb.crossJoin(F.broadcast(centroids))
     assigned = with_cosine(assigned, vec_col, "cvec", "ccos")

@@ -3,7 +3,8 @@
 All operators are pure built-in column expressions (whole-stage codegen, no
 Python in the hot path) with exact ANSI-SQL equivalents for oracle checks:
 language ID (marker-word heuristic), quality scoring, token counting
-(whitespace + BPE-ish regex), and document fingerprinting.
+(whitespace + BPE-ish regex), md5 content fingerprinting, and winnowing
+rolling-hash fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 """
 
 from __future__ import annotations
@@ -143,6 +144,96 @@ def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
     return f"""
 SELECT doc_id, {pred} AS lang_pred, CAST({best} AS INT) AS lang_score
 FROM {table}
+"""
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) parameters: k-token
+# shingles hashed with a Rabin-Karp polynomial rolling hash over the token
+# stream, then the minimum of every w-wide hash window is kept. The hash is
+# a plain (base, modulus) char/token fold so Spark codegen and the DuckDB
+# oracle compute bit-identical values — no engine-specific hash functions.
+WINNOW_K = 3
+WINNOW_W = 4
+_WB = 131          # polynomial base
+_WM = 1_000_000_007  # modulus; (M*B + M) < 2^63 so the fold never overflows
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Document fingerprints via winnowing over a token rolling hash.
+
+    Pure built-in expressions (one codegen'd projection + explode): tokens
+    are hashed once each (char fold), k-token shingle hashes are an O(1)
+    polynomial combine per position, and each w-window keeps its minimum —
+    the standard local-minima sampling that makes fingerprints robust to
+    insertions/reordering, unlike the global `fingerprint` md5. Documents
+    shorter than k+w-1 tokens emit no rows. Output: (doc_id, fp) pairs,
+    distinct per document.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    # per-token char fold: h = (h*B + ascii(c)) % M
+    th = F.transform(
+        toks,
+        lambda tok: F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * _WB + F.coalesce(F.ascii(c), F.lit(0)))
+            % _WM),
+    )
+    n = F.size(F.col("th"))
+    # k-token shingle hashes: rolling polynomial combine over token hashes
+    def shingle(i):
+        h = F.element_at(F.col("th"), i + 1)
+        for j in range(1, k):
+            h = (h * _WB + F.element_at(F.col("th"), i + 1 + j)) % _WM
+        return h
+
+    hs = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k), shingle)).otherwise(
+        F.array().cast("array<long>"))
+    # winnow: minimum of each w-wide window, distinct
+    fps = F.when(F.size(F.col("hs")) >= w, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(F.col("hs")) - w),
+        lambda i: F.array_min(F.slice(F.col("hs"), i + 1, w))))).otherwise(
+        F.array().cast("array<long>"))
+    return (docs
+            .select("doc_id", th.alias("th"))
+            .select("doc_id", hs.alias("hs"))
+            .select("doc_id", F.explode(fps).alias("fp"))
+            .distinct())
+
+
+def winnow_fingerprints_sql(table: str = "documents",
+                            text_col: str = "text",
+                            k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    shingle = f"th[i]"
+    for j in range(1, k):
+        shingle = f"(({shingle}) * {_WB} + th[i+{j}]) % {_WM}"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(lower({text_col}), '[a-z0-9]+'),
+           tok -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(tok)),
+                              j -> CAST(ascii(substr(tok, j, 1)) AS BIGINT))),
+             (acc, c) -> (acc * {_WB} + c) % {_WM})) AS th
+  FROM {table}
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(th) >= {k} THEN
+           list_transform(generate_series(1, len(th) - {k - 1}),
+                          i -> {shingle})
+         ELSE [] END AS hs
+  FROM tok
+)
+SELECT DISTINCT doc_id,
+       unnest(list_transform(generate_series(1, len(hs) - {w - 1}),
+                             i -> list_aggregate(hs[i:i+{w - 1}], 'min'))) AS fp
+FROM sh
+WHERE len(hs) >= {w}
 """
 
 

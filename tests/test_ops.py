@@ -81,6 +81,22 @@ def test_ivf_recall_clustered(spark):
     assert recall >= 0.9, f"IVF clustered recall {recall:.2f}"
 
 
+def test_ivf_lloyd_refine_recovers_from_bad_seed(spark):
+    # adversarial seed: hash-stratified sampling can land several seeds in
+    # one cluster. Lloyd iterations must migrate centroids toward distinct
+    # clusters — refined recall must beat the unrefined seed on the same
+    # clustered table with a deliberately coarse probe (nprobe=2).
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 32) * 4
+    rows = [(i, [float(x) for x in centers[i % 8] + rng.randn(32) * 0.4])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _recall(emb, [0, 1, 2], n_centroids=8, nprobe=2)
+    refined = _recall(emb, [0, 1, 2], n_centroids=8, nprobe=2,
+                      refine_iters=2)
+    assert refined >= max(base, 0.8), f"refined {refined:.2f} base {base:.2f}"
+
+
 def test_ivf_recall_floor_on_isotropic_noise(spark):
     # the testdata embeddings are isotropic gaussian — the worst case for
     # any space-partitioning index (true neighbors are near-orthogonal
@@ -249,3 +265,37 @@ def test_rh_lsh_pairs_matches_bruteforce_at_high_tau(spark):
     want = {(r["vec_id_a"], r["vec_id_b"], round(r["cosine"], 6)) for r in
             brute.filter(F.col("cosine") >= 0.9).collect()}
     assert len(want) >= 10 and got == want
+
+
+def _local_winnow(text, k=3, w=4, B=131, M=1_000_000_007):
+    import re
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    th = []
+    for tok in toks:
+        h = 0
+        for c in tok:
+            h = (h * B + ord(c)) % M
+        th.append(h)
+    if len(th) < k:
+        return set()
+    hs = []
+    for i in range(len(th) - k + 1):
+        h = th[i]
+        for j in range(1, k):
+            h = (h * B + th[i + j]) % M
+        hs.append(h)
+    if len(hs) < w:
+        return set()
+    return set(min(hs[i:i + w]) for i in range(len(hs) - w + 1))
+
+
+def test_winnow_fingerprints_match_local_reimplementation(spark):
+    from satellitetools_spark.operators.text import winnow_fingerprints
+    docs = _docs(spark).limit(40)
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert texts, "no documents loaded"
+    for doc_id, text in texts.items():
+        assert got.get(doc_id, set()) == _local_winnow(text), doc_id
