@@ -49,8 +49,19 @@ def dataset_to_timeseries(
     add_uncertainty: bool = False,
     add_confidence_intervals: bool = False,
     confidence_level: str = "95",
+    median_accuracy: int | None = None,
 ) -> DataFrame:
-    """Reduce the long pixel table to per-(aoi, time) statistics."""
+    """Reduce the long pixel table to per-(aoi, time) statistics.
+
+    ``median_accuracy=None`` (default) computes the exact median with
+    ``percentile`` — bit-parity with the reference, but the agg buffers
+    every value of a group, so a hot (aoi, date) with 10^8+ pixels holds
+    them all in one task's memory. Passing an accuracy (e.g. 10000) switches
+    to ``percentile_approx`` — a constant-size mergeable sketch with rank
+    error ≤ n/accuracy, the form that survives arbitrarily large groups at
+    the 100 TB scale (map-side partial sketches merge associatively; no
+    per-group value buffering). All other statistics are identical.
+    """
     variables: List[str] = list(variables)
     if confidence_level not in CONFIDENCE_LEVELS:
         raise ValueError("Unknown confidence level")
@@ -64,7 +75,9 @@ def dataset_to_timeseries(
         aggs += [
             F.count(F.col(v)).cast("double").alias(f"_n_{v}"),
             F.avg(v).alias(v),
-            F.expr(f"percentile({v}, 0.5)").alias(f"{v}_F050"),
+            (F.percentile_approx(v, 0.5, median_accuracy)
+             if median_accuracy else
+             F.expr(f"percentile({v}, 0.5)")).alias(f"{v}_F050"),
             F.stddev_pop(v).alias(f"{v}_std"),
         ]
     g = pixels.groupBy("aoi", F.col("acquisition_time").alias("time")).agg(*aggs)
