@@ -12,7 +12,10 @@ Scale design notes:
   pairs are exact matches of the brute-force operator above threshold
   (up to LSH recall, ≥1-3e-8 at J≥0.9 with 16 bands × 4 rows);
 - SimHash = 64-bit signature per doc from md5-derived token hashes,
-  vectorized in one pandas UDF; near-dup = small Hamming distance.
+  vectorized in one pandas UDF; near-dup = small Hamming distance;
+- connected components turn any of the pair tables into disjoint dup
+  clusters with a canonical keeper (min-label propagation, one shuffle per
+  round, rounds = cluster diameter).
 """
 
 from __future__ import annotations
@@ -187,6 +190,74 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a pair table.
+
+    The step after pair mining in a dedup pipeline — near-dup PAIRS
+    (minhash/simhash/cosine) must become disjoint CLUSTERS before a keeper
+    can be chosen, because near-duplication chains (A~B, B~C, A!~C).
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each round every node takes the minimum label among itself and its
+    neighbors; fixpoint = every node labeled with its component's minimum
+    doc_id (which doubles as the canonical keeper). One shuffle
+    (join + hash-agg) per round, rounds = graph diameter — dup clusters are
+    shallow (chains of a few hops), so this converges in 2-4 rounds at any
+    table size; ``localCheckpoint`` cuts plan lineage so round N's plan
+    does not embed rounds 1..N-1. (For adversarially long chains switch to
+    large-star/small-star, which squares the convergence rate; not needed
+    for dedup-shaped graphs.)
+
+    Output: (doc_id, component) for every doc that appears in ``pairs``;
+    component == doc_id marks the keeper.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst"))))
+    labels = (edges.select("src").union(edges.select("dst"))
+              .distinct()
+              .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["src"] == labels["node"])
+               .groupBy("dst").agg(F.min("comp").alias("nmin"))
+               .withColumnRenamed("dst", "node"))
+        new_labels = (
+            labels.withColumnRenamed("comp", "old")
+            .join(nbr, "node", "left")
+            .select("node", "old",
+                    F.least("old", F.coalesce("nmin", "old")).alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("comp").alias("component"))
+
+
+def components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure via recursive CTE (UNION dedup
+    guarantees termination on cycles), component = min reachable id."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
 
 
 _SIMHASH_SCHEMA = T.StructType([

@@ -267,6 +267,32 @@ def test_rh_lsh_pairs_matches_bruteforce_at_high_tau(spark):
     assert len(want) >= 10 and got == want
 
 
+def test_connected_components_match_union_find(spark):
+    # synthetic graph with chains, a cycle, an isolated pair, and nodes
+    # whose min-label needs >1 round to propagate (chain 10-11-12-13)
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21),
+             (21, 22), (22, 20), (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r["doc_id"], r["component"]) for r in
+           D.connected_components(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
 def _local_winnow(text, k=3, w=4, B=131, M=1_000_000_007):
     import re
     toks = re.findall(r"[a-z0-9]+", text.lower())
