@@ -237,6 +237,102 @@ WHERE len(hs) >= {w}
 """
 
 
+def doc_frequency(docs: DataFrame, text_col: str = "text",
+                  min_df: int = 2) -> DataFrame:
+    """Corpus document-frequency table: (token, df, idf).
+
+    The corpus-statistics primitive behind stopword discovery, IDF
+    weighting, and vocabulary pruning. One explode of DISTINCT per-doc
+    tokens → hash-agg count (map-side partial keeps the shuffle at
+    vocabulary cardinality, Zipfian ≪ token stream); the corpus size rides
+    in via a broadcast one-row cross join, no driver action. Smooth IDF:
+    ln((N+1)/(df+1)) + 1.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    per_doc = docs.select("doc_id", F.explode(F.array_distinct(toks))
+                          .alias("token"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (per_doc.groupBy("token").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= min_df)
+            .crossJoin(F.broadcast(n))
+            .select("token", "df",
+                    F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                            + 1.0, 6).alias("idf")))
+
+
+def doc_frequency_sql(table: str = "documents", text_col: str = "text",
+                      min_df: int = 2) -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS token
+  FROM {table}
+), df AS (
+  SELECT token, count(*) AS df FROM per_doc GROUP BY token
+)
+SELECT token, df,
+       ROUND(ln(((SELECT count(*) FROM {table}) + 1) / (df + 1.0)) + 1.0,
+             6) AS idf
+FROM df WHERE df >= {min_df}
+"""
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
+               min_df: int = 2) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Term counts per doc (explode → hash-agg), broadcast-joined to the
+    (vocabulary-sized) IDF table, ranked per doc by weight with a
+    deterministic tie order (weight desc, token asc). The per-doc window
+    partitions on doc_id — at any corpus size each partition is one
+    document's vocabulary, so the sort never spills.
+    """
+    from pyspark.sql import Window
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    tf = (docs.select("doc_id", F.explode(toks).alias("token"))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    idf = doc_frequency(docs, text_col, min_df).select("token", "idf")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("token"))
+    return (tf.join(F.broadcast(idf), "token")
+            .withColumn("weight", F.round(F.col("tf") * F.col("idf"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "token", "weight", "rank"))
+
+
+def tfidf_topk_sql(table: str = "documents", k: int = 5,
+                   text_col: str = "text", min_df: int = 2) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))
+               AS token
+        FROM {table})
+  GROUP BY doc_id, token
+), idf AS (
+  SELECT token,
+         ROUND(ln(((SELECT count(*) FROM {table}) + 1) / (count(*) + 1.0))
+               + 1.0, 6) AS idf
+  FROM (SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))
+               AS token
+        FROM {table})
+  GROUP BY token HAVING count(*) >= {min_df}
+), ranked AS (
+  SELECT doc_id, token, ROUND(tf * idf, 6) AS weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(tf * idf, 6) DESC, token ASC)
+         AS rank
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, token, weight, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization + md5 content fingerprint (exact-dedup key)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))

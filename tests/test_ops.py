@@ -315,6 +315,28 @@ def _local_winnow(text, k=3, w=4, B=131, M=1_000_000_007):
     return set(min(hs[i:i + w]) for i in range(len(hs) - w + 1))
 
 
+def test_hash_split_matches_local_fold_and_is_stable(spark):
+    from satellitetools_spark.operators.sampling import hash_split
+
+    def local_bucket(key, B=131, M=1_000_000_007, total=100):
+        h = 0
+        for c in key:
+            h = (h * B + ord(c)) % M
+        return h % total
+
+    docs = _docs(spark).limit(60).select("doc_id")
+    rows = hash_split(docs).collect()
+    for r in rows:
+        b = local_bucket(str(r["doc_id"]))
+        assert r["bucket"] == b, r
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r["split"] == want, r
+    # stability under repartitioning: same assignment regardless of layout
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.repartition(7)).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
 def test_winnow_fingerprints_match_local_reimplementation(spark):
     from satellitetools_spark.operators.text import winnow_fingerprints
     docs = _docs(spark).limit(40)
