@@ -332,6 +332,33 @@ def main() -> None:
         log(f"scaling: lo={sec_lo:.2f}s hi={sec_hi:.2f}s efficiency={eff:.3f}"
             + (" [CONTENDED — no clean reps at one level]" if contended else ""))
 
+        # Clean-measurement ledger: a run whose both levels met the clean
+        # bar persists its scaling block to BENCH_SCALING_CLEAN.json (with
+        # a wall-clock stamp); every run — clean or contended — attaches
+        # the latest ledger entry under scaling.last_clean. A contended
+        # run's `efficiency` stays the honest live measurement; the ledger
+        # gives the auditor the most recent uncontaminated evidence and
+        # when it was captured.
+        ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_SCALING_CLEAN.json")
+        if not contended and len(clean(his)) >= clean_target \
+                and len(clean(los)) >= clean_target:
+            import datetime
+            entry = dict(result["scaling"])
+            entry["captured_utc"] = datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")
+            try:
+                with open(ledger, "w") as f:
+                    json.dump(entry, f, indent=1)
+                log(f"clean scaling measurement persisted to {ledger}")
+            except OSError as e:
+                log(f"ledger write failed: {e}")
+        try:
+            with open(ledger) as f:
+                result["scaling"]["last_clean"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+
     print(json.dumps(result), flush=True)
 
 
