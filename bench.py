@@ -190,7 +190,7 @@ def main() -> None:
     # query is re-run (bounded retries + a phase wall budget) and the
     # minimum attempt wins. The recorded probe is the winning attempt's.
     q_retries = int(os.environ.get("BENCH_QUERY_RETRIES", "2"))
-    q_tol = float(os.environ.get("BENCH_PROBE_TOL", "1.25"))
+    q_tol = float(os.environ.get("BENCH_PROBE_TOL", "1.5"))
     q_budget = float(os.environ.get("BENCH_QUERY_BUDGET_SEC", "1200"))
     wait_for_clean(float(os.environ.get("BENCH_WAIT_CLEAN_SEC", "900")))
     probe_best = cpu_probe()
@@ -230,11 +230,14 @@ def main() -> None:
     }
 
     if SCALING:
-        sdir = ensure_geodata(os.environ.get("BENCH_SCALING_TAG", "sfbench"))
+        stag = os.environ.get("BENCH_SCALING_TAG", "sfbench")
+        # a tag may also be a ready-made directory (e.g. a subset build for
+        # dip-sized reps during long host-contention episodes)
+        sdir = stag if os.path.isdir(stag) else ensure_geodata(stag)
         reps = int(os.environ.get("BENCH_REPS", "8"))
         budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1500"))
         clean_target = int(os.environ.get("BENCH_CLEAN_REPS", "2"))
-        tol = float(os.environ.get("BENCH_PROBE_TOL", "1.25"))
+        tol = float(os.environ.get("BENCH_PROBE_TOL", "1.5"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
             f"{HI_CORES} cores, up to {reps} proc pairs, probe-gated "
             f"(tol {tol}x), budget {budget:.0f}s")
@@ -289,10 +292,16 @@ def main() -> None:
                 wait_for_clean(min(300.0, max(0.0, remaining - pair_cost)))
         his_ok, los_ok = clean(his), clean(los)
         contended = not (his_ok and los_ok)
-        if contended:  # every rep of a level was episode-contaminated:
-            his_ok, los_ok = his_ok or his, los_ok or los  # best effort
-        hi = min(his_ok, key=lambda r: r["sec"])
-        lo = min(los_ok, key=lambda r: r["sec"])
+        # Estimator: MIN over ALL reps at each level. Contention noise is
+        # strictly additive (a rep can only be slowed, never sped up), so
+        # the per-level minimum is an upper bound on the uncontended time
+        # that tightens with every rep — and, crucially, it is symmetric
+        # across levels. Mixing min-of-clean at one level with min-of-all
+        # at the other (when only one level landed clean reps) biases the
+        # ratio; the probe gate's job is the `contended` flag + ledger
+        # eligibility, not sample selection.
+        hi = min(his, key=lambda r: r["sec"])
+        lo = min(los, key=lambda r: r["sec"])
         log(f"hi reps: {[r['sec'] for r in his]}  lo reps: {[r['sec'] for r in los]}")
         log(f"probes: cal={cal():.3f}s hi={[round(r.get('probe') or -1, 3) for r in his]} "
             f"lo={[round(r.get('probe') or -1, 3) for r in los]} "
@@ -319,9 +328,11 @@ def main() -> None:
             "docs_per_sec_lo": round(n_docs / sec_lo, 2),
             "docs_per_sec_hi": round(n_docs / sec_hi, 2),
             "efficiency": round(eff, 3),
-            # raw per-pair samples — the efficiency above is min-of-clean /
-            # min-of-clean; probe_* document which reps were taken during a
-            # hypervisor-steal episode (probe >> probe_cal) and rejected
+            # raw per-pair samples — the efficiency above is min-over-all /
+            # min-over-all (additive noise ⇒ per-level min is the
+            # tightest symmetric upper bound on the uncontended time);
+            # probe_* document which reps ran inside a host-contention
+            # episode (probe >> probe_cal) for the contended flag
             "reps_lo": [r["sec"] for r in los],
             "reps_hi": [r["sec"] for r in his],
             "probe_cal": round(cal(), 4),
