@@ -287,13 +287,30 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
     deterministic tie order (weight desc, token asc). The per-doc window
     partitions on doc_id — at any corpus size each partition is one
     document's vocabulary, so the sort never spills.
+
+    Document frequency is derived FROM the tf aggregate (one row per
+    distinct (doc, token) pair, so count-per-token == df) instead of
+    re-exploding the corpus: both plan branches then share an identical
+    (doc_id, token) shuffle, which Spark de-duplicates via ReusedExchange
+    — the corpus is scanned and tokenized exactly once. Corpus size rides
+    in from a column-pruned count(*) (no token columns read).
     """
     from pyspark.sql import Window
     toks = F.regexp_extract_all(F.lower(F.col(text_col)),
                                 F.lit("[a-z0-9]+"), 0)
     tf = (docs.select("doc_id", F.explode(toks).alias("token"))
           .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    idf = doc_frequency(docs, text_col, min_df).select("token", "idf")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    # the tf >= 1 predicate is a tautology (every emitted pair has tf >= 1)
+    # but it keeps the tf column alive in this branch, so both branches
+    # canonicalize to the SAME (doc_id, token) exchange and reuse fires
+    idf = (tf.filter(F.col("tf") >= 1)
+           .groupBy("token").agg(F.count("*").alias("df"))
+           .filter(F.col("df") >= min_df)
+           .crossJoin(F.broadcast(n))
+           .select("token",
+                   (F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                            + 1.0, 6)).alias("idf")))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("weight"), F.asc("token"))
     return (tf.join(F.broadcast(idf), "token")
