@@ -8,13 +8,19 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "satellitetools-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get(
         "SPARK_SHUFFLE_PARTITIONS", str(min(64, 2 * int(cpus) if cpus.isdigit() else 64))))
+    builder = SparkSession.builder
+    # caller-supplied pairs (e.g. sources.iceberg.catalog_conf) must land
+    # before getOrCreate — catalog/extension configs are session-fixed
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.appName(app)
+        builder.appName(app)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
