@@ -335,3 +335,40 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 3,
+                           text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`simhash_near_pairs` — EXACT, because the
+    4x16-bit banding is lossless for Hamming <= 3 by pigeonhole (4 blocks,
+    at most 3 differing bits, so one block is identical), making the Spark
+    output precisely "all pairs at Hamming distance <= k".
+
+    The token hash is reproduced verbatim (first 8 md5 bytes, big-endian —
+    DuckDB: first 16 hex chars of md5() cast via 0x-literal to UBIGINT);
+    per-bit majority votes are summed directly and the pair Hamming
+    distance is the count of disagreeing bit positions, which sidesteps
+    DuckDB's signed << overflow at bit 63. Verified bit-identical to the
+    NumPy kernel on adversarial strings before wiring."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS t
+        FROM {table})
+  WHERE t <> ''
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(CAST((h >> CAST(j AS UBIGINT)) & 1 AS BIGINT) * 2 - 1)
+                   >= 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks CROSS JOIN range(64) r(j)
+  GROUP BY doc_id, j
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS INT) AS hamming
+FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= {max_hamming}
+"""
