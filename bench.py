@@ -230,11 +230,14 @@ def main() -> None:
     }
 
     if SCALING:
-        stag = os.environ.get("BENCH_SCALING_TAG", "sfbench")
-        # a tag may also be a ready-made directory (e.g. a subset build for
-        # dip-sized reps during long host-contention episodes)
+        # default scaling input is QUARTER-size: a full rep fits inside the
+        # short clean windows between host-contention episodes (so the
+        # probe-gated reps actually converge within the budget), and a
+        # smaller input understates efficiency — conservative for the bar.
+        # A tag may also be a ready-made directory path.
+        stag = os.environ.get("BENCH_SCALING_TAG", "sfquarter")
         sdir = stag if os.path.isdir(stag) else ensure_geodata(stag)
-        reps = int(os.environ.get("BENCH_REPS", "8"))
+        reps = int(os.environ.get("BENCH_REPS", "12"))
         budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1500"))
         clean_target = int(os.environ.get("BENCH_CLEAN_REPS", "2"))
         tol = float(os.environ.get("BENCH_PROBE_TOL", "1.5"))

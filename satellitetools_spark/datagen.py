@@ -110,6 +110,12 @@ SIZE_PRESETS = {
     # fixed per-job latency. No oracle tables (correctness runs at sf0.01).
     "sfbench": (None, 240, 153),
     "sfscale": (None, 480, 153),
+    # quarter-size scaling input: a full CPU-bound rep fits inside the
+    # short clean windows between this VM's host-contention episodes
+    # (BASELINE.md "Measurement noise"), and a smaller input UNDERSTATES
+    # efficiency (fewer task waves amortizing stragglers) so the evidence
+    # stays conservative for the >= 0.8 bar
+    "sfquarter": (None, 60, 153),
     # ragged-ingest variant of the correctness scale: a deterministic
     # subset of documents is malformed — one band is missing a chunk span,
     # so its per-band chunk counts disagree with its resolution group (the
@@ -117,7 +123,7 @@ SIZE_PRESETS = {
     # P9 consistency filter; no pixel oracle needed (docs-level check).
     "sf0.01r": (None, 10, 0),
 }
-NO_ORACLE_TAGS = {"sfbench", "sfscale", "sf0.01r"}
+NO_ORACLE_TAGS = {"sfbench", "sfscale", "sfquarter", "sf0.01r"}
 RAGGED_TAGS = {"sf0.01r"}
 
 

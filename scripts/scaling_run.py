@@ -58,7 +58,8 @@ def main() -> None:
     if stopfile:
         loop_until_stopfile(cores, geodir, stopfile)
         return
-    inner = int(os.environ.get("BENCH_INNER_REPS", "1"))
+    # 2 in-session reps per JVM: doubles the clean-rep odds per startup
+    inner = int(os.environ.get("BENCH_INNER_REPS", "2"))
     sec, docs, rows, probe = run_flagship(cores, geodir, 2 * cores,
                                           inner_reps=inner)
     print(json.dumps({"cores": cores, "sec": round(sec, 3), "docs": docs,
