@@ -55,7 +55,12 @@ def _tokenized(docs: DataFrame, text_col: str) -> DataFrame:
 
 def _shingles_from_tokens(n: int):
     tk = F.col("_toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(-1)))
+    # guard: sequence(0, size-n) with size < n would generate a DESCENDING
+    # [0, -1] (Spark semantics) whose out-of-range element_at kills the
+    # whole job on the first document shorter than the shingle size — a
+    # real corpus always contains some. Short docs emit no shingles.
+    idx = F.when(F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)) \
+        .otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(tk, i + k + 1) for k in range(n)]))
 
@@ -260,12 +265,6 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
-_SIMHASH_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("simhash", T.LongType()),
-])
-
-
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document, vectorized per Arrow batch.
@@ -275,7 +274,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
     rate is high); per document the signature is one NumPy gather + one
     bit-matrix accumulation — no per-token Python in the steady state.
     Signature values are bit-identical to the per-token reference loop.
+    The output id column inherits the INPUT's id type (string doc_ids in
+    the interleaved tables, int64 in the driver's documents table).
     """
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("simhash", T.LongType()),
+    ])
 
     def compute(batches):
         import hashlib
@@ -305,10 +310,10 @@ def simhash(docs: DataFrame, text_col: str = "text",
                 packed = np.bitwise_or.reduce(
                     (acc >= 0).astype(np.uint64) << shifts)
                 sigs[i] = np.int64(packed.astype(np.int64))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": sigs})
+            yield pd.DataFrame({id_col: out_ids, "simhash": sigs})
 
     return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        compute, schema=_SIMHASH_SCHEMA)
+        compute, schema=out_schema)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -41,8 +41,9 @@ def _word_count_sql(text: str, word: str) -> str:
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, BPE-ish token count, char count, avg len."""
     t = F.col(text_col)
-    ws_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), "\\s+")))
+    # \S+ extraction, not trim+split: Spark trim() strips only 0x20 (a
+    # tab/newline-only doc would count 2 tokens via split's empty edges)
+    ws_tokens = F.size(F.regexp_extract_all(t, F.lit("\\S+"), 0))
     bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0))
     return docs.select(
         "doc_id",
@@ -56,7 +57,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_stats_sql(table: str = "documents", text_col: str = "text") -> str:
     t = text_col
-    ws = f"CASE WHEN length(trim({t})) = 0 THEN 0 ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+    ws = f"len(regexp_extract_all({t}, '\\S+'))"
     return f"""
 SELECT doc_id,
        length({t}) AS n_chars,
@@ -73,8 +74,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     composite score in [0, 1]."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    ws_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), "\\s+")))
+    # \S+ extraction, not trim+split: Spark trim() strips only 0x20 (a
+    # tab/newline-only doc would count 2 tokens via split's empty edges)
+    ws_tokens = F.size(F.regexp_extract_all(t, F.lit("\\S+"), 0))
     punct = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     stop = sum(_word_count(F.lower(t), w) for w in STOPWORDS)
     punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
@@ -94,7 +96,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score_sql(table: str = "documents", text_col: str = "text") -> str:
     t = text_col
-    ws = f"CASE WHEN length(trim({t})) = 0 THEN 0 ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+    ws = f"len(regexp_extract_all({t}, '\\S+'))"
     punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
     stop = " + ".join(_word_count_sql(f"lower({t})", w) for w in STOPWORDS)
     return f"""
