@@ -78,3 +78,22 @@ def test_exact_dedup_all_duplicates_single_survivor(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a string, doc_b string")
     assert D.connected_components(pairs).count() == 0
+
+
+def test_flagship_on_empty_corpus_returns_zero_rows(spark, geodata_small):
+    import os
+    from satellitetools_spark.plans import flagship_timeseries
+    from satellitetools_spark.sources import read_documents
+    docs = read_documents(
+        spark, os.path.join(geodata_small, "docs.parquet"))
+    empty = docs.filter("doc_id = 'no-such-doc'")
+    assert flagship_timeseries(empty).count() == 0
+
+
+def test_ivf_with_fewer_vectors_than_centroids(spark):
+    from satellitetools_spark.operators.similarity import ivf_topk
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(emb, query_ids=[0], k=3, n_centroids=16, nprobe=4)
+    got = [r["neighbor_id"] for r in out.collect()]
+    assert len(got) == 3 and len(set(got)) == 3
