@@ -229,6 +229,41 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Per-query clean ledger (same idea as the scaling ledger): the LATEST
+    # probe-clean timing per query persists to BENCH_QUERIES_CLEAN.json and
+    # is attached to every run as queries_last_clean — so a driver-side
+    # bench that lands inside a contention episode still carries the most
+    # recent uncontaminated per-query evidence. "Latest clean" (not
+    # min-over-history) so the ledger tracks the current code, not a
+    # faster past version.
+    q_ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_QUERIES_CLEAN.json")
+    try:
+        with open(q_ledger) as f:
+            q_hist = json.load(f)
+    except (OSError, ValueError):
+        q_hist = {}
+    import datetime
+    now = datetime.datetime.now(
+        datetime.timezone.utc).isoformat(timespec="seconds")
+    cal_probe = min([probe_best] + [p for p in query_probes.values() if p > 0])
+    updated = False
+    for name, sec in per_query.items():
+        p = query_probes.get(name, 9e9)
+        if p <= q_tol * cal_probe and p <= ABS_CLEAN and sf >= 0.1:
+            q_hist[name] = {"sec": sec, "probe": p, "sf": sf,
+                            "captured_utc": now}
+            updated = True
+    if updated:
+        try:
+            with open(q_ledger, "w") as f:
+                json.dump(q_hist, f, indent=1, sort_keys=True)
+            log(f"clean per-query timings persisted to {q_ledger}")
+        except OSError as e:
+            log(f"query ledger write failed: {e}")
+    if q_hist:
+        result["queries_last_clean"] = q_hist
+
     if SCALING:
         # default scaling input is QUARTER-size: a full rep fits inside the
         # short clean windows between host-contention episodes (so the
