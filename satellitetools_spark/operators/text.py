@@ -366,3 +366,167 @@ SELECT doc_id,
        length({text_col}) AS n_chars
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics (Rae et al. 2021, appendix A1.1 —
+# the standard pretraining-corpus repetition filters, as used by
+# RefinedWeb / FineWeb / Dolma).
+# ---------------------------------------------------------------------------
+
+def _run_fold(sorted_arr: Column) -> Column:
+    """Fold over a SORTED array computing duplicate statistics in one pass.
+
+    Returns struct(rep, dupch, maxrun):
+      rep    — number of elements beyond the first occurrence of their value
+               (i.e. total - distinct)
+      dupch  — total characters of all elements whose value occurs > 1 time
+      maxrun — multiplicity of the most frequent value (0 for empty input)
+
+    Equal values are adjacent after array_sort, so one O(n) scan with a
+    (prev, run) accumulator replaces a groupBy — zero shuffle, pure
+    whole-stage-codegen higher-order expression. When a run reaches length
+    2 the first element's chars are added retroactively (length(prev) +
+    length(x)); longer runs add only the new element.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("rep"),
+        F.lit(0).cast("long").alias("dupch"),
+        F.lit(0).alias("maxrun"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        added = F.when(
+            same,
+            F.when(acc["run"] == 1, F.length(acc["prev"]) + F.length(x))
+            .otherwise(F.length(x)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["rep"] + F.when(same, 1).otherwise(0)).cast("long").alias("rep"),
+            (acc["dupch"] + added).alias("dupch"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams from a token array; short docs emit none (the
+    sequence(0, size-n) descending-range guard — see dedup._shingles)."""
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition filters: duplicate-line fraction,
+    duplicate-line character fraction, and the token fraction covered by
+    the most frequent word 2-gram / 3-gram.
+
+    Lines are newline-split, empty lines dropped. dup_line_frac counts
+    occurrences beyond the first of each distinct line over total lines;
+    dup_line_char_frac is the character mass of lines occurring more than
+    once over total line characters; topNgram_frac is (max n-gram
+    multiplicity × n) / token count. All four are zero for degenerate
+    inputs (no lines / fewer tokens than n).
+
+    Everything is computed per row with sorted-array folds — no explode, no
+    shuffle, O(k log k) per document — so the operator scales linearly with
+    the corpus and survives any partitioning. Reference scope analog:
+    corpus-hygiene filters sit upstream of the reference's scene filtering
+    (satellitetools/aws.py:94-117 quality screening); this is the text-side
+    equivalent for the interleaved-document table.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.array_sort(F.filter(F.split(t, "\n"), lambda x: x != F.lit("")))
+        .alias("_lines"),
+        F.array_sort(_ngrams(
+            F.regexp_extract_all(t, F.lit("\\S+"), 0), 2)).alias("_g2"),
+        F.array_sort(_ngrams(
+            F.regexp_extract_all(t, F.lit("\\S+"), 0), 3)).alias("_g3"),
+        F.size(F.regexp_extract_all(t, F.lit("\\S+"), 0)).alias("_ntok"),
+    )
+    lf = _run_fold(F.col("_lines"))
+    n_lines = F.size(F.col("_lines"))
+    tot_ch = F.aggregate(F.col("_lines"), F.lit(0).cast("long"),
+                         lambda a, x: a + F.length(x))
+    ntok = F.col("_ntok")
+    return base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(lf["rep"] / F.greatest(n_lines, F.lit(1)), 6)
+        .alias("dup_line_frac"),
+        F.round(lf["dupch"] / F.greatest(tot_ch, F.lit(1).cast("long")), 6)
+        .alias("dup_line_char_frac"),
+        F.round(_run_fold(F.col("_g2"))["maxrun"] * 2
+                / F.greatest(ntok, F.lit(1)), 6).alias("top2gram_frac"),
+        F.round(_run_fold(F.col("_g3"))["maxrun"] * 3
+                / F.greatest(ntok, F.lit(1)), 6).alias("top3gram_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle for repetition_stats (explode + GROUP BY formulation —
+    same numbers, different physical shape)."""
+    t = text_col
+
+    def gram_cte(n: int, name: str) -> str:
+        gram = " || ' ' || ".join(f"arr[pos+{k}]" for k in range(n))
+        return f"""
+{name} AS (
+  SELECT doc_id, MAX(c) AS mx FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, {gram} AS g
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - {n - 1})) AS pos
+            FROM toks)
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(list_filter(str_split({t}, chr(10)), x -> x <> '')) AS line
+  FROM {table}
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         SUM(c - 1) AS rep,
+         SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dupch,
+         SUM(c * len) AS totch
+  FROM lc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, regexp_extract_all({t}, '\\S+') AS arr FROM {table}),
+{gram_cte(2, "g2")},
+{gram_cte(3, "g3")}
+SELECT d.doc_id,
+       CAST(COALESCE(l.n_lines, 0) AS INT) AS n_lines,
+       ROUND(COALESCE(l.rep, 0) * 1.0
+             / GREATEST(COALESCE(l.n_lines, 0), 1), 6) AS dup_line_frac,
+       ROUND(COALESCE(l.dupch, 0) * 1.0
+             / GREATEST(COALESCE(l.totch, 0), 1), 6) AS dup_line_char_frac,
+       ROUND(COALESCE(g2.mx, 0) * 2.0
+             / GREATEST(len(tk.arr), 1), 6) AS top2gram_frac,
+       ROUND(COALESCE(g3.mx, 0) * 3.0
+             / GREATEST(len(tk.arr), 1), 6) AS top3gram_frac
+FROM {table} d
+JOIN toks tk USING (doc_id)
+LEFT JOIN lagg l USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+"""

@@ -347,3 +347,54 @@ def test_winnow_fingerprints_match_local_reimplementation(spark):
     assert texts, "no documents loaded"
     for doc_id, text in texts.items():
         assert got.get(doc_id, set()) == _local_winnow(text), doc_id
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition stats on a crafted document."""
+    from satellitetools_spark.operators.text import repetition_stats
+
+    # lines: [dup, dup, unique] -> n=3, rep=1/3, dupch=6/13
+    # tokens: "a b a b a b x" -> 2-grams: a b(x3), b a(x2), b x(x1) => top2=6/7
+    #   3-grams: "a b a"(x2), "b a b"(x2), "a b x" => top3 = 2*3/7
+    text = "dup\ndup\nunique1"
+    text2 = "a b a b a b x"
+    df = spark.createDataFrame(
+        [("d1", text), ("d2", text2), ("d3", ""), ("d4", "solo")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(df).collect()}
+    assert out["d1"]["n_lines"] == 3
+    assert out["d1"]["dup_line_frac"] == round(1 / 3, 6)
+    assert out["d1"]["dup_line_char_frac"] == round(6 / 13, 6)
+    assert out["d2"]["top2gram_frac"] == round(6 / 7, 6)
+    assert out["d2"]["top3gram_frac"] == round(6 / 7, 6)
+    # degenerate inputs: all-zero stats, no crash
+    assert out["d3"]["n_lines"] == 0
+    assert out["d3"]["dup_line_frac"] == 0.0
+    assert out["d3"]["top2gram_frac"] == 0.0
+    assert out["d4"]["top2gram_frac"] == 0.0  # 1 token < n
+
+
+def test_pack_sequences_layout(spark):
+    """Packing is a deterministic concat-and-chunk: offsets are the
+    running token sums within a shard and pack ids chunk at seq_len —
+    and the result is invariant under repartitioning."""
+    from satellitetools_spark.operators.sampling import pack_sequences
+
+    rows = [(f"doc{i:03d}", " ".join(["w"] * (i + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, seq_len=10, n_shards=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # verify per-shard cumulative layout locally
+    for shard, grp in out.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        run = 0
+        for _, r in g.iterrows():
+            assert r["start_offset"] == run
+            assert r["pack_id"] == f"{shard}:{run // 10}"
+            assert r["pack_pos"] == run % 10
+            run += r["n_tokens"]
+    # partitioning invariance
+    out2 = pack_sequences(df.repartition(7), seq_len=10, n_shards=2) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
