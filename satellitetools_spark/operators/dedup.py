@@ -377,3 +377,59 @@ FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= {max_hamming}
 """
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out benchmark/eval set (the standard pretraining
+    leakage check — n-gram overlap, as in GPT-3 appendix C / FineWeb).
+
+    Returns one row per contaminated NON-benchmark document:
+    (doc_id, n_shared_grams, n_grams, shared_frac). Scale shape: distinct
+    n-gram tables on both sides, one equi-join on the gram — the benchmark
+    side is tiny by construction (an eval set), so Spark broadcasts it and
+    the pass is map-side against the corpus scan; the per-doc rollup
+    aggregates on doc_id, map-side combinable.
+    """
+    bench_ids = benchmark.select("doc_id").distinct()
+    corpus = docs.join(bench_ids, "doc_id", "left_anti")
+    sh = word_shingles(corpus, n, text_col)
+    bench_sh = word_shingles(benchmark, n, text_col) \
+        .select("shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id").agg(F.count("*").alias("n_shared_grams")))
+    return (hits.join(sizes, "doc_id")
+            .select("doc_id", "n_shared_grams", "n_grams",
+                    F.round(F.col("n_shared_grams") / F.col("n_grams"), 6)
+                    .alias("shared_frac")))
+
+
+def decontaminate_sql(table: str = "documents", bench_where: str = "1=0",
+                      n: int = 5, text_col: str = "text") -> str:
+    """Oracle: ``bench_where`` selects the benchmark rows from ``table``."""
+    gram = " || ' ' || ".join(f"arr[pos+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ({bench_where}) AS is_bench,
+         regexp_split_to_array(trim({text_col}), '\\s+') AS arr
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id, is_bench, {gram} AS shingle
+  FROM (SELECT doc_id, is_bench, arr,
+               unnest(generate_series(1, len(arr) - {n - 1})) AS pos
+        FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE NOT is_bench),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared_grams
+  FROM corpus JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_shared_grams, n_grams,
+       ROUND(n_shared_grams * 1.0 / n_grams, 6) AS shared_frac
+FROM hits JOIN sizes USING (doc_id)
+"""

@@ -530,3 +530,47 @@ LEFT JOIN lagg l USING (doc_id)
 LEFT JOIN g2 USING (doc_id)
 LEFT JOIN g3 USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. Patterns are chosen to parse identically in Java regex
+# (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, \b and non-capturing groups only — no backrefs/lookaround.
+# Replacement order is fixed (email -> ipv4 -> long digit run) so the
+# output is deterministic even where patterns could overlap.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("number", "[0-9]{7,}", "<NUM>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4 addresses / long digit runs, reporting per-kind
+    match counts. Pure regexp_replace/regexp_extract_all codegen — no
+    Python, no shuffle; at 100 TB this is a map-only pass that fuses into
+    whatever scan precedes it."""
+    t = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select("doc_id", *counts, red.alias("redacted"))
+
+
+def redact_pii_sql(table: str = "documents", text_col: str = "text") -> str:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    red = text_col
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {red} AS redacted
+FROM {table}
+"""

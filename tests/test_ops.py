@@ -398,3 +398,55 @@ def test_pack_sequences_layout(spark):
     out2 = pack_sequences(df.repartition(7), seq_len=10, n_shards=2) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_redact_pii_crafted(spark):
+    """Crafted PII strings: Spark result matches both hand-expected values
+    and the DuckDB oracle run on the same rows (regex-dialect parity)."""
+    import duckdb
+
+    from satellitetools_spark.operators.text import redact_pii, redact_pii_sql
+
+    rows = [
+        ("p1", "contact bob.smith+x@example.co.uk or 10.0.255.3 now"),
+        ("p2", "call 12345678901 twice 9876543 ok 123456"),  # last too short
+        ("p3", "clean text no pii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got["p1"]["n_email"] == 1 and got["p1"]["n_ipv4"] == 1
+    assert got["p1"]["redacted"] == "contact <EMAIL> or <IP> now"
+    assert got["p2"]["n_number"] == 2
+    assert got["p2"]["redacted"] == "call <NUM> twice <NUM> ok 123456"
+    assert got["p3"]["redacted"] == "clean text no pii"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    for row in con.execute(redact_pii_sql(table="d")).fetchall():
+        doc_id, n_email, n_ipv4, n_number, redacted = row
+        g = got[doc_id]
+        assert (g["n_email"], g["n_ipv4"], g["n_number"], g["redacted"]) \
+            == (n_email, n_ipv4, n_number, redacted)
+
+
+def test_decontaminate_crafted(spark):
+    """A doc sharing a 5-gram with the benchmark is flagged with the right
+    counts; non-overlapping docs are not."""
+    from satellitetools_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [("c1", "prefix the quick brown fox jumps suffix words here"),
+         ("c2", "completely different tokens with no overlap at all")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(docs, bench, n=5).collect()}
+    # c1 tokens: 9 -> 5 distinct 5-grams; exactly one ("the quick brown
+    # fox jumps") appears in the benchmark
+    assert set(out) == {"c1"}
+    assert out["c1"]["n_shared_grams"] == 1
+    assert out["c1"]["n_grams"] == 5
+    assert out["c1"]["shared_frac"] == round(1 / 5, 6)
