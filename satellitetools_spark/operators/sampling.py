@@ -118,13 +118,15 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, n_shards: int = 64,
     )
     w = (Window.partitionBy("shard").orderBy(key_col)
          .rowsBetween(Window.unboundedPreceding, -1))
+    # materialize the window sum ONCE, then derive pack_id/pack_pos from
+    # the alias — inlining `start` three times makes the Window operator
+    # evaluate three identical frames
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return base.select(
-        key_col, "shard", "n_tokens",
-        start.alias("start_offset"),
+    return base.withColumn("start_offset", start).select(
+        key_col, "shard", "n_tokens", "start_offset",
         F.concat_ws(":", F.col("shard"),
-                    F.floor(start / seq_len)).alias("pack_id"),
-        (start % seq_len).alias("pack_pos"),
+                    F.floor(F.col("start_offset") / seq_len)).alias("pack_id"),
+        (F.col("start_offset") % seq_len).alias("pack_pos"),
     )
 
 

@@ -445,32 +445,49 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     equivalent for the interleaved-document table.
     """
     t = F.col(text_col)
-    base = docs.select(
+    # project the token array as its OWN column first — building grams over
+    # the regexp_extract_all subexpression would re-tokenize the full text
+    # for every array element (the O(len²) trap documented at
+    # dedup._tokenized); a multi-referenced alias stays un-inlined
+    toks = docs.select(
         "doc_id",
         F.array_sort(F.filter(F.split(t, "\n"), lambda x: x != F.lit("")))
         .alias("_lines"),
-        F.array_sort(_ngrams(
-            F.regexp_extract_all(t, F.lit("\\S+"), 0), 2)).alias("_g2"),
-        F.array_sort(_ngrams(
-            F.regexp_extract_all(t, F.lit("\\S+"), 0), 3)).alias("_g3"),
-        F.size(F.regexp_extract_all(t, F.lit("\\S+"), 0)).alias("_ntok"),
+        F.regexp_extract_all(t, F.lit("\\S+"), 0).alias("_toks"),
     )
-    lf = _run_fold(F.col("_lines"))
-    n_lines = F.size(F.col("_lines"))
-    tot_ch = F.aggregate(F.col("_lines"), F.lit(0).cast("long"),
-                         lambda a, x: a + F.length(x))
-    ntok = F.col("_ntok")
-    return base.select(
+    base = toks.select(
         "doc_id",
-        n_lines.alias("n_lines"),
+        "_lines",
+        F.array_sort(_ngrams(F.col("_toks"), 2)).alias("_g2"),
+        F.array_sort(_ngrams(F.col("_toks"), 3)).alias("_g3"),
+        F.size(F.col("_toks")).alias("_ntok"),
+    )
+    # materialize each fold ONCE (multi-referenced alias); extracting .rep
+    # and .dupch from an inlined fold would run the O(n) scan twice
+    folded = base.select(
+        "doc_id", "_ntok",
+        F.size(F.col("_lines")).alias("n_lines"),
+        F.aggregate(F.col("_lines"), F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("_totch"),
+        _run_fold(F.col("_lines")).alias("_lf"),
+        _run_fold(F.col("_g2"))["maxrun"].alias("_m2"),
+        _run_fold(F.col("_g3"))["maxrun"].alias("_m3"),
+    )
+    lf = F.col("_lf")
+    n_lines = F.col("n_lines")
+    ntok = F.col("_ntok")
+    return folded.select(
+        "doc_id",
+        "n_lines",
         F.round(lf["rep"] / F.greatest(n_lines, F.lit(1)), 6)
         .alias("dup_line_frac"),
-        F.round(lf["dupch"] / F.greatest(tot_ch, F.lit(1).cast("long")), 6)
+        F.round(lf["dupch"]
+                / F.greatest(F.col("_totch"), F.lit(1).cast("long")), 6)
         .alias("dup_line_char_frac"),
-        F.round(_run_fold(F.col("_g2"))["maxrun"] * 2
-                / F.greatest(ntok, F.lit(1)), 6).alias("top2gram_frac"),
-        F.round(_run_fold(F.col("_g3"))["maxrun"] * 3
-                / F.greatest(ntok, F.lit(1)), 6).alias("top3gram_frac"),
+        F.round(F.col("_m2") * 2 / F.greatest(ntok, F.lit(1)), 6)
+        .alias("top2gram_frac"),
+        F.round(F.col("_m3") * 3 / F.greatest(ntok, F.lit(1)), 6)
+        .alias("top3gram_frac"),
     )
 
 
