@@ -130,6 +130,32 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, n_shards: int = 64,
     )
 
 
+def pack_sequences_sql_parts(table: str = "documents", seq_len: int = 2048,
+                             n_shards: int = 64, key_col: str = "doc_id",
+                             text_col: str = "text") -> tuple:
+    """(CTE definitions, final SELECT) so callers can splice the packing
+    stage into a larger WITH chain (the training-data pipeline oracle)."""
+    ctes = f"""pack_base AS (
+  SELECT {key_col},
+         CAST({portable_hash_sql(key_col)} % {n_shards} AS INT) AS shard,
+         CAST(len(regexp_extract_all({text_col}, '\\S+')) AS INT) AS n_tokens
+  FROM {table}
+),
+pack_off AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY {key_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM pack_base
+)"""
+    final = f"""SELECT {key_col}, shard, n_tokens, start_offset,
+       shard || ':' || CAST(CAST(FLOOR(start_offset * 1.0 / {seq_len}) AS BIGINT) AS VARCHAR) AS pack_id,
+       CAST(start_offset % {seq_len} AS BIGINT) AS pack_pos
+FROM pack_off"""
+    return ctes, final
+
+
 def pack_sequences_sql(table: str = "documents", seq_len: int = 2048,
                        n_shards: int = 64, key_col: str = "doc_id",
                        text_col: str = "text") -> str:

@@ -69,29 +69,34 @@ FROM {table}
 """
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality: length, punctuation ratio, stopword ratio, and a
-    composite score in [0, 1]."""
-    t = F.col(text_col)
+def quality_exprs(t: Column) -> dict:
+    """Named quality column expressions over a text column (shared by
+    quality_score and the end-to-end training-data pipeline, which fuses
+    them into one projection instead of joining per-operator outputs)."""
     n_chars = F.length(t)
     # \S+ extraction, not trim+split: Spark trim() strips only 0x20 (a
     # tab/newline-only doc would count 2 tokens via split's empty edges)
     ws_tokens = F.size(F.regexp_extract_all(t, F.lit("\\S+"), 0))
     punct = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     stop = sum(_word_count(F.lower(t), w) for w in STOPWORDS)
-    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(stop / F.greatest(ws_tokens, F.lit(1)), 6)
     score = F.round(
         F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.5
         + F.least(stop / F.greatest(ws_tokens, F.lit(1)) * 5.0, F.lit(1.0)) * 0.3
         + (1.0 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0))) * 0.2,
         6)
-    return docs.select(
-        "doc_id", n_chars.alias("n_chars"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality"),
-    )
+    return {
+        "n_chars": n_chars,
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop / F.greatest(ws_tokens, F.lit(1)), 6),
+        "quality": score,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: length, punctuation ratio, stopword ratio, and a
+    composite score in [0, 1]."""
+    ex = quality_exprs(F.col(text_col))
+    return docs.select("doc_id", *[c.alias(n) for n, c in ex.items()])
 
 
 def quality_score_sql(table: str = "documents", text_col: str = "text") -> str:
@@ -112,11 +117,10 @@ FROM {table}
 """
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic; argmax with fixed tie order."""
-    t = F.lower(F.col(text_col))
+def lang_exprs(t_lower: Column) -> dict:
+    """(lang_pred, lang_score) expressions over a lowercased text column."""
     scores = {
-        lang: sum(_word_count(t, w) for w in words)
+        lang: sum(_word_count(t_lower, w) for w in words)
         for lang, words in LANG_MARKERS.items()
     }
     langs = list(LANG_MARKERS)
@@ -126,8 +130,13 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         cond = scores[lang] > best
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
         best = F.when(cond, scores[lang]).otherwise(best)
-    return docs.select("doc_id", pred.alias("lang_pred"),
-                       best.cast("int").alias("lang_score"))
+    return {"lang_pred": pred, "lang_score": best.cast("int")}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic; argmax with fixed tie order."""
+    ex = lang_exprs(F.lower(F.col(text_col)))
+    return docs.select("doc_id", *[c.alias(n) for n, c in ex.items()])
 
 
 def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
@@ -425,7 +434,8 @@ def _ngrams(toks: Column, n: int) -> Column:
         " ", *[F.element_at(toks, i + k + 1) for k in range(n)]))
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     keep: tuple = ()) -> DataFrame:
     """Per-document repetition filters: duplicate-line fraction,
     duplicate-line character fraction, and the token fraction covered by
     the most frequent word 2-gram / 3-gram.
@@ -443,20 +453,25 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-hygiene filters sit upstream of the reference's scene filtering
     (satellitetools/aws.py:94-117 quality screening); this is the text-side
     equivalent for the interleaved-document table.
+
+    ``keep`` names extra input columns carried through to the output (the
+    training-data pipeline keeps the text so downstream stages fuse into
+    the same scan instead of joining back).
     """
+    keep = list(keep)
     t = F.col(text_col)
     # project the token array as its OWN column first — building grams over
     # the regexp_extract_all subexpression would re-tokenize the full text
     # for every array element (the O(len²) trap documented at
     # dedup._tokenized); a multi-referenced alias stays un-inlined
     toks = docs.select(
-        "doc_id",
+        "doc_id", *keep,
         F.array_sort(F.filter(F.split(t, "\n"), lambda x: x != F.lit("")))
         .alias("_lines"),
         F.regexp_extract_all(t, F.lit("\\S+"), 0).alias("_toks"),
     )
     base = toks.select(
-        "doc_id",
+        "doc_id", *keep,
         "_lines",
         F.array_sort(_ngrams(F.col("_toks"), 2)).alias("_g2"),
         F.array_sort(_ngrams(F.col("_toks"), 3)).alias("_g3"),
@@ -465,7 +480,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # materialize each fold ONCE (multi-referenced alias); extracting .rep
     # and .dupch from an inlined fold would run the O(n) scan twice
     folded = base.select(
-        "doc_id", "_ntok",
+        "doc_id", *keep, "_ntok",
         F.size(F.col("_lines")).alias("n_lines"),
         F.aggregate(F.col("_lines"), F.lit(0).cast("long"),
                     lambda a, x: a + F.length(x)).alias("_totch"),
@@ -477,7 +492,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_lines = F.col("n_lines")
     ntok = F.col("_ntok")
     return folded.select(
-        "doc_id",
+        "doc_id", *keep,
         "n_lines",
         F.round(lf["rep"] / F.greatest(n_lines, F.lit(1)), 6)
         .alias("dup_line_frac"),

@@ -450,3 +450,28 @@ def test_decontaminate_crafted(spark):
     assert out["c1"]["n_shared_grams"] == 1
     assert out["c1"]["n_grams"] == 5
     assert out["c1"]["shared_frac"] == round(1 / 5, 6)
+
+
+def test_train_data_pipeline_composition(spark):
+    """Crafted corpus: low-quality and repetitive docs filtered, exact
+    duplicates keep min doc_id, survivors packed deterministically."""
+    from satellitetools_spark.plans.corpus import train_data_pipeline
+
+    good = ("the cat and the dog of a house in the garden is on the hill "
+            "and the bird of a tree is in the yard on a fence the end "
+            "and then the story of a day is told in the words on a page")
+    rows = [
+        ("k1", good),
+        ("k2", good),                     # exact duplicate -> dropped
+        ("k3", "x " * 3),                 # low quality -> dropped
+        ("k4", good + " extra tail words here"),  # survives
+        ("k5", "the of a in is on " + "spam ham " * 40),  # top2gram -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in train_data_pipeline(df, seq_len=16, n_shards=2).collect()}
+    assert set(out) == {"k1", "k4"}
+    # layout: within each shard offsets are the running sums
+    for r in out.values():
+        assert r["pack_id"] == f"{r['shard']}:{r['start_offset'] // 16}"
+        assert r["pack_pos"] == r["start_offset"] % 16
