@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_minhash_pairs",
     "docs_quality",
     "docs_token_stats",
+    "docs_train_pipeline",
     "emb_cosine_topk",
     "events_hourly",
 ]
