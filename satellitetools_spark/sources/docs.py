@@ -144,6 +144,56 @@ def doc_dimension(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", *_dim_columns())
 
 
+def parse_scene_identity(docs: DataFrame) -> DataFrame:
+    """F6–F8: derive the scene-identity fields from the RAW ``productid``
+    string in the scene-metadata text span, the way the reference builds
+    them from STAC item properties (aws.py:375-401):
+
+    - F6 sensing timestamp: third ``_`` segment of the product id parsed
+      with ``yyyyMMdd'T'HHmmss`` (aws.py:382-385);
+    - F7 MGRS tile: decomposed from the ``_Txxxxx_`` segment into
+      utm_zone / latitude_band / grid_square and re-composed by
+      concatenation (aws.py:386-390);
+    - F8 projection: numeric EPSG code extracted and normalized to
+      ``EPSG:<code>``, falling back to the already-composed ``proj:code``
+      string when no numeric code is present (aws.py:393-401, the
+      pystac>=1.12 fallback).
+
+    One codegen projection over the document row — array ``filter`` +
+    single ``from_json``, no explode, no shuffle, no Python. The scan
+    stays pruned to (doc_id, spans)."""
+    texts = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    meta_txt = F.element_at(
+        F.filter(texts, lambda s: F.get_json_object(s["text"], "$.type")
+                 == F.lit("scene_meta")), 1)["text"]
+    m = F.from_json(meta_txt, SCENE_META_SCHEMA)
+    pid = m["productid"]
+    parts = F.split(pid, "_")
+    utm_zone = F.regexp_extract(pid, "_T([0-9]{2})[A-Z]{3}_", 1).cast("int")
+    lat_band = F.regexp_extract(pid, "_T[0-9]{2}([A-Z])[A-Z]{2}_", 1)
+    grid_square = F.regexp_extract(pid, "_T[0-9]{2}[A-Z]([A-Z]{2})_", 1)
+    epsg = F.regexp_extract(m["projection"], "([0-9]+)$", 1).cast("int")
+    return docs.select(
+        "doc_id",
+        pid.alias("productid"),
+        F.element_at(parts, 1).alias("mission"),
+        F.element_at(parts, 2).alias("level"),
+        F.to_timestamp(F.element_at(parts, 3), "yyyyMMdd'T'HHmmss")
+        .alias("sensing_time"),
+        utm_zone.alias("utm_zone"),
+        lat_band.alias("lat_band"),
+        grid_square.alias("grid_square"),
+        F.concat(utm_zone.cast("string"), lat_band, grid_square)
+        .alias("tileid_composed"),
+        m["tileid"].alias("tileid"),
+        F.coalesce(
+            F.when(epsg.isNotNull(),
+                   F.concat(F.lit("EPSG:"), epsg.cast("string"))),
+            m["projection"]).alias("projection"),
+        epsg.alias("epsg"),
+    )
+
+
 def observation_angle_means(docs: DataFrame) -> DataFrame:
     """F18: mean observation angles from the RAW per-detector arrays in the
     scene-metadata text span (the reference's granule-XML parse + mean,

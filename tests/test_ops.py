@@ -475,3 +475,23 @@ def test_train_data_pipeline_composition(spark):
     for r in out.values():
         assert r["pack_id"] == f"{r['shard']}:{r['start_offset'] // 16}"
         assert r["pack_pos"] == r["start_offset"] % 16
+
+
+def test_scene_identity_parse(spark, geodata_small):
+    """F6-F8: fields derived from the raw productid string must agree with
+    the scene metadata carried alongside it (tile recompose, EPSG, and the
+    sensing timestamp embedded in the id)."""
+    from satellitetools_spark.sources.docs import (
+        parse_scene_identity, read_documents)
+
+    docs = read_documents(spark, os.path.join(geodata_small, "docs.parquet"))
+    rows = parse_scene_identity(docs).collect()
+    assert rows
+    for r in rows:
+        assert r["tileid_composed"] == r["tileid"]
+        assert r["epsg"] == 32600 + r["utm_zone"]
+        assert r["projection"] == f"EPSG:{r['epsg']}"
+        assert r["mission"] == "S2A" and r["level"] == "MSIL2A"
+        # productid's third segment IS the sensing stamp
+        assert r["sensing_time"].strftime("%Y%m%dT%H%M%S") == \
+            r["productid"].split("_")[2]
