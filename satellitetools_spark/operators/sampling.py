@@ -87,6 +87,119 @@ SELECT *, {case} AS split FROM h
 """
 
 
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      fractions: dict, key_col: str = "doc_id",
+                      denom: int = 100_000,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (``sampleBy`` done right
+    for re-ingestable corpora).
+
+    A row is kept iff ``portable_hash(key ':' stratum) % denom <
+    round(fraction[stratum] * denom)`` — a pure function of (key, stratum),
+    so membership is stable across runs, partitionings, and cluster sizes,
+    and the decision for one stratum is independent of every other stratum
+    (the stratum string salts the hash). Unknown strata fall back to
+    ``default_fraction``. Map-only codegen: no shuffle, no sampling pass,
+    no driver state — unlike ``DataFrame.sampleBy`` whose Bernoulli draw
+    depends on partition layout and seed plumbing.
+
+    Keeps all input columns and appends ``sample_bucket`` (the hash cell in
+    [0, denom)) so the selection is auditable.
+    """
+    salted = F.concat_ws(":", F.col(key_col).cast("string"),
+                         F.col(stratum_col))
+    bucket = (portable_hash(salted) % denom).cast("int")
+    thresh = F.lit(int(round(default_fraction * denom)))
+    for name, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(stratum_col) == name,
+                        F.lit(int(round(frac * denom)))).otherwise(thresh)
+    return (df.withColumn("sample_bucket", bucket)
+              .filter(F.col("sample_bucket") < thresh))
+
+
+def stratified_sample_sql(table: str = "documents", stratum_col: str = "lang",
+                          fractions: dict = None, key_col: str = "doc_id",
+                          denom: int = 100_000,
+                          default_fraction: float = 0.0,
+                          columns: str = "*") -> str:
+    """DuckDB oracle computing bit-identical membership."""
+    fractions = fractions or {}
+    salted = f"CAST({key_col} AS VARCHAR) || ':' || {stratum_col}"
+    case = "CASE " + " ".join(
+        f"WHEN {stratum_col} = '{name}' THEN {int(round(frac * denom))}"
+        for name, frac in sorted(fractions.items())
+    ) + f" ELSE {int(round(default_fraction * denom))} END"
+    return f"""
+WITH sb AS (
+  SELECT {columns},
+         CAST({portable_hash_sql(salted)} % {denom} AS INT) AS sample_bucket
+  FROM {table}
+)
+SELECT * FROM sb WHERE sample_bucket < {case}
+"""
+
+
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | local row
+
+
+def global_row_number(df: DataFrame, order_by: Sequence[Column],
+                      num_partitions: int = None,
+                      idx_col: str = "global_idx") -> DataFrame:
+    """Global 0-based row index in the total order given by ``order_by`` —
+    the scale-safe form of ``row_number() OVER (ORDER BY ...)``, which on a
+    cluster would collapse into a single partition.
+
+    Shape (the classic two-pass zipWithIndex scheme, SQL-native):
+      1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+         keys — ONE wide op (range shuffle with local sort); then
+         ``monotonically_increasing_id`` stamps ``pid<<33 | local_rank``
+         in sorted order, and the result is pinned with a lazy
+         ``localCheckpoint`` so both passes see identical partitions.
+      2. A constant-size metadata aggregation (one count per partition —
+         #partitions rows, NOT data rows) is collected to the driver and
+         turned into per-partition offsets; the final index is a map-only
+         projection ``offset[pid] + local_rank``. No second data shuffle,
+         no window exchange, no Python.
+
+    ``order_by`` must be a total order (append a unique tiebreaker) —
+    correctness then does not depend on where the range boundaries fall.
+    At 100 TB the checkpoint pins one materialized copy in executor
+    storage; callers indexing a truly huge table should write stage 1 to a
+    table instead and run stage 2 over the re-read.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (df.repartitionByRange(n, *order_by)
+                .sortWithinPartitions(*order_by)
+                .withColumn("_mid", F.monotonically_increasing_id())
+                .localCheckpoint(eager=False))
+    pid = F.shiftright(F.col("_mid"), 33)  # exact; a double divide would
+    # lose mantissa bits for ids past 2^53
+    counts = {r["_pid"]: r["count"]
+              for r in ranged.groupBy(pid.alias("_pid")).count().collect()}
+    offsets, acc = [], 0
+    for i in range(n):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    off = F.element_at(
+        F.array(*[F.lit(int(o)).cast("long") for o in offsets]),
+        pid.cast("int") + 1)
+    local = F.col("_mid").bitwiseAND(F.lit(_MID_MASK))
+    return ranged.withColumn(idx_col, (off + local).cast("long")).drop("_mid")
+
+
+def global_row_number_sql(table: str, order_by_sql: str,
+                          columns: str = "*",
+                          idx_col: str = "global_idx") -> str:
+    """Oracle: the single-node window form of the same total order."""
+    return f"""
+SELECT {columns},
+       CAST(row_number() OVER (ORDER BY {order_by_sql}) - 1 AS BIGINT)
+         AS {idx_col}
+FROM {table}
+"""
+
+
 def pack_sequences(docs: DataFrame, seq_len: int = 2048, n_shards: int = 64,
                    key_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

@@ -117,6 +117,61 @@ FROM {table}
 """
 
 
+def quality_quantiles(docs: DataFrame, group_col: str = "lang",
+                      text_col: str = "text",
+                      probs=(0.25, 0.5, 0.75),
+                      accuracy: int = None) -> DataFrame:
+    """Per-stratum calibration statistics of the composite quality score:
+    count, mean, and exact interpolated quantiles (the numbers that pick a
+    corpus-wide quality threshold per language/source).
+
+    One hash aggregation (map-side partial). Exact ``percentile`` keeps a
+    per-group value buffer — bounded here because quality is rounded to
+    1e-6 so distinct values are capped, but for hot groups at 10^12 docs
+    pass ``accuracy`` to switch to the mergeable ``percentile_approx``
+    sketch (constant state per group), mirroring the timeseries operator's
+    exact/approx split.
+    """
+    ex = quality_exprs(F.col(text_col))
+    scored = docs.select(F.col(group_col).alias("grp"),
+                         ex["quality"].alias("quality"))
+    if accuracy is None:
+        qcol = lambda p: F.expr(f"percentile(quality, {p!r})")  # noqa: E731
+    else:
+        qcol = lambda p: F.expr(  # noqa: E731
+            f"percentile_approx(quality, {p!r}, {accuracy})")
+    aggs = [F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality")]
+    aggs += [F.round(qcol(p), 6).alias(f"q{int(p * 100)}") for p in probs]
+    return scored.groupBy("grp").agg(*aggs)
+
+
+def quality_quantiles_sql(table: str = "documents", group_col: str = "lang",
+                          text_col: str = "text",
+                          probs=(0.25, 0.5, 0.75)) -> str:
+    t = text_col
+    ws = f"len(regexp_extract_all({t}, '\\S+'))"
+    punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    stop = " + ".join(_word_count_sql(f"lower({t})", w) for w in STOPWORDS)
+    quantiles = ",\n       ".join(
+        f"ROUND(quantile_cont(quality, {p}), 6) AS q{int(p * 100)}"
+        for p in probs)
+    return f"""
+WITH scored AS (
+  SELECT {group_col} AS grp,
+         ROUND(LEAST(length({t}) / 500.0, 1.0) * 0.5
+               + LEAST(({stop}) * 1.0 / GREATEST({ws}, 1) * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST({punct} * 1.0 / GREATEST(length({t}), 1) * 10.0, 1.0)) * 0.2,
+               6) AS quality
+  FROM {table}
+)
+SELECT grp, count(*) AS n_docs,
+       ROUND(avg(quality), 6) AS mean_quality,
+       {quantiles}
+FROM scored GROUP BY grp
+"""
+
+
 def lang_exprs(t_lower: Column) -> dict:
     """(lang_pred, lang_score) expressions over a lowercased text column."""
     scores = {

@@ -495,3 +495,87 @@ def test_scene_identity_parse(spark, geodata_small):
         # productid's third segment IS the sensing stamp
         assert r["sensing_time"].strftime("%Y%m%dT%H%M%S") == \
             r["productid"].split("_")[2]
+
+
+def test_stratified_sample_deterministic_and_independent(spark):
+    """Membership is a pure hash of (key, stratum): stable under
+    repartitioning, honors per-stratum thresholds exactly, and changing
+    one stratum's fraction cannot change another stratum's members."""
+    from satellitetools_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark).select("doc_id", "lang")
+    fracs = {"en": 0.5, "de": 0.2, "fr": 1.0, "es": 0.0, "zh": 0.3}
+    kept = stratified_sample(docs, "lang", fracs, denom=1000).collect()
+    B, M = 131, 1_000_000_007
+
+    def bucket(key, lang):
+        h = 0
+        for c in f"{key}:{lang}":
+            h = (h * B + ord(c)) % M
+        return h % 1000
+
+    for r in kept:
+        assert r["sample_bucket"] == bucket(r["doc_id"], r["lang"])
+        assert r["sample_bucket"] < round(fracs[r["lang"]] * 1000)
+    assert not any(r["lang"] == "es" for r in kept)
+    # full-fraction stratum keeps everything
+    n_fr = docs.filter("lang = 'fr'").count()
+    assert sum(r["lang"] == "fr" for r in kept) == n_fr
+    # layout invariance
+    again = {r["doc_id"] for r in
+             stratified_sample(docs.repartition(7), "lang", fracs,
+                               denom=1000).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # independence: bumping es cannot change en/de/fr/zh membership
+    fr2 = dict(fracs, es=1.0)
+    other = {r["doc_id"] for r in
+             stratified_sample(docs, "lang", fr2, denom=1000).collect()
+             if r["lang"] != "es"}
+    assert other == {r["doc_id"] for r in kept if r["lang"] != "es"}
+
+
+def test_global_row_number_matches_local_sort(spark):
+    """The distributed two-pass index equals the single-node total order,
+    at any partition count, including empty range partitions."""
+    from pyspark.sql import functions as SF
+
+    from satellitetools_spark.operators.sampling import global_row_number
+
+    docs = _docs(spark).select(
+        "doc_id", SF.length("text").alias("n_chars"))
+    want = [r["doc_id"] for r in
+            docs.orderBy(SF.col("n_chars").desc(), "doc_id").collect()]
+    for n_parts in (3, 8, 64):  # 64 > row groups -> some empty partitions
+        out = global_row_number(
+            docs, [SF.col("n_chars").desc(), SF.col("doc_id")],
+            num_partitions=n_parts).collect()
+        assert sorted(r["global_idx"] for r in out) == list(range(len(want)))
+        got = [r["doc_id"] for r in sorted(out, key=lambda r: r["global_idx"])]
+        assert got == want, f"n_partitions={n_parts}"
+
+
+def test_quality_quantiles_match_numpy(spark):
+    """Exact percentile agg equals numpy's linear-interpolation quantiles
+    per stratum; approx path stays within sketch tolerance."""
+    from satellitetools_spark.operators.text import (
+        quality_quantiles, quality_score)
+
+    docs = _docs(spark)
+    scores = {}
+    langs = {r["doc_id"]: r["lang"]
+             for r in docs.select("doc_id", "lang").collect()}
+    for r in quality_score(docs).collect():
+        scores.setdefault(langs[r["doc_id"]], []).append(r["quality"])
+    out = {r["grp"]: r for r in quality_quantiles(docs).collect()}
+    assert set(out) == set(scores)
+    for lang, vals in scores.items():
+        v = np.asarray(vals)
+        r = out[lang]
+        assert r["n_docs"] == len(vals)
+        assert abs(r["mean_quality"] - round(float(v.mean()), 6)) <= 1e-6
+        for p, c in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert abs(r[c] - float(np.quantile(v, p))) <= 1e-6, (lang, c)
+    approx = {r["grp"]: r for r in
+              quality_quantiles(docs, accuracy=10_000).collect()}
+    for lang in scores:
+        assert abs(approx[lang]["q50"] - out[lang]["q50"]) <= 0.05
