@@ -1,0 +1,169 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+(equi-key-free) range join.
+
+Both are expressed as compositions of DataFrame ops — no UDFs, no
+cartesian products — following the standard distributed shapes
+(union + ordered carry-forward for as-of, bin-bucket candidate join +
+exact refine for range), so Catalyst/AQE keep planning the wide ops.
+
+As-of join (``merge_asof`` / Flink temporal join semantics): each left
+row picks the single latest right row with ``right_ts <= left_ts`` in the
+same key group. Rather than a join at all, the two tables are unioned,
+tagged, and sorted per key by (ts, tag); one window ``last(_r,
+ignorenulls=True)`` carry-forward assigns every left row its predecessor
+right row. ONE shuffle on the key columns, no range explosion, linear
+work per partition. A hot key serializes into one partition's sort — for
+known-skewed keys pre-split by coarse time bucket and carry the previous
+bucket's tail row in (documented; not needed for the gate data).
+
+Range join: pair rows whose timestamps fall within ``tolerance`` of each
+other with NO equi key to hash on. A naive theta-join is a cartesian;
+binning restores an equi key: each right row lands in ``floor(ts/w)``,
+each left row probes its bin and the two neighbors (w = tolerance, so
+any in-range pair shares a probed bin — and a pair is found in EXACTLY
+one probe: the right bin is determined by the right ts, and left probes
+each distinct bin once), then the exact predicate refines candidates.
+Candidate count is bounded by bin co-occupancy, not |L|x|R|.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(col: Column) -> Column:
+    """Fractional epoch seconds. The double-cast keeps sub-second
+    precision (unix_timestamp truncates); the intermediate cast makes it
+    legal for TIMESTAMP_NTZ inputs too — callers must pin
+    ``spark.sql.session.timeZone=UTC`` so NTZ values bind to the same
+    instant DuckDB's epoch() assumes."""
+    return col.cast("timestamp").cast("double")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: Optional[Sequence[str]] = None,
+              prefix: str = "ref_",
+              tolerance_seconds: Optional[float] = None) -> DataFrame:
+    """Backward as-of join: every left row + the latest right row at or
+    before its timestamp within the same ``on`` key group (NULLs if none).
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    all non-key, non-ts columns), emitted as ``{prefix}{col}`` plus
+    ``{prefix}{right_ts}``. ``tolerance_seconds`` drops matches older
+    than the given age (the match becomes NULL, like pandas merge_asof).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in on and c != right_ts]
+    payload = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols])
+
+    l_tag = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_src", F.lit(1))
+    r_tag = right.select(
+        *on, F.col(right_ts).alias("_t"), F.lit(0).alias("_src"),
+        payload.alias("_r"))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows (_src=0) sort before left rows at equal timestamps, so a
+    # left row at T sees a right row at exactly T (>= semantics)
+    w = (Window.partitionBy(*on).orderBy("_t", "_src")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = F.last("_r", ignorenulls=True).over(w)
+    out = (u.withColumn("_c", carried)
+            .filter(F.col("_src") == 1))
+    if tolerance_seconds is not None:
+        age = _epoch(F.col("_t")) - _epoch(F.col("_c._rts"))
+        out = out.withColumn(
+            "_c", F.when(age <= tolerance_seconds, F.col("_c")))
+    return out.select(
+        *left.columns,
+        F.col("_c._rts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in right_cols])
+
+
+def asof_join_sql(left_sql: str, right_sql: str, on: Sequence[str],
+                  left_ts: str = "ts", right_ts: str = "ts",
+                  right_cols: Sequence[str] = (),
+                  left_cols: Sequence[str] = (),
+                  prefix: str = "ref_",
+                  tolerance_seconds: Optional[float] = None) -> str:
+    """DuckDB oracle via its native ASOF LEFT JOIN (an independent
+    implementation of the same semantics)."""
+    keys = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    if tolerance_seconds is None:
+        rts = f"r.{right_ts}"
+        rsel = ", ".join(f"r.{c} AS {prefix}{c}" for c in right_cols)
+    else:
+        ok = (f"epoch(l.{left_ts}) - epoch(r.{right_ts})"
+              f" <= {tolerance_seconds}")
+        rts = f"CASE WHEN {ok} THEN r.{right_ts} END"
+        rsel = ", ".join(
+            f"CASE WHEN {ok} THEN r.{c} END AS {prefix}{c}"
+            for c in right_cols)
+    return f"""
+SELECT {lsel}, {rts} AS {prefix}{right_ts}, {rsel}
+FROM ({left_sql}) l ASOF LEFT JOIN ({right_sql}) r
+  ON {keys}{' AND ' if keys else ''}l.{left_ts} >= r.{right_ts}
+"""
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               tolerance_seconds: float,
+               left_ts: str = "ts", right_ts: str = "ts",
+               extra_key: Optional[Sequence[str]] = None) -> DataFrame:
+    """All (left, right) pairs with ``|left_ts - right_ts| <=
+    tolerance_seconds`` — WITHOUT requiring an equi key (pass
+    ``extra_key`` to add one, shrinking bins further).
+
+    Bin width = tolerance: right rows key on ``floor(ts/w)``; left rows
+    probe bins {b-1, b, b+1} (a fixed 3-element explode — a constant x3
+    left-side fanout, NOT a data-dependent blowup), the equi-join on the
+    bin is hash/sort-merge plannable, and the exact |dt| predicate
+    refines. Every in-range pair shares exactly one probed bin, so no
+    dedup pass is needed.
+
+    Left columns keep their names; right columns are prefixed ``r_``.
+    """
+    w = float(tolerance_seconds)
+    keys = list(extra_key or [])
+    lbin = F.floor(_epoch(F.col(left_ts)) / F.lit(w)).cast("long")
+    rbin = F.floor(_epoch(F.col(right_ts)) / F.lit(w)).cast("long")
+
+    l_probe = left.select(
+        "*", F.explode(F.array(lbin - 1, lbin, lbin + 1)).alias("_bin"))
+    r_tag = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        rbin.alias("_bin"),
+        *[F.col(k).alias(f"_rk_{k}") for k in keys])
+
+    cond = [l_probe["_bin"] == r_tag["_bin"]]
+    cond += [F.col(k) == F.col(f"_rk_{k}") for k in keys]
+    dt = _epoch(F.col(left_ts)) - _epoch(F.col(f"r_{right_ts}"))
+    return (l_probe.join(r_tag, cond)
+            .filter(F.abs(dt) <= w)
+            .drop("_bin", *[f"_rk_{k}" for k in keys]))
+
+
+def range_join_sql(left_sql: str, right_sql: str,
+                   tolerance_seconds: float,
+                   left_ts: str = "ts", right_ts: str = "ts",
+                   left_cols: Sequence[str] = (),
+                   right_cols: Sequence[str] = (),
+                   extra_key: Sequence[str] = ()) -> str:
+    """Oracle: the plain inequality theta-join (fine single-node)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c} AS r_{c}" for c in right_cols)
+    keys = "".join(f" AND l.{k} = r.{k}" for k in extra_key)
+    return f"""
+SELECT {lsel}, {rsel}
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON abs(epoch(l.{left_ts}) - epoch(r.{right_ts})) <= {tolerance_seconds}{keys}
+"""

@@ -579,3 +579,70 @@ def test_quality_quantiles_match_numpy(spark):
               quality_quantiles(docs, accuracy=10_000).collect()}
     for lang in scores:
         assert abs(approx[lang]["q50"] - out[lang]["q50"]) <= 0.05
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Distributed union+carry-forward as-of equals pandas merge_asof,
+    including the exact-timestamp (>=) edge and the tolerance cutoff."""
+    import pandas as pd
+
+    from satellitetools_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    lk = rng.randint(0, 5, 40)
+    lt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 10_000, 40), unit="s")
+    rk = rng.randint(0, 6, 30)  # key 5 has no left rows, some keys no right
+    rt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 10_000, 30), unit="s")
+    lpd = pd.DataFrame({"k": lk, "ts": lt, "lid": np.arange(40)})
+    rpd = pd.DataFrame({"k": rk, "ts": rt, "rv": np.arange(30) * 1.5})
+    # exact-timestamp edge: right row at exactly a left ts must match
+    rpd.loc[0, ["k", "ts"]] = [int(lpd.loc[0, "k"]), lpd.loc[0, "ts"]]
+    rpd = rpd.drop_duplicates(["k", "ts"])  # keep the total order unique
+
+    got = asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                    on=["k"], right_cols=["rv"]).toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    want = pd.merge_asof(lpd.sort_values("ts"), rpd.sort_values("ts"),
+                         on="ts", by="k", direction="backward") \
+        .sort_values("lid").reset_index(drop=True)
+    assert got["ref_rv"].equals(want["rv"]), \
+        pd.concat([got[["lid", "ref_rv"]], want[["lid", "rv"]]], axis=1)
+
+    # tolerance: matches older than 100s become NULL
+    got_tol = asof_join(
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+        on=["k"], right_cols=["rv"], tolerance_seconds=100).toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    want_tol = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"), on="ts", by="k",
+        direction="backward", tolerance=pd.Timedelta(seconds=100)) \
+        .sort_values("lid").reset_index(drop=True)
+    assert got_tol["ref_rv"].equals(want_tol["rv"])
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bin-probe range join returns exactly the brute-force pair set —
+    boundary (|dt| == tolerance) pairs included, each pair exactly once."""
+    import pandas as pd
+
+    from satellitetools_spark.operators.temporal import range_join
+
+    rng = np.random.RandomState(11)
+    lt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 5000, 60), unit="s")
+    rt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.concatenate([rng.randint(0, 5000, 50),
+                        [0, 60, 120]]), unit="s")  # exact-boundary cases
+    lpd = pd.DataFrame({"lid": np.arange(60), "ts": lt})
+    rpd = pd.DataFrame({"rid": np.arange(53), "ts": rt})
+    got = range_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                     tolerance_seconds=60.0).toPandas()
+    got_pairs = sorted(zip(got["lid"], got["r_rid"]))
+    assert len(got_pairs) == len(set(got_pairs)), "pair emitted twice"
+    want = sorted(
+        (int(l.lid), int(r.rid))
+        for _, l in lpd.iterrows() for _, r in rpd.iterrows()
+        if abs((l.ts - r.ts).total_seconds()) <= 60.0)
+    assert got_pairs == want
