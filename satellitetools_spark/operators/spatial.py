@@ -173,3 +173,65 @@ def dem_lookup(pixels: DataFrame, dem: DataFrame,
     px = pixels if "cell" in pixels.columns else with_cell(pixels, cell_m)
     d = F.broadcast(dem) if broadcast_dem else dem
     return px.join(d, "cell", "left")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) spatial layout keys
+# ---------------------------------------------------------------------------
+
+# magic-number bit spreading: five shift/mask rounds place a 31-bit value
+# on the even bit positions of an int64 (the standard Morton encode)
+_SPREAD_ROUNDS = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                  (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                  (1, 0x5555555555555555))
+_ZORDER_BITS = 31  # 31+31 interleaved bits keep the key positive in int64
+
+
+def _spread_bits(v):
+    for sh, mask in _SPREAD_ROUNDS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_key(x, y, cell_m: float = CELL_SIZE_M):
+    """Morton/Z-order key of a planar point: interleave the bits of the
+    two cell coordinates so that sorting by the key gives a
+    locality-preserving space-filling-curve order. Pure codegen (ten
+    shift/mask ops per coordinate, no UDF).
+
+    This is the data-LAYOUT primitive for 100 TB spatial tables: writing
+    pixel/point files ordered by ``zorder_key`` (see ``cluster_by_zorder``)
+    makes any bbox predicate prune to a small set of contiguous key ranges,
+    so the parquet min/max stats on one column stand in for a 2-D index.
+    """
+    m = F.lit(2 ** _ZORDER_BITS)
+    cx = F.pmod(F.floor(x / F.lit(float(cell_m))).cast("long"), m)
+    cy = F.pmod(F.floor(y / F.lit(float(cell_m))).cast("long"), m)
+    return _spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
+
+
+def zorder_key_sql(x: str, y: str, cell_m: float = CELL_SIZE_M) -> str:
+    """DuckDB expression computing the bit-identical Morton key."""
+    m = 2 ** _ZORDER_BITS
+
+    def spread(e: str) -> str:
+        for sh, mask in _SPREAD_ROUNDS:
+            e = f"(({e} | ({e} << {sh})) & {mask})"
+        return e
+
+    cx = f"(((CAST(FLOOR({x} / {float(cell_m)}) AS BIGINT) % {m}) + {m}) % {m})"
+    cy = f"(((CAST(FLOOR({y} / {float(cell_m)}) AS BIGINT) % {m}) + {m}) % {m})"
+    return f"({spread(cx)} | ({spread(cy)} << 1))"
+
+
+def cluster_by_zorder(df: DataFrame, num_partitions: int,
+                      cell_m: float = CELL_SIZE_M,
+                      x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Range-partition + locally sort by the Morton key — the shape of a
+    spatially-clustered table write (`.write.parquet` on the result gives
+    files whose per-file zkey min/max are tight, hence prunable). One
+    range exchange; the sort is partition-local."""
+    keyed = df.withColumn("zkey", zorder_key(F.col(x_col), F.col(y_col),
+                                             cell_m))
+    return (keyed.repartitionByRange(num_partitions, "zkey")
+                 .sortWithinPartitions("zkey"))

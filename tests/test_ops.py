@@ -646,3 +646,36 @@ def test_range_join_matches_bruteforce(spark):
         for _, l in lpd.iterrows() for _, r in rpd.iterrows()
         if abs((l.ts - r.ts).total_seconds()) <= 60.0)
     assert got_pairs == want
+
+
+def test_zorder_key_matches_local_morton(spark):
+    """Engine Morton key equals a bit-by-bit local interleave, and sorting
+    by it clusters each cell's pixels contiguously."""
+    from satellitetools_spark.operators.spatial import cluster_by_zorder, zorder_key
+
+    rng = np.random.RandomState(3)
+    pdfx = rng.uniform(0, 5_000_000, 200)
+    pdfy = rng.uniform(0, 9_000_000, 200)
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"i": np.arange(200), "x": pdfx, "y": pdfy}))
+    out = df.withColumn("zkey", zorder_key(F.col("x"), F.col("y"))) \
+        .toPandas().sort_values("i")
+
+    def local_morton(x, y, cell=160.0, bits=31):
+        cx, cy = int(np.floor(x / cell)) % 2**bits, int(np.floor(y / cell)) % 2**bits
+        k = 0
+        for b in range(bits):
+            k |= ((cx >> b) & 1) << (2 * b)
+            k |= ((cy >> b) & 1) << (2 * b + 1)
+        return k
+
+    for r in out.itertuples(index=False):
+        assert r.zkey == local_morton(r.x, r.y), (r.x, r.y)
+        assert r.zkey >= 0
+
+    # range partition + partition-local sort => concatenating partitions
+    # in range order (what toPandas does) is globally nondecreasing
+    clustered = cluster_by_zorder(df, 4).toPandas()
+    assert (np.diff(clustered["zkey"].values) >= 0).all()
+    assert set(clustered["i"]) == set(range(200))
