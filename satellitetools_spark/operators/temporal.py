@@ -55,6 +55,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     all non-key, non-ts columns), emitted as ``{prefix}{col}`` plus
     ``{prefix}{right_ts}``. ``tolerance_seconds`` drops matches older
     than the given age (the match becomes NULL, like pandas merge_asof).
+
+    Determinism requires (on, right_ts) to be unique on the right side —
+    two right rows tying at the same instant make the pick order-dependent
+    (DuckDB's ASOF has the same ambiguity). Left columns named
+    ``_t``/``_src``/``_r``/``_c`` would collide with the internals.
     """
     on = list(on)
     if right_cols is None:
