@@ -68,6 +68,37 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# source files whose code determines flagship runtime — part of the rep-pool
+# key so a pool can never mix reps from different engine versions (a changed
+# pipeline would otherwise hide behind an unchanged doc count, and
+# min-over-all would mask regressions forever)
+_FLAGSHIP_SOURCES = [
+    "satellitetools_spark/plans/pipeline.py",
+    "satellitetools_spark/sources/decode.py",
+    "satellitetools_spark/sources/docs.py",
+    "satellitetools_spark/rasterops.py",
+    "satellitetools_spark/geometry.py",
+    "satellitetools_spark/operators/quality.py",
+    "satellitetools_spark/operators/timeseries.py",
+    "satellitetools_spark/operators/indices.py",
+    "satellitetools_spark/biophys/nn.py",
+]
+
+
+def flagship_code_rev() -> str:
+    """8-hex digest of the flagship-relevant sources."""
+    import hashlib
+    h = hashlib.md5()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rel in _FLAGSHIP_SOURCES:
+        try:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"?")
+    return h.hexdigest()[:8]
+
+
 def cpu_probe() -> float:
     """Seconds for a fixed allocation-heavy workload (episode detector).
 
@@ -371,7 +402,8 @@ def main() -> None:
         pool_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_SCALING_REPS.json")
-        pool_key = f"{stag}:{LO_CORES}v{HI_CORES}:docs{n_docs}"
+        pool_key = (f"{stag}:{LO_CORES}v{HI_CORES}:docs{n_docs}"
+                    f":code{flagship_code_rev()}")
         try:
             with open(pool_path) as f:
                 pool = json.load(f)
@@ -381,10 +413,12 @@ def main() -> None:
         ent = pool.get(pool_key, {"reps_lo": [], "reps_hi": [],
                                   "probes_lo": [], "probes_hi": [],
                                   "runs": 0})
+        probes_lo = [round(r.get("probe") or -1, 4) for r in los]
+        probes_hi = [round(r.get("probe") or -1, 4) for r in his]
         ent["reps_lo"] += [r["sec"] for r in los]
         ent["reps_hi"] += [r["sec"] for r in his]
-        ent["probes_lo"] += [round(r.get("probe") or -1, 4) for r in los]
-        ent["probes_hi"] += [round(r.get("probe") or -1, 4) for r in his]
+        ent["probes_lo"] += probes_lo
+        ent["probes_hi"] += probes_hi
         ent["runs"] += 1
         ent["updated_utc"] = datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds")
@@ -420,8 +454,8 @@ def main() -> None:
             "reps_lo": [r["sec"] for r in los],
             "reps_hi": [r["sec"] for r in his],
             "probe_cal": round(cal(), 4),
-            "probes_lo": [round(r.get("probe") or -1, 4) for r in los],
-            "probes_hi": [round(r.get("probe") or -1, 4) for r in his],
+            "probes_lo": probes_lo,
+            "probes_hi": probes_hi,
             "contended": contended,
         }
         log(f"scaling: this run lo={sec_lo:.2f}s hi={sec_hi:.2f}s "

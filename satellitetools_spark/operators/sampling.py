@@ -106,8 +106,13 @@ def stratified_sample(df: DataFrame, stratum_col: str,
     Keeps all input columns and appends ``sample_bucket`` (the hash cell in
     [0, denom)) so the selection is auditable.
     """
-    salted = F.concat_ws(":", F.col(key_col).cast("string"),
-                         F.col(stratum_col))
+    # concat (not concat_ws): NULL key or NULL stratum propagates to a
+    # NULL bucket, and `bucket < thresh` then drops the row — bit-identical
+    # to the SQL oracle's `||`, which also yields NULL (concat_ws would
+    # silently skip the NULL and sample NULL-stratum rows at the key-only
+    # hash, diverging from the oracle)
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                      F.col(stratum_col))
     bucket = (portable_hash(salted) % denom).cast("int")
     thresh = F.lit(int(round(default_fraction * denom)))
     for name, frac in sorted(fractions.items()):
@@ -177,6 +182,13 @@ def global_row_number(df: DataFrame, order_by: Sequence[Column],
     # lose mantissa bits for ids past 2^53
     counts = {r["_pid"]: r["count"]
               for r in ranged.groupBy(pid.alias("_pid")).count().collect()}
+    if counts and max(counts.values()) >= (1 << 33):
+        # local rank would overflow into the pid bits of the stamped id,
+        # silently corrupting indices — demand more partitions instead
+        raise ValueError(
+            f"global_row_number: a partition holds "
+            f"{max(counts.values())} rows (>= 2^33); raise num_partitions "
+            f"(currently {n})")
     offsets, acc = [], 0
     for i in range(n):
         offsets.append(acc)

@@ -93,33 +93,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in right_cols])
 
 
-def asof_join_sql(left_sql: str, right_sql: str, on: Sequence[str],
-                  left_ts: str = "ts", right_ts: str = "ts",
-                  right_cols: Sequence[str] = (),
-                  left_cols: Sequence[str] = (),
-                  prefix: str = "ref_",
-                  tolerance_seconds: Optional[float] = None) -> str:
-    """DuckDB oracle via its native ASOF LEFT JOIN (an independent
-    implementation of the same semantics)."""
-    keys = " AND ".join(f"l.{k} = r.{k}" for k in on)
-    lsel = ", ".join(f"l.{c}" for c in left_cols)
-    if tolerance_seconds is None:
-        rts = f"r.{right_ts}"
-        rsel = ", ".join(f"r.{c} AS {prefix}{c}" for c in right_cols)
-    else:
-        ok = (f"epoch(l.{left_ts}) - epoch(r.{right_ts})"
-              f" <= {tolerance_seconds}")
-        rts = f"CASE WHEN {ok} THEN r.{right_ts} END"
-        rsel = ", ".join(
-            f"CASE WHEN {ok} THEN r.{c} END AS {prefix}{c}"
-            for c in right_cols)
-    return f"""
-SELECT {lsel}, {rts} AS {prefix}{right_ts}, {rsel}
-FROM ({left_sql}) l ASOF LEFT JOIN ({right_sql}) r
-  ON {keys}{' AND ' if keys else ''}l.{left_ts} >= r.{right_ts}
-"""
-
-
 def range_join(left: DataFrame, right: DataFrame,
                tolerance_seconds: float,
                left_ts: str = "ts", right_ts: str = "ts",
@@ -155,20 +128,3 @@ def range_join(left: DataFrame, right: DataFrame,
     return (l_probe.join(r_tag, cond)
             .filter(F.abs(dt) <= w)
             .drop("_bin", *[f"_rk_{k}" for k in keys]))
-
-
-def range_join_sql(left_sql: str, right_sql: str,
-                   tolerance_seconds: float,
-                   left_ts: str = "ts", right_ts: str = "ts",
-                   left_cols: Sequence[str] = (),
-                   right_cols: Sequence[str] = (),
-                   extra_key: Sequence[str] = ()) -> str:
-    """Oracle: the plain inequality theta-join (fine single-node)."""
-    lsel = ", ".join(f"l.{c}" for c in left_cols)
-    rsel = ", ".join(f"r.{c} AS r_{c}" for c in right_cols)
-    keys = "".join(f" AND l.{k} = r.{k}" for k in extra_key)
-    return f"""
-SELECT {lsel}, {rsel}
-FROM ({left_sql}) l JOIN ({right_sql}) r
-  ON abs(epoch(l.{left_ts}) - epoch(r.{right_ts})) <= {tolerance_seconds}{keys}
-"""
