@@ -172,26 +172,35 @@ FROM scored GROUP BY grp
 """
 
 
-def lang_exprs(t_lower: Column) -> dict:
-    """(lang_pred, lang_score) expressions over a lowercased text column."""
-    scores = {
-        lang: sum(_word_count(t_lower, w) for w in words)
-        for lang, words in LANG_MARKERS.items()
-    }
-    langs = list(LANG_MARKERS)
-    pred = F.lit(langs[0])
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        cond = scores[lang] > best
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, scores[lang]).otherwise(best)
-    return {"lang_pred": pred, "lang_score": best.cast("int")}
+def lang_scores(t_lower: Column) -> Column:
+    """Per-language marker scores as ONE array column (LANG_MARKERS
+    order). Project this aliased so each score is computed once — the
+    previous cascading when/otherwise argmax embedded every earlier
+    score expression in every later branch (O(langs²) copies that
+    per-operator subexpression elimination did not collapse; measured
+    10x the cost of the raw score sums)."""
+    return F.array(*[
+        sum(_word_count(t_lower, w) for w in words).cast("int")
+        for words in LANG_MARKERS.values()
+    ])
+
+
+def lang_exprs(scores: Column) -> dict:
+    """(lang_pred, lang_score) from a ``lang_scores`` array column.
+    ``array_position`` returns the FIRST index of the max — the same
+    first-wins tie order as the marker-list order."""
+    langs = F.array(*[F.lit(x) for x in LANG_MARKERS])
+    best = F.array_max(scores)
+    pred = F.element_at(langs, F.array_position(scores, best).cast("int"))
+    return {"lang_pred": pred, "lang_score": best}
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic; argmax with fixed tie order."""
-    ex = lang_exprs(F.lower(F.col(text_col)))
-    return docs.select("doc_id", *[c.alias(n) for n, c in ex.items()])
+    base = docs.select(
+        "doc_id", lang_scores(F.lower(F.col(text_col))).alias("_sc"))
+    ex = lang_exprs(F.col("_sc"))
+    return base.select("doc_id", *[c.alias(n) for n, c in ex.items()])
 
 
 def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:

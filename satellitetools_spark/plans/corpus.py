@@ -51,13 +51,15 @@ def train_data_pipeline(docs: DataFrame,
     t = F.col(text_col)
     # stage 1: repetition folds, carrying the text through
     rep = TX.repetition_stats(docs, text_col=text_col, keep=(text_col,))
-    # stage 2: fuse quality / language / fingerprint into one projection
+    # stage 2: fuse quality / language / fingerprint into one projection;
+    # the language score array is projected first so each marker count is
+    # evaluated once (see text.lang_scores)
     scored = rep.select(
         "doc_id", text_col, "dup_line_frac", "top2gram_frac",
         TX.quality_exprs(t)["quality"].alias("quality"),
-        TX.lang_exprs(F.lower(t))["lang_pred"].alias("lang_pred"),
+        TX.lang_scores(F.lower(t)).alias("_sc"),
         F.md5(F.lower(F.regexp_replace(t, "\\s+", " "))).alias("_fp"),
-    )
+    ).withColumn("lang_pred", TX.lang_exprs(F.col("_sc"))["lang_pred"])
     kept = scored.filter(
         (F.col("quality") >= min_quality)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
