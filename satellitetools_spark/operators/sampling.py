@@ -64,10 +64,11 @@ def hash_split(df: DataFrame, key_col: str = "doc_id",
     """
     bounds, total = _bounds(splits)
     bucket = (portable_hash(F.col(key_col)) % total).cast("int")
-    # assemble the WHEN chain so the lowest bound is checked first
+    # build the WHEN chain over the PROJECTED bucket column, not the hash
+    # expression — otherwise every branch embeds its own copy of the fold
     label = F.lit(None).cast("string")
     for name, hi in reversed(bounds):
-        label = F.when(bucket < hi, F.lit(name)).otherwise(label)
+        label = F.when(F.col("bucket") < hi, F.lit(name)).otherwise(label)
     return df.withColumn("bucket", bucket).withColumn("split", label)
 
 
