@@ -145,6 +145,60 @@ SELECT * FROM sb WHERE sample_bucket < {case}
 """
 
 
+def pps_sample(df: DataFrame, weight_col: str, ref_weight: int,
+               key_col: str = "doc_id", denom: int = 100_000,
+               salt: str = "pps") -> DataFrame:
+    """Deterministic Poisson PPS sample: each row is kept independently
+    with probability ``min(1, weight / ref_weight)`` — probability-
+    proportional-to-size selection (e.g. upweighting long or high-quality
+    documents), the weighted counterpart of :func:`stratified_sample`.
+
+    The draw is ``portable_hash(key ':' salt) % denom``; the keep test
+    ``bucket * ref_weight < weight * denom`` is pure BIGINT arithmetic —
+    no float thresholds, so membership is bit-identical in any engine with
+    64-bit integers (the DuckDB oracle), stable under re-partitioning and
+    re-ingest, and independent of every other row. Map-only codegen that
+    fuses into the scan filter; no shuffle, no sampling pass, no driver
+    state. ``include_prob`` is appended for Horvitz-Thompson reweighting
+    (sum 1/include_prob over the sample estimates population totals).
+
+    ``weight_col`` must be integral and non-negative; ``bucket * ref_weight``
+    maxes at ``denom * ref_weight`` — keep that under 2^63 (it is, by ~13
+    orders of magnitude, for any sane denom/ref_weight).
+    """
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    bucket = (portable_hash(salted) % denom).cast("long")
+    w = F.col(weight_col).cast("long")
+    return (df.withColumn("sample_bucket", bucket)
+              .filter(F.col("sample_bucket") * F.lit(int(ref_weight))
+                      < w * F.lit(int(denom)))
+              .withColumn(
+                  "include_prob",
+                  F.least(F.lit(1.0),
+                          w.cast("double") / F.lit(float(ref_weight)))))
+
+
+def pps_sample_sql(table: str = "documents", weight_col: str = "n_chars",
+                   ref_weight: int = 400, key_col: str = "doc_id",
+                   denom: int = 100_000, salt: str = "pps",
+                   columns: str = "*") -> str:
+    """DuckDB oracle computing bit-identical PPS membership."""
+    salted = f"CAST({key_col} AS VARCHAR) || ':{salt}'"
+    return f"""
+WITH sb AS (
+  SELECT {columns},
+         CAST({portable_hash_sql(salted)} % {denom} AS BIGINT) AS sample_bucket
+  FROM {table}
+)
+SELECT *,
+       LEAST(CAST(1.0 AS DOUBLE),
+             CAST({weight_col} AS DOUBLE) / {float(ref_weight)})
+         AS include_prob
+FROM sb
+WHERE sample_bucket * {int(ref_weight)} < CAST({weight_col} AS BIGINT) * {int(denom)}
+"""
+
+
 _MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | local row
 
 

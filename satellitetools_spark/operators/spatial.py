@@ -224,6 +224,108 @@ def zorder_key_sql(x: str, y: str, cell_m: float = CELL_SIZE_M) -> str:
     return f"({spread(cx)} | ({spread(cy)} << 1))"
 
 
+def focal_stats(px: DataFrame, value_col: str, radius: int = 1,
+                doc_col: str = "doc_id", x_col: str = "x",
+                y_col: str = "y", gsd_col: str = "gsd") -> DataFrame:
+    """Raster focal statistics (moving-window mean) over the long pixel
+    frame — per pixel, the mean of ``value_col`` over its
+    ``(2r+1) x (2r+1)`` grid neighborhood within the same scene.
+
+    Grid indices come from the pixel's own coordinates: centers sit at
+    ``(k + 0.5) * gsd``, so ``floor(x / gsd)`` recovers the exact integer
+    column (the half-offset keeps the quotient a representable half-
+    integer — bit-identical across engines). Long-format shape, no dense
+    raster materialization and — crucially — NO self-join:
+
+    1. each pixel EXPLODES its value to the ``(2r+1)^2`` neighbor cells it
+       contributes to (constant fanout, codegen), tagging the ``(0, 0)``
+       offset as the center contribution and null-gating the pixel's own
+       payload columns onto that tagged copy only;
+    2. ONE hash aggregation on (doc, cell) sums neighbor values, counts
+       them, and recovers the center pixel's payload via per-column
+       ``max`` (exact: a raster has one pixel per cell; primitive
+       aggregation buffers keep this a HashAggregate — a struct-valued
+       carry would force SortAggregate). Partial map-side combine
+       applies, so the shuffle carries at most one row per touched cell,
+       not the x9 explode;
+    3. cells with no center contribution are grid positions with no real
+       pixel (explode frontier) and are filtered out.
+
+    A naive formulation joins the aggregate back to the pixel frame — but
+    the pixel frame here is the output of the (expensive) decode, and a
+    self-join makes Spark EXECUTE THE DECODE TWICE (once per subtree).
+    Folding the center row through the aggregation keeps a single scan,
+    a single shuffle, and no join at any input size.
+
+    NULL values (nodata) contribute nothing: ``n_neigh`` counts non-null
+    neighbors and ``focal_mean`` is their mean (NULL when none); a nodata
+    center pixel still appears in the output (its neighbors' mean). At
+    100 TB the one wide op keys on (scene, cell) — cardinality ~= pixel
+    count, perfectly spreadable, no skew beyond scene size itself.
+    """
+    if radius < 1:
+        raise ValueError("focal_stats: radius must be >= 1")
+    ix = F.floor(F.col(x_col) / F.col(gsd_col)).cast("long")
+    iy = F.floor(F.col(y_col) / F.col(gsd_col)).cast("long")
+    base = px.withColumn("_ix", ix).withColumn("_iy", iy)
+    carry = [c for c in px.columns]
+    offs = [(dx, dy) for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])).alias("_o")
+    center = (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)
+    pay = [c for c in carry if c != doc_col]
+    # center payload as per-column max-of-singleton (exact: one pixel per
+    # cell), NOT max over one struct — primitive aggregation buffers keep
+    # the aggregate a HashAggregate; a struct buffer forces SortAggregate
+    contrib = (base.select(doc_col, "_ix", "_iy",
+                           F.col(value_col).alias("_v"),
+                           *[F.col(c) for c in pay], off)
+                   .select(doc_col,
+                           (F.col("_ix") + F.col("_o.dx")).alias("_ix"),
+                           (F.col("_iy") + F.col("_o.dy")).alias("_iy"),
+                           "_v", center.alias("_isc"),
+                           *[F.when(center, F.col(c)).alias(c)
+                             for c in pay]))
+    agg = (contrib.groupBy(doc_col, "_ix", "_iy")
+                  .agg(F.sum("_v").alias("_s"),
+                       F.count("_v").alias("_n"),
+                       F.max("_isc").alias("_has_ctr"),
+                       *[F.max(c).alias(c) for c in pay]))
+    out = agg.filter(F.col("_has_ctr"))
+    return (out.select(
+        F.col(doc_col), *pay,
+        F.col("_ix").alias("ix"), F.col("_iy").alias("iy"),
+        F.col("_n").cast("int").alias("n_neigh"),
+        F.when(F.col("_n") > 0, F.col("_s") / F.col("_n"))
+         .alias("focal_mean")))
+
+
+def focal_stats_sql(pixels_sql: str, value_sql: str, radius: int = 1,
+                    doc_col: str = "doc_id") -> str:
+    """DuckDB oracle: identical contribute-aggregate-join over a pixel
+    relation. ``pixels_sql`` must yield (doc_col, ix, iy) plus the value
+    expression's inputs; ``value_sql`` is evaluated inside it."""
+    span = ", ".join(str(d) for d in range(-radius, radius + 1))
+    return f"""
+WITH fpx AS ({pixels_sql}),
+fval AS (SELECT {doc_col}, ix, iy, {value_sql} AS v FROM fpx),
+foff AS (SELECT a.dx, b.dy
+         FROM unnest([{span}]) AS a(dx), unnest([{span}]) AS b(dy)),
+fcontrib AS (
+  SELECT {doc_col}, ix + dx AS tix, iy + dy AS tiy, v FROM fval, foff),
+fagg AS (
+  SELECT {doc_col}, tix, tiy, SUM(v) AS s, COUNT(v) AS n
+  FROM fcontrib GROUP BY {doc_col}, tix, tiy)
+SELECT p.{doc_col}, p.ix, p.iy,
+       CAST(a.n AS INT) AS n_neigh,
+       CASE WHEN a.n > 0 THEN a.s / a.n END AS focal_mean
+FROM fval p JOIN fagg a
+  ON p.{doc_col} = a.{doc_col} AND p.ix = a.tix AND p.iy = a.tiy
+"""
+
+
 def cluster_by_zorder(df: DataFrame, num_partitions: int,
                       cell_m: float = CELL_SIZE_M,
                       x_col: str = "x", y_col: str = "y") -> DataFrame:

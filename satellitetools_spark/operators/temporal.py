@@ -1,5 +1,6 @@
-"""Temporal join operators Spark lacks as built-ins: as-of join and
-(equi-key-free) range join.
+"""Temporal operators Spark lacks as built-ins: as-of join,
+(equi-key-free) range join, gap-based sessionization, and regular-grid
+resampling with carry-forward.
 
 Both are expressed as compositions of DataFrame ops — no UDFs, no
 cartesian products — following the standard distributed shapes
@@ -91,6 +92,139 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *left.columns,
         F.col("_c._rts").alias(f"{prefix}{right_ts}"),
         *[F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in right_cols])
+
+
+def sessionize(df: DataFrame, key: Sequence[str] = ("user_id",),
+               ts_col: str = "ts", gap_seconds: float = 1800.0,
+               session_col: str = "session_seq") -> DataFrame:
+    """Gap-based sessionization: within each ``key`` group, a new session
+    starts at the first event and whenever the gap to the previous event
+    exceeds ``gap_seconds`` (strictly). Appends ``session_col`` — the
+    1-based session ordinal per key; ``concat(key, session_col)`` is a
+    globally unique session id.
+
+    Shape: ONE shuffle on the key columns; boundary flag (lag) and running
+    sum share a single window spec, so Catalyst plans one Window operator
+    over one exchange+sort. Boundary decisions compare integer
+    MICROsecond epochs (``unix_micros``), never float seconds — exact, and
+    bit-reproducible by any engine with integer epoch extraction (the
+    DuckDB oracle uses ``epoch_us``). A hot key serializes into one
+    partition's sort, same caveat as :func:`asof_join`.
+
+    Equal-timestamp events are session-stable without a tiebreaker: the
+    intra-tie order only permutes which of the tied rows carries the
+    boundary flag; every row's session assignment (a prefix sum over the
+    flags) is identical either way.
+    """
+    key = list(key)
+    gap_us = int(round(float(gap_seconds) * 1e6))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key).orderBy(us)
+    prev = F.lag(us).over(w)
+    boundary = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    run = Window.partitionBy(*key).orderBy(us).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (df.withColumn("_b", boundary)
+              .withColumn(session_col, F.sum("_b").over(run).cast("long"))
+              .drop("_b"))
+
+
+def sessionize_sql(table: str, key: Sequence[str] = ("user_id",),
+                   ts_col: str = "ts", gap_seconds: float = 1800.0,
+                   session_col: str = "session_seq",
+                   columns: str = "*") -> str:
+    """DuckDB oracle: identical window form over integer micro epochs."""
+    key_sql = ", ".join(key)
+    gap_us = int(round(float(gap_seconds) * 1e6))
+    return f"""
+WITH b AS (
+  SELECT {columns},
+         CASE WHEN lag(epoch_us({ts_col})) OVER (
+                  PARTITION BY {key_sql} ORDER BY epoch_us({ts_col}))
+                  IS NULL
+              OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER (
+                  PARTITION BY {key_sql} ORDER BY epoch_us({ts_col}))
+                 > {gap_us}
+              THEN 1 ELSE 0 END AS _b
+  FROM {table}
+)
+SELECT * EXCLUDE (_b),
+       CAST(SUM(_b) OVER (PARTITION BY {key_sql} ORDER BY epoch_us({ts_col})
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS {session_col}
+FROM b
+"""
+
+
+def time_grid_fill(obs: DataFrame, key: Sequence[str] = ("user_id",),
+                   ts_col: str = "ts", step_seconds: float = 3600.0,
+                   right_cols: Optional[Sequence[str]] = None,
+                   prefix: str = "ref_") -> DataFrame:
+    """Resample an irregular observation stream onto a regular time grid
+    with last-observation-carried-forward (gap fill) — the batch analog of
+    downsampling a sensor feed to fixed ticks.
+
+    Per key, ticks run from ``ceil(min_ts / step) * step`` to ``max_ts``
+    at ``step_seconds`` spacing (so every tick has at least one
+    observation at or before it); each tick then picks the latest
+    observation via :func:`asof_join`. Tick arithmetic is pure integer
+    micros (``DIV``) — grid placement is exact and engine-portable.
+
+    Shape: one hash agg for the per-key span (key-cardinality rows), an
+    explode of ``sequence()`` (no shuffle), then the as-of join's single
+    key shuffle. Grid cardinality is span/step per key — bounded and
+    predictable, never |obs|^2.
+
+    Output: key columns, ``tick_ts``, and the carried ``{prefix}*``
+    payload columns (plus ``{prefix}{ts_col}``).
+    """
+    key = list(key)
+    step_us = int(round(float(step_seconds) * 1e6))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spans = obs.groupBy(*key).agg(F.min(us).alias("_mn"),
+                                  F.max(us).alias("_mx"))
+    lo = F.expr(f"CAST((_mn + {step_us - 1}) DIV {step_us} AS BIGINT)"
+                f" * {step_us}")
+    grid = (spans.withColumn("_lo", lo)
+                 .filter(F.col("_lo") <= F.col("_mx"))
+                 .select(*key,
+                         F.explode(F.sequence(
+                             F.col("_lo"), F.col("_mx"),
+                             F.lit(step_us).cast("long"))).alias("_tick_us"))
+                 .select(*key,
+                         F.timestamp_micros(F.col("_tick_us"))
+                          .alias("tick_ts")))
+    return asof_join(grid, obs, on=key, left_ts="tick_ts", right_ts=ts_col,
+                     right_cols=right_cols, prefix=prefix)
+
+
+def time_grid_fill_sql(table: str, key: Sequence[str] = ("user_id",),
+                       ts_col: str = "ts", step_seconds: float = 3600.0,
+                       right_cols: Sequence[str] = (),
+                       prefix: str = "ref_") -> str:
+    """DuckDB oracle: generate_series grid + native ASOF join."""
+    key_sql = ", ".join(key)
+    step_us = int(round(float(step_seconds) * 1e6))
+    payload = ", ".join(
+        [f"o.{ts_col} AS {prefix}{ts_col}"]
+        + [f"o.{c} AS {prefix}{c}" for c in right_cols])
+    on_keys = " AND ".join(f"g.{k} = o.{k}" for k in key)
+    return f"""
+WITH span AS (
+  SELECT {key_sql}, min(epoch_us({ts_col})) AS mn, max(epoch_us({ts_col})) AS mx
+  FROM {table} GROUP BY {key_sql}
+),
+grid AS (
+  SELECT {key_sql}, make_timestamp(u.tick) AS tick_ts
+  FROM span, LATERAL unnest(generate_series(
+         ((mn + {step_us - 1}) // {step_us}) * {step_us},
+         mx, {step_us})) AS u(tick)
+  WHERE ((mn + {step_us - 1}) // {step_us}) * {step_us} <= mx
+)
+SELECT g.*, {payload}
+FROM grid g ASOF JOIN {table} o
+  ON {on_keys} AND g.tick_ts >= o.{ts_col}
+"""
 
 
 def range_join(left: DataFrame, right: DataFrame,

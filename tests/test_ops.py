@@ -679,3 +679,161 @@ def test_zorder_key_matches_local_morton(spark):
     clustered = cluster_by_zorder(df, 4).toPandas()
     assert (np.diff(clustered["zkey"].values) >= 0).all()
     assert set(clustered["i"]) == set(range(200))
+
+
+def test_sessionize_matches_local_scan(spark):
+    """Window sessionization equals a per-key linear scan, including the
+    strictly-greater boundary (gap == gap_seconds stays in-session)."""
+    import pandas as pd
+
+    from satellitetools_spark.operators.temporal import sessionize
+
+    rng = np.random.RandomState(19)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(6):
+        t = base
+        for i in range(rng.randint(5, 25)):
+            # include exact-gap steps (600s) to pin the strict inequality
+            step = int(rng.choice([1, 30, 600, 601, 5000]))
+            t = t + pd.Timedelta(seconds=step)
+            rows.append((uid, t, len(rows)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "rid"])
+
+    got = sessionize(spark.createDataFrame(pdf), key=["user_id"],
+                     gap_seconds=600.0).toPandas() \
+        .sort_values("rid").reset_index(drop=True)
+
+    want = []
+    for uid, g in pdf.sort_values(["user_id", "ts"]).groupby("user_id"):
+        seq, prev = 0, None
+        for _, r in g.iterrows():
+            if prev is None or (r.ts - prev).total_seconds() > 600.0:
+                seq += 1
+            prev = r.ts
+            want.append((r.rid, seq))
+    want = pd.DataFrame(want, columns=["rid", "seq"]) \
+        .sort_values("rid").reset_index(drop=True)
+    assert got["session_seq"].astype(int).tolist() == want["seq"].tolist()
+
+
+def test_time_grid_fill_matches_pandas_resample(spark):
+    """Grid fill equals a pandas merge_asof against the explicit tick grid:
+    ticks span ceil(min/step)*step .. max, every tick carries the latest
+    observation at or before it."""
+    import pandas as pd
+
+    from satellitetools_spark.operators.temporal import time_grid_fill
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for uid in range(4):
+        t = pd.Timestamp("2024-03-01") + pd.Timedelta(
+            seconds=int(rng.randint(0, 3600)))
+        for i in range(rng.randint(3, 12)):
+            rows.append((uid, t, float(rng.rand())))
+            t = t + pd.Timedelta(seconds=int(rng.randint(1, 7200)))
+    obs = pd.DataFrame(rows, columns=["user_id", "ts", "v"])
+
+    step = 1800.0
+    got = time_grid_fill(spark.createDataFrame(obs), key=["user_id"],
+                         step_seconds=step, right_cols=["v"]).toPandas() \
+        .sort_values(["user_id", "tick_ts"]).reset_index(drop=True)
+
+    want_rows = []
+    for uid, g in obs.groupby("user_id"):
+        mn, mx = g.ts.min(), g.ts.max()
+        lo_us = -(-mn.value // 1000 // int(step * 1e6)) * int(step * 1e6)
+        ticks = []
+        t_us = lo_us
+        while t_us <= mx.value // 1000:
+            ticks.append(pd.Timestamp(t_us * 1000))
+            t_us += int(step * 1e6)
+        grid = pd.DataFrame({"user_id": uid, "tick_ts": ticks})
+        m = pd.merge_asof(grid.sort_values("tick_ts"),
+                          g.sort_values("ts").rename(columns={"ts": "ref_ts"}),
+                          left_on="tick_ts", right_on="ref_ts",
+                          by="user_id", direction="backward")
+        want_rows.append(m)
+    want = pd.concat(want_rows).sort_values(["user_id", "tick_ts"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["tick_ts"].equals(want["tick_ts"])
+    assert np.allclose(got["ref_v"].values, want["v"].values)
+
+
+def test_pps_sample_matches_local_and_is_layout_stable(spark):
+    """PPS membership equals the local integer-arithmetic reimplementation
+    and is invariant under repartitioning; include_prob caps at 1."""
+    import pandas as pd
+
+    from satellitetools_spark.operators import sampling as SAMP
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    got = SAMP.pps_sample(docs, weight_col="n_chars", ref_weight=400) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    B, Mm, denom = 131, 1_000_000_007, 100_000
+
+    def local_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * B + ord(ch)) % Mm
+        return acc
+
+    pdf = docs.toPandas()
+    keep = []
+    for _, r in pdf.iterrows():
+        bucket = local_hash(f"{r.doc_id}:pps") % denom
+        if bucket * 400 < int(r.n_chars) * denom:
+            keep.append((str(r.doc_id), bucket,
+                         min(1.0, int(r.n_chars) / 400.0)))
+    keep = sorted(keep)
+    got_rows = sorted(
+        (str(r.doc_id), int(r.sample_bucket), float(r.include_prob))
+        for r in got.itertuples(index=False))
+    assert [(g[0], g[1]) for g in got_rows] == [(k[0], k[1]) for k in keep]
+    assert np.allclose([g[2] for g in got_rows], [k[2] for k in keep])
+    assert (got["include_prob"] <= 1.0).all()
+
+    re = SAMP.pps_sample(docs.repartition(13), weight_col="n_chars",
+                         ref_weight=400).toPandas()
+    assert sorted(re["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_focal_stats_matches_bruteforce(spark):
+    """Focal 3x3 mean equals a brute-force NumPy neighborhood scan over a
+    synthetic sparse grid with NULL holes and scene separation."""
+    import pandas as pd
+
+    from satellitetools_spark.operators.spatial import focal_stats
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for doc in ("a", "b"):
+        gsd = 20.0 if doc == "a" else 10.0
+        for k in range(120):
+            i, j = int(rng.randint(0, 12)), int(rng.randint(0, 12))
+            v = float(rng.rand())
+            if rng.rand() < 0.15:
+                v = None  # nodata hole
+            rows.append((doc, (i + 0.5) * gsd, (j + 0.5) * gsd, gsd, v))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "x", "y", "gsd", "v"]) \
+        .drop_duplicates(["doc_id", "x", "y"])
+
+    got = focal_stats(
+        spark.createDataFrame(pdf), "v").toPandas() \
+        .sort_values(["doc_id", "ix", "iy"]).reset_index(drop=True)
+
+    cells = {(r.doc_id, int(r.x // r.gsd), int(r.y // r.gsd)): r.v
+             for r in pdf.itertuples(index=False)}
+    for r in got.itertuples(index=False):
+        vals = [cells[(r.doc_id, r.ix + dx, r.iy + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (r.doc_id, r.ix + dx, r.iy + dy) in cells]
+        vals = [v for v in vals if v is not None and not np.isnan(v)]
+        assert r.n_neigh == len(vals), (r.doc_id, r.ix, r.iy)
+        if vals:
+            assert abs(r.focal_mean - np.mean(vals)) < 1e-9
+        else:
+            assert np.isnan(r.focal_mean)
