@@ -3,7 +3,8 @@ from .ingest import (
     streaming_first_seen,
     streaming_qi,
     streaming_scene_counts,
+    streaming_sessions,
 )
 
 __all__ = ["stream_documents", "streaming_first_seen", "streaming_qi",
-           "streaming_scene_counts"]
+           "streaming_scene_counts", "streaming_sessions"]

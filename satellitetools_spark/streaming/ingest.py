@@ -59,6 +59,44 @@ def streaming_scene_counts(doc_stream: DataFrame,
     )
 
 
+def streaming_sessions(events: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", gap: str = "6 hours",
+                       watermark: str = "1 day") -> DataFrame:
+    """Streaming sessionization via Spark's native ``session_window``:
+    per-key sessions that extend while consecutive events arrive within
+    ``gap``, with watermarked state eviction (a closed session's state is
+    dropped once the watermark passes its end — bounded state on an
+    unbounded stream). The streaming analog of the batch
+    ``operators/temporal.sessionize``.
+
+    Boundary semantics differ from the batch operator by a half-open
+    interval: ``session_window`` ends are EXCLUSIVE (an event at exactly
+    ``last_ts + gap`` starts a new session) while the batch operator's
+    strict ``> gap`` test keeps it in-session. Identical for any stream
+    without exact-gap collisions (continuous-time events).
+
+    Emits one row per (key, session): ``session_start`` (first event),
+    ``session_end_gap`` (last event + gap, exclusive), ``n_events``.
+    Session-window aggregations support output modes ``append``
+    (finalized sessions only, watermark-driven — the production mode)
+    and ``complete``; ``update`` is rejected by Spark.
+    """
+    # event-time (watermark) columns must be TIMESTAMP, not TIMESTAMP_NTZ —
+    # pin the session timezone to UTC upstream so the cast binds the same
+    # instants the batch operator's unix_micros sees
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(key,
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end_gap"),
+                "n_events")
+    )
+
+
 def content_fingerprint():
     """md5 of the span sequence — the document content identity (building
     the higher-order-function lambda requires an active session, hence a

@@ -101,3 +101,48 @@ def test_streaming_stateful_first_seen_dedup(spark, geodata_small, tmp_path):
     ids = {r["first_doc_id"] for r in rows}
     want = {r["doc_id"] for r in read_documents(spark, src).collect()}
     assert ids == want
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """Native session_window streaming sessionization equals the batch
+    window-operator rollup: same session starts and event counts per
+    user (gap boundary semantics coincide on continuous-time events)."""
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.temporal import sessionize
+    from satellitetools_spark.streaming import streaming_sessions
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    feed = tmp_path / "events_feed"
+    feed.mkdir()
+    shutil.copy(src, feed / "events.parquet")
+    ev_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(ev_schema).parquet(str(feed))
+              .select("user_id", "ts"))
+    q = (
+        streaming_sessions(stream, gap="6 hours", watermark="1 day")
+        .writeStream.format("memory").queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (spark.sql("SELECT * FROM sessions_stream").toPandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+
+    batch = (sessionize(spark.read.parquet(src).select("user_id", "ts"),
+                        key=["user_id"], gap_seconds=21600.0)
+             .groupBy("user_id", "session_seq")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("session_start"))
+             .toPandas()
+             .sort_values(["user_id", "session_start"])
+             .reset_index(drop=True))
+
+    assert len(got) == len(batch)
+    assert got["user_id"].tolist() == batch["user_id"].tolist()
+    assert got["session_start"].tolist() == batch["session_start"].tolist()
+    assert got["n_events"].tolist() == batch["n_events"].tolist()
