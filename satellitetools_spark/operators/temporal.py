@@ -103,9 +103,11 @@ def sessionize(df: DataFrame, key: Sequence[str] = ("user_id",),
     1-based session ordinal per key; ``concat(key, session_col)`` is a
     globally unique session id.
 
-    Shape: ONE shuffle on the key columns; boundary flag (lag) and running
-    sum share a single window spec, so Catalyst plans one Window operator
-    over one exchange+sort. Boundary decisions compare integer
+    Shape: ONE shuffle on the key columns; the boundary flag (lag) and the
+    running sum use the same partitioning+ordering, so the second Window
+    operator reuses the first's exchange (audited: Window <- Sort(local)
+    <- Project <- Window <- Sort <- Exchange — the inner re-sort is
+    partition-local, no second shuffle). Boundary decisions compare integer
     MICROsecond epochs (``unix_micros``), never float seconds — exact, and
     bit-reproducible by any engine with integer epoch extraction (the
     DuckDB oracle uses ``epoch_us``). A hot key serializes into one
