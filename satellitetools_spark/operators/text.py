@@ -28,6 +28,41 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on"]
 
 
+def spread_scan(df: DataFrame, factor: int = 1,
+                barrier: bool = False) -> DataFrame:
+    """Raise map-side parallelism for CPU-heavy per-document expression
+    chains when the source yields fewer partitions than cores.
+
+    The failure mode this fixes: a small hot table often lives in ONE
+    parquet row group, and Spark cannot split inside a row group — so the
+    scan is one task and every ms/row expression chain evaluated at the
+    next materialization point runs serially. A round-robin
+    ``repartition()`` moves PROJECTION evaluation above the exchange
+    (projections are never pushed through it), which is the cheap fix for
+    the explode/agg operators.
+
+    FILTER conditions are different: Catalyst pushes deterministic
+    predicates straight through the exchange back onto the scan
+    (measured), so a pipeline that *filters* on heavy expressions needs
+    ``barrier=True`` — a lazy ``localCheckpoint`` after the repartition
+    is an optimizer fence that pins the condition above the exchange, at
+    the cost of persisting one copy of the (by construction small) input.
+
+    No-op when the scan already yields >= defaultParallelism partitions —
+    the 100 TB case, where row groups number in the millions — so wide
+    tables never pay the shuffle or the checkpoint copy. Batch-only
+    (streaming DataFrames return unchanged; ``.rdd`` would force batch
+    planning on them).
+    """
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    out = df.repartition(factor * par)
+    return out.localCheckpoint(eager=False) if barrier else out
+
+
 def _word_count(text: Column, word: str) -> Column:
     # count whole-word occurrences via split on padded text
     return F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")),

@@ -49,6 +49,11 @@ def train_data_pipeline(docs: DataFrame,
     for every surviving document — the layout a sequence writer needs.
     """
     t = F.col(text_col)
+    # stage 0: spread a single-row-group hot table across cores — the
+    # filter below evaluates the full quality+repetition+language
+    # expression tree per document, and predicate pushdown would
+    # otherwise pin it onto the scan's (possibly single) task
+    docs = TX.spread_scan(docs, barrier=True)
     # stage 1: repetition folds, carrying the text through
     rep = TX.repetition_stats(docs, text_col=text_col, keep=(text_col,))
     # stage 2: fuse quality / language / fingerprint into one projection;
