@@ -39,11 +39,18 @@ def decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _fake_features(ref: str, dim: int) -> np.ndarray:
-    """Deterministic stand-in for decode→feature-extract: md5-seeded floats."""
-    h = hashlib.md5(ref.encode()).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.rand(dim).astype(np.float64)
+    """Deterministic stand-in for decode→feature-extract.
+
+    feature[i] = uint64(first 8 md5 bytes of ``f"{ref}:{i}"``) / 2^64 —
+    pure hash arithmetic, NOT a PRNG, so the DuckDB oracle reproduces it
+    bit-identically in SQL (``CAST('0x' || substr(md5(..),1,16) AS
+    UBIGINT)``, the same technique as the SimHash oracle) and the driver
+    can value-check the whole multimodal plumbing path instead of
+    counting rows."""
+    return np.array([
+        int.from_bytes(hashlib.md5(f"{ref}:{i}".encode()).digest()[:8],
+                       "big") / 2.0**64
+        for i in range(dim)], dtype=np.float64)
 
 
 _FEATURE_SCHEMA = T.StructType([
