@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -115,7 +115,7 @@ def _lloyd_refine(emb: DataFrame, centroids: DataFrame, iters: int,
 
 def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, n_assign: int = 2,
-             refine_iters: int = 0,
+             refine_iters: int = 0, seed_order: Optional[Column] = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style approximate top-k: probe only the nprobe nearest centroid
     buckets per query.
@@ -137,9 +137,18 @@ def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
     iterations on the sampled seed before building the index — bucket
     balance and recall improve on clustered data at the cost of one extra
     assignment pass per iteration (see :func:`_lloyd_refine`).
+
+    ``seed_order`` overrides the hash column that ranks the seed sample
+    (default ``xxhash64`` — JVM-fast, right at scale). The driver gate
+    passes the portable polynomial hash instead and disables Lloyd, which
+    makes the whole algorithm exact relational math that a DuckDB oracle
+    reproduces verbatim (see :func:`ivf_topk_sql`); recall against brute
+    force stays covered in pytest with the production defaults.
     """
+    if seed_order is None:
+        seed_order = F.xxhash64(F.col(id_col))
     centroids = (
-        emb.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        emb.orderBy(seed_order.asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
@@ -182,6 +191,77 @@ def ivf_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))")
+
+
+def ivf_topk_sql(query_ids: List[int], k: int = 10, n_centroids: int = 16,
+                 nprobe: int = 4, n_assign: int = 2,
+                 seed_order_sql: str = None,
+                 table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`ivf_topk` with a portable ``seed_order``
+    and ``refine_iters=0`` — under those settings IVF is exact relational
+    math (hash-ranked seed, argmin assignment, nprobe probe, top-k), so
+    the oracle reproduces the algorithm verbatim rather than checking
+    recall (recall vs brute force stays in pytest). Dot products fold
+    left-to-right in both engines (parity established by the
+    ``cosine_topk`` gate)."""
+    from .sampling import portable_hash_sql
+    ids = ", ".join(str(i) for i in query_ids)
+    seed = seed_order_sql or portable_hash_sql("vec_id")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM {table}
+  ORDER BY {seed} ASC, vec_id ASC
+  LIMIT {n_centroids}
+),
+acand AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql("e.embedding", "c.cvec")} DESC,
+                    c.centroid_id ASC) AS rn
+  FROM {table} e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, centroid_id FROM acand WHERE rn <= {n_assign}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM {table}
+  WHERE vec_id IN ({ids})
+),
+pcand AS (
+  SELECT q.query_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_cos_sql("q.qvec", "c.cvec")} DESC,
+                    c.centroid_id ASC) AS rn
+  FROM q CROSS JOIN cent c
+),
+probes AS (SELECT query_id, centroid_id FROM pcand WHERE rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("e.embedding", "q.qvec")} AS cosine
+  FROM cand c
+  JOIN {table} e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
 
 
 # executor-local memo: (dim, num_bits, seed) -> hyperplane matrix
