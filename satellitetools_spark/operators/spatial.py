@@ -326,6 +326,83 @@ FROM fval p JOIN fagg a
 """
 
 
+def cell_pyramid(px: DataFrame, value_col: str, levels: int = 4,
+                 base_m: float = 20.0, x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Multi-resolution cell rollup (tile-pyramid aggregation): the value
+    column aggregated into planar grid cells at ``levels`` dyadic
+    resolutions (``base_m``, ``2*base_m``, ``4*base_m``, ...) — the
+    overview/zoom-level statistics a map service or hypertable rollup
+    maintains, composited across all scenes.
+
+    Single-pass grouping-sets form: each pixel explodes to one row per
+    level (a CONSTANT ``levels``× fanout, codegen — never data-dependent)
+    keyed by ``floor(x / (base_m * 2^level))``, then ONE hash aggregation
+    on (level, cx, cy). Map-side partial combine collapses the fanout to
+    per-level cell cardinality before the shuffle, so shuffle volume is
+    Σ_level |cells_level| (≈ 1.33 × the finest level), not ``levels`` ×
+    |pixels|. The alternative — iterated aggregate-of-aggregates with a
+    materialization barrier per level — saves only the pre-combine CPU
+    and costs L round trips; at 100 TB the one-shuffle form wins unless
+    the finest level is itself shuffle-bound.
+
+    Dyadic parenthood is exact by the floor-division composition identity
+    ``floor(floor(x/b)/2) = floor(x/(2b))``, so level keys computed
+    directly from raw coordinates (here, and in the SQL oracle) agree
+    with any iterated rollup of the finest level.
+
+    NULL values (nodata) contribute to no aggregate; ``n`` counts
+    non-null pixels per cell and cells whose every pixel is NULL still
+    appear (n=0, NULL stats) — they occupy grid space, which overview
+    consumers need to distinguish from never-scanned cells.
+    """
+    if levels < 1:
+        raise ValueError("cell_pyramid: levels must be >= 1")
+    tiers = F.explode(F.array(*[
+        F.struct(F.lit(lvl).alias("level"),
+                 F.lit(float(base_m) * (2 ** lvl)).alias("size"))
+        for lvl in range(levels)])).alias("_t")
+    v = F.col(value_col)
+    e = (px.select(v.alias("_v"), F.col(x_col).alias("_x"),
+                   F.col(y_col).alias("_y"), tiers)
+           .select("_v",
+                   F.col("_t.level").alias("level"),
+                   F.floor(F.col("_x") / F.col("_t.size"))
+                    .cast("long").alias("cx"),
+                   F.floor(F.col("_y") / F.col("_t.size"))
+                    .cast("long").alias("cy")))
+    return (e.groupBy("level", "cx", "cy")
+             .agg(F.count("_v").alias("n"),
+                  F.sum("_v").alias("sum_v"),
+                  F.min("_v").alias("min_v"),
+                  F.max("_v").alias("max_v"))
+             .withColumn("mean_v",
+                         F.when(F.col("n") > 0,
+                                F.col("sum_v") / F.col("n"))))
+
+
+def cell_pyramid_sql(pixels_sql: str, value_sql: str, levels: int = 4,
+                     base_m: float = 20.0) -> str:
+    """DuckDB oracle: per-level GROUP BY over the same pixel relation,
+    UNION ALL across levels — the unfused equivalent of the grouping-sets
+    plan. ``pixels_sql`` must yield (x, y) plus the value expression's
+    inputs."""
+    parts = []
+    for lvl in range(levels):
+        size = float(base_m) * (2 ** lvl)
+        parts.append(f"""
+SELECT {lvl} AS level,
+       CAST(FLOOR(x / {size!r}) AS BIGINT) AS cx,
+       CAST(FLOOR(y / {size!r}) AS BIGINT) AS cy,
+       COUNT(v) AS n, SUM(v) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v,
+       CASE WHEN COUNT(v) > 0 THEN SUM(v) / COUNT(v) END AS mean_v
+FROM pyr_px GROUP BY 2, 3""")
+    body = "\nUNION ALL\n".join(parts)
+    return (f"WITH pyr_src AS ({pixels_sql}),\n"
+            f"pyr_px AS (SELECT x, y, {value_sql} AS v FROM pyr_src)\n"
+            + body)
+
+
 def cluster_by_zorder(df: DataFrame, num_partitions: int,
                       cell_m: float = CELL_SIZE_M,
                       x_col: str = "x", y_col: str = "y") -> DataFrame:

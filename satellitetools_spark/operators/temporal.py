@@ -229,6 +229,89 @@ FROM grid g ASOF JOIN {table} o
 """
 
 
+def interpolate_to_grid(obs: DataFrame, key: Sequence[str] = ("user_id",),
+                        ts_col: str = "ts", value_col: str = "value",
+                        step_seconds: float = 3600.0,
+                        out_col: str = "interp_value") -> DataFrame:
+    """Linear interpolation of an irregular observation stream onto a
+    regular time grid — the companion of :func:`time_grid_fill` (which
+    carries forward) for continuous signals: each grid tick inside the
+    observed span gets ``v0 + (v1 - v0) * (t - t0)/(t1 - t0)`` from its
+    bracketing observations. No extrapolation: ticks before the first or
+    after the last observation are not emitted.
+
+    Shape: ONE shuffle (the per-key ``lead`` window), then a map-side
+    ``sequence()`` explode of the ticks inside each segment ``[t0, t1)``
+    — no range join, no grid×obs candidate pairs; output cardinality is
+    span/step per key. This is the segment-ownership form: every tick
+    belongs to exactly one segment, so no dedup pass.
+
+    Exactness: grid placement and segment membership are pure integer
+    micro arithmetic; the interpolation weight is one double division,
+    written identically in the DuckDB oracle (ticks at exactly ``t0``
+    short-circuit to ``v0``, covering the final observation and avoiding
+    0/0). Requires (key, ts) unique per group (same precondition as
+    :func:`asof_join`) and non-negative epochs (integer ``DIV``
+    ceil-trick).
+    """
+    key = list(key)
+    step_us = int(round(float(step_seconds) * 1e6))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key).orderBy(us)
+    seg = obs.select(
+        *key, us.alias("_t0"), F.col(value_col).alias("_v0"),
+        F.lead(us).over(w).alias("_t1"),
+        F.lead(value_col).over(w).alias("_v1"))
+    lo = F.expr(f"CAST((_t0 + {step_us - 1}) DIV {step_us} AS BIGINT)"
+                f" * {step_us}")
+    hi = F.when(F.col("_t1").isNull(), F.col("_t0")) \
+          .otherwise(F.col("_t1") - 1)
+    ticks = (seg.withColumn("_lo", lo).withColumn("_hi", hi)
+                .filter(F.col("_lo") <= F.col("_hi"))
+                .select(*key, "_t0", "_v0", "_t1", "_v1",
+                        F.explode(F.sequence(
+                            F.col("_lo"), F.col("_hi"),
+                            F.lit(step_us).cast("long"))).alias("_t")))
+    frac = (F.col("_t") - F.col("_t0")).cast("double") / \
+           (F.col("_t1") - F.col("_t0")).cast("double")
+    v = F.when(F.col("_t") == F.col("_t0"), F.col("_v0")) \
+         .otherwise(F.col("_v0") + (F.col("_v1") - F.col("_v0")) * frac)
+    return ticks.select(
+        *key, F.timestamp_micros(F.col("_t")).alias("tick_ts"),
+        v.alias(out_col))
+
+
+def interpolate_to_grid_sql(table: str, key: Sequence[str] = ("user_id",),
+                            ts_col: str = "ts", value_col: str = "value",
+                            step_seconds: float = 3600.0,
+                            out_col: str = "interp_value") -> str:
+    """DuckDB oracle: the identical segment-explode + weight formula."""
+    key_sql = ", ".join(key)
+    step_us = int(round(float(step_seconds) * 1e6))
+    return f"""
+WITH seg AS (
+  SELECT {key_sql}, epoch_us({ts_col}) AS t0, {value_col} AS v0,
+         lead(epoch_us({ts_col})) OVER w AS t1,
+         lead({value_col}) OVER w AS v1
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_col}))
+),
+ticks AS (
+  SELECT {key_sql}, t0, v0, t1, v1, u.t
+  FROM seg, LATERAL unnest(generate_series(
+         ((t0 + {step_us - 1}) // {step_us}) * {step_us},
+         CASE WHEN t1 IS NULL THEN t0 ELSE t1 - 1 END,
+         {step_us})) AS u(t)
+)
+SELECT {key_sql}, make_timestamp(t) AS tick_ts,
+       CASE WHEN t = t0 THEN v0
+            ELSE v0 + (v1 - v0) *
+                 (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+       END AS {out_col}
+FROM ticks
+"""
+
+
 def range_join(left: DataFrame, right: DataFrame,
                tolerance_seconds: float,
                left_ts: str = "ts", right_ts: str = "ts",

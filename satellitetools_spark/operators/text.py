@@ -705,3 +705,72 @@ SELECT doc_id,
        {red} AS redacted
 FROM {table}
 """
+
+
+def profile(df: DataFrame, columns=None, exact: bool = True) -> DataFrame:
+    """One-pass table profiler: per column, row/non-null/distinct counts,
+    min/max, and (numerics) the mean — the data-quality summary sheet an
+    ingest pipeline emits per partition drop.
+
+    Shape: ONE global aggregation computing every column's metrics in a
+    single reduce (map-side partial combine; no per-column scans), then a
+    constant-width struct explode unpivots the single result row to one
+    row per column. With ``exact=True`` the multi-column DISTINCTs plan
+    as one Expand pass (rows × profiled columns before combine) — right
+    for the oracle gate; at 100 TB use ``exact=False``, which swaps in
+    ``approx_count_distinct`` (HLL, no Expand, pure partial-aggregate)
+    at ~2% relative error.
+
+    ``min_s``/``max_s`` are the extreme VALUES cast to string after
+    aggregation (numeric order for numerics, binary collation for
+    strings — identical in the DuckDB oracle, which also compares
+    strings bytewise by default).
+    """
+    from pyspark.sql.types import NumericType
+    cols = list(columns or df.columns)
+    types = dict(df.dtypes)
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+    nd = (F.countDistinct if exact
+          else lambda c: F.approx_count_distinct(c))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"_nn_{c}"),
+                 nd(c).alias(f"_nd_{c}"),
+                 F.min(c).cast("string").alias(f"_mn_{c}"),
+                 F.max(c).cast("string").alias(f"_mx_{c}")]
+        if c in numeric:
+            aggs.append(F.avg(c).alias(f"_mean_{c}"))
+    row = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.lit(types[c]).alias("dtype"),
+        F.col("_n").alias("n_rows"),
+        F.col(f"_nn_{c}").alias("n_nonnull"),
+        F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+        F.col(f"_mn_{c}").alias("min_s"),
+        F.col(f"_mx_{c}").alias("max_s"),
+        (F.col(f"_mean_{c}") if c in numeric
+         else F.lit(None).cast("double")).alias("mean_num"),
+    ) for c in cols]
+    return (row.select(F.explode(F.array(*structs)).alias("p"))
+               .select("p.*"))
+
+
+def profile_sql(table: str = "documents", columns=(),
+                numeric=(), dtypes=None) -> str:
+    """DuckDB oracle: one aggregate per column, UNION ALL — the unfused
+    equivalent of the single-pass profile."""
+    dtypes = dtypes or {}
+    parts = []
+    for c in columns:
+        mean = (f"AVG({c})" if c in numeric else "CAST(NULL AS DOUBLE)")
+        parts.append(f"""
+SELECT '{c}' AS "column", '{dtypes.get(c, '')}' AS dtype,
+       COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s,
+       {mean} AS mean_num
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

@@ -837,3 +837,84 @@ def test_focal_stats_matches_bruteforce(spark):
             assert abs(r.focal_mean - np.mean(vals)) < 1e-9
         else:
             assert np.isnan(r.focal_mean)
+
+
+def test_interpolate_to_grid_known_values(spark):
+    """Hand-checkable stream: obs at 00:30→2.0, 02:30→6.0, 03:00→0.0 on a
+    1 h grid → ticks 01:00 (3.0), 02:00 (5.0), 03:00 (0.0, == last obs on
+    grid); nothing before the first or after the last observation."""
+    from satellitetools_spark.operators.temporal import interpolate_to_grid
+    rows = [(1, "2024-01-01 00:30:00", 2.0),
+            (1, "2024-01-01 02:30:00", 6.0),
+            (1, "2024-01-01 03:00:00", 0.0),
+            (2, "2024-01-01 05:00:00", 9.0)]  # single obs, on grid
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = interpolate_to_grid(df, key=["user_id"], step_seconds=3600.0)
+    got = {(r.user_id, str(r.tick_ts)): r.interp_value
+           for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 01:00:00"): 3.0,
+        (1, "2024-01-01 02:00:00"): 5.0,
+        (1, "2024-01-01 03:00:00"): 0.0,
+        (2, "2024-01-01 05:00:00"): 9.0,
+    }
+
+
+def test_cell_pyramid_levels_consistent(spark):
+    """Each coarser level must equal a direct groupBy at that cell size
+    (floor-division composition identity), and per-level totals must all
+    equal the raw non-null count/sum."""
+    from satellitetools_spark.operators.spatial import cell_pyramid
+    rng = np.random.default_rng(7)
+    n = 4000
+    pdf = pd.DataFrame({
+        "x": rng.uniform(-500.0, 3000.0, n),
+        "y": rng.uniform(-500.0, 3000.0, n),
+        "v": np.where(rng.random(n) < 0.1, np.nan, rng.normal(0.3, 0.2, n)),
+    })
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("v", F.when(~F.isnan("v"), F.col("v")))
+    out = cell_pyramid(df, "v", levels=3, base_m=20.0).toPandas()
+    raw = df.toPandas()
+    raw_n = raw["v"].notna().sum()
+    raw_sum = raw["v"].sum()
+    for lvl in (0, 1, 2):
+        size = 20.0 * (2 ** lvl)
+        sub = out[out.level == lvl]
+        assert sub["n"].sum() == raw_n
+        assert abs(sub["sum_v"].sum() - raw_sum) < 1e-9
+        direct = (raw.assign(cx=np.floor(raw.x / size).astype(np.int64),
+                             cy=np.floor(raw.y / size).astype(np.int64))
+                     .groupby(["cx", "cy"])["v"]
+                     .agg(n="count", s="sum", mn="min", mx="max"))
+        got = sub.set_index(["cx", "cy"]).sort_index()
+        assert len(got) == len(direct)
+        direct = direct.sort_index()
+        assert (got["n"].to_numpy() == direct["n"].to_numpy()).all()
+        np.testing.assert_allclose(
+            got["mean_v"].to_numpy(),
+            (direct["s"] / direct["n"]).to_numpy(), rtol=1e-12)
+
+
+def test_profile_exact_and_approx(spark):
+    """Exact profile equals pandas ground truth; approx mode keeps the
+    same schema with distinct counts within HLL tolerance."""
+    from satellitetools_spark.operators.text import profile
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    pdf = docs.toPandas()
+    out = {r["column"]: r for r in
+           profile(docs, exact=True).collect()}
+    assert set(out) == {"doc_id", "lang", "n_chars"}
+    for c in out:
+        assert out[c]["n_rows"] == len(pdf)
+        assert out[c]["n_nonnull"] == pdf[c].notna().sum()
+        assert out[c]["n_distinct"] == pdf[c].nunique()
+    assert out["lang"]["mean_num"] is None
+    assert abs(out["n_chars"]["mean_num"] - pdf["n_chars"].mean()) < 1e-9
+    assert out["doc_id"]["min_s"] == str(pdf["doc_id"].min())
+    approx = {r["column"]: r for r in
+              profile(docs, exact=False).collect()}
+    for c in approx:
+        exact_nd = out[c]["n_distinct"]
+        assert abs(approx[c]["n_distinct"] - exact_nd) <= 0.1 * exact_nd
