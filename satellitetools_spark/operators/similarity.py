@@ -350,3 +350,139 @@ def rh_lsh_pairs(emb: DataFrame, threshold: float, num_bits: int = 64,
     return (verified.filter(F.col("cosine") >= threshold)
             .select("vec_id_a", "vec_id_b",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_moments(emb: DataFrame, vec_col: str = "embedding"
+                      ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Distributed first/second moments of an embedding column: returns
+    ``(n, sum_vector, gram_matrix)`` with the Gram = Σ x xᵀ accumulated
+    NumPy-side per partition (one d + d² array row per PARTITION, not per
+    vector), then reduced relationally by a posexplode + component sum.
+    Driver traffic is O(d²) — independent of row count, the shape that
+    survives 10^12 rows. float32 inputs are widened to float64 before any
+    accumulation (matches the oracle's CAST(FLOAT AS DOUBLE)).
+    """
+    schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("g", T.ArrayType(T.DoubleType())),
+    ])
+
+    def partials(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "g": [g.ravel().tolist()]})
+
+    part = emb.select(vec_col).mapInPandas(partials, schema)
+    n_total = 0
+    acc: Dict[str, np.ndarray] = {}
+    for colname in ("s", "g"):
+        comp = (part.select("n", F.posexplode(colname).alias("i", "v"))
+                    .groupBy("i").agg(F.sum("v").alias("v"))
+                    .orderBy("i").collect())
+        acc[colname] = np.array([r.v for r in comp])
+    n_total = part.agg(F.sum("n")).collect()[0][0] or 0
+    d = len(acc["s"])
+    return int(n_total), acc["s"], acc["g"].reshape(d, d)
+
+
+def covariance_matrix(emb: DataFrame, vec_col: str = "embedding"
+                      ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance) from :func:`embedding_moments`;
+    population covariance C = G/n − μμᵀ."""
+    n, s, g = embedding_moments(emb, vec_col)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def pca_components(emb: DataFrame, k: int = 8,
+                   vec_col: str = "embedding"
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k principal components: one distributed moment pass, then a
+    d×d symmetric eigensolve ON THE DRIVER (d=64 here: microseconds —
+    the textbook split for tall-skinny data where d² fits anywhere but
+    n doesn't). Returns ``(mean, eigenvalues_desc[k], components[k, d])``
+    with a deterministic sign convention (largest-|w| coordinate of each
+    component is positive) so runs and engines agree."""
+    _, mu, cov = covariance_matrix(emb, vec_col)
+    vals, vecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order].T                        # (k, d)
+    for j in range(w.shape[0]):
+        i = int(np.argmax(np.abs(w[j])))
+        if w[j, i] < 0:
+            w[j] = -w[j]
+    return mu, vals[order], w
+
+
+def pca_project(emb: DataFrame, k: int = 8, vec_col: str = "embedding",
+                out_col: str = "pca",
+                components: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                ) -> DataFrame:
+    """Append a k-dim PCA projection column: ``(x − μ) @ Wᵀ`` as ONE
+    Arrow-batched matmul per batch (closure-captured μ/W ≈ broadcast —
+    k·d doubles). Pass ``components=(mu, w)`` to reuse a trained basis
+    (score new partitions without re-fitting); otherwise fits via
+    :func:`pca_components` first (two Spark jobs total: fit + transform).
+    """
+    if components is None:
+        mu, _, w = pca_components(emb, k, vec_col)
+    else:
+        mu, w = components
+        k = w.shape[0]
+    mu_b = np.asarray(mu, dtype=np.float64)
+    w_b = np.asarray(w, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        P = (X - mu_b[None, :]) @ w_b.T
+        return pd.Series(list(P))
+
+    return emb.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def covariance_entries(emb: DataFrame, vec_col: str = "embedding",
+                       digits: int = 6) -> DataFrame:
+    """The covariance matrix as (i, j, cov) rows — the oracle-checkable
+    surface of the moment pass (the eigensolve itself is not relational
+    algebra; its inputs are)."""
+    spark = emb.sparkSession
+    _, _, cov = covariance_matrix(emb, vec_col)
+    d = cov.shape[0]
+    rows = [(i, j, round(float(cov[i, j]), digits))
+            for i in range(d) for j in range(d)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+def covariance_entries_sql(table: str = "embeddings",
+                           vec_col: str = "embedding", dim: int = 64,
+                           digits: int = 6) -> str:
+    """DuckDB oracle: the naive relational form — explode components,
+    pair-join on vec_id, aggregate Σxixj/n − μiμj. Quadratic in d per
+    row (gate-scale only); the engine's NumPy partial-Gram path computes
+    the same sums without materializing pairs."""
+    return f"""
+WITH x AS (
+  SELECT vec_id, r.i, CAST({vec_col}[r.i + 1] AS DOUBLE) AS xi
+  FROM {table}, range({dim}) r(i)
+),
+mu AS (SELECT i, AVG(xi) AS m FROM x GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) / COUNT(*) AS exixj
+  FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
+)
+SELECT p.i, p.j, ROUND(p.exixj - ma.m * mb.m, {digits}) AS cov
+FROM pairs p JOIN mu ma ON p.i = ma.i JOIN mu mb ON p.j = mb.i
+"""

@@ -774,3 +774,90 @@ SELECT '{c}' AS "column", '{dtypes.get(c, '')}' AS dtype,
        {mean} AS mean_num
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def char_ngram_lm_scores(docs: DataFrame, text_col: str = "text",
+                         n: int = 3, k: float = 1.0,
+                         vocab: float = 96.0) -> DataFrame:
+    """Char-n-gram language-model quality score (the CCNet/KenLM-style
+    filter, self-trained): fit add-k-smoothed conditional counts
+    ``P(c_n | c_1..c_{n-1})`` on the corpus itself, then score each
+    document by mean log-probability and perplexity. Low-perplexity ≈
+    fluent/common text; high ≈ garbage, boilerplate, or wrong-alphabet —
+    the standard pretraining quality signal when no external LM is
+    available.
+
+    Shape: ONE n-gram explode pass builds the model (map-side combine →
+    shuffle at n-gram-type cardinality, bounded by alphabet^n, NOT corpus
+    size; context counts derive from the n-gram counts by prefix — no
+    second extraction). Scoring re-explodes documents and hash-joins the
+    two count tables — both model tables are broadcast-sized by the same
+    alphabet bound at any corpus size. Extraction uses a ``transform``
+    over ``sequence`` (interpreted HOF — measured ~1.8x slower than
+    codegen splits, but overlapping windows have no split form; the
+    explode dominates either way).
+
+    Every scored n-gram exists in the model by construction (trained on
+    the same corpus), so the joins are inner with no smoothing-only path;
+    ``k``/``vocab`` still smooth the denominators exactly as a held-out
+    scorer would. Docs shorter than ``n`` chars emit NULL score and
+    ``n_ngrams = 0``.
+    """
+    t = F.col(text_col)
+    grams_expr = F.when(
+        F.length(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                    lambda i: F.substring(t, i, n))
+    ).otherwise(F.array().cast("array<string>"))
+
+    toks = docs.select("doc_id", F.explode(grams_expr).alias("g"))
+    tri = toks.groupBy("g").agg(F.count("*").alias("c_g"))
+    ctx = (tri.groupBy(F.substring("g", 1, n - 1).alias("p"))
+              .agg(F.sum("c_g").alias("c_p")))
+
+    scored = (toks
+              .join(F.broadcast(tri), "g")
+              .withColumn("p", F.substring("g", 1, n - 1))
+              .join(F.broadcast(ctx), "p")
+              .withColumn("_lp", F.log((F.col("c_g") + F.lit(float(k))) /
+                                       (F.col("c_p") +
+                                        F.lit(float(k * vocab))))))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count("*").alias("n_ngrams"),
+                    F.avg("_lp").alias("avg_logp")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    "avg_logp",
+                    F.exp(-F.col("avg_logp")).alias("ppl")))
+
+
+def char_ngram_lm_scores_sql(table: str = "documents",
+                             text_col: str = "text", n: int = 3,
+                             k: float = 1.0, vocab: float = 96.0) -> str:
+    """DuckDB oracle: identical counts/smoothing/score over a range-join
+    n-gram extraction."""
+    t = text_col
+    return f"""
+WITH toks AS (
+  SELECT doc_id, substr({t}, CAST(r.i AS INT), {n}) AS g
+  FROM {table},
+       LATERAL unnest(generate_series(1, length({t}) - {n - 1})) AS r(i)
+  WHERE length({t}) >= {n}
+),
+tri AS (SELECT g, COUNT(*) AS c_g FROM toks GROUP BY g),
+ctx AS (SELECT substr(g, 1, {n - 1}) AS p, SUM(c_g) AS c_p
+        FROM tri GROUP BY 1),
+per_doc AS (
+  SELECT toks.doc_id, COUNT(*) AS n_ngrams,
+         AVG(ln((c_g + {float(k)!r}) / (c_p + {float(k * vocab)!r})))
+           AS avg_logp
+  FROM toks
+  JOIN tri USING (g)
+  JOIN ctx ON ctx.p = substr(toks.g, 1, {n - 1})
+  GROUP BY toks.doc_id
+)
+SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams, avg_logp,
+       exp(-avg_logp) AS ppl
+FROM {table} d LEFT JOIN per_doc USING (doc_id)
+"""

@@ -918,3 +918,63 @@ def test_profile_exact_and_approx(spark):
     for c in approx:
         exact_nd = out[c]["n_distinct"]
         assert abs(approx[c]["n_distinct"] - exact_nd) <= 0.1 * exact_nd
+
+
+def test_pca_matches_local_numpy(spark):
+    """Distributed moment pass + driver eigensolve against a plain local
+    PCA: mean/eigenvalues/components (deterministic sign) and the
+    projected coordinates must all agree."""
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in pdf["embedding"]])
+    n = X.shape[0]
+    mu_l = X.mean(0)
+    cov_l = (X.T @ X) / n - np.outer(mu_l, mu_l)
+    vals_l, vecs_l = np.linalg.eigh(cov_l)
+    order = np.argsort(vals_l)[::-1][:8]
+    w_l = vecs_l[:, order].T
+    for j in range(8):
+        i = int(np.argmax(np.abs(w_l[j])))
+        if w_l[j, i] < 0:
+            w_l[j] = -w_l[j]
+
+    mu, vals, w = SIM.pca_components(emb, k=8)
+    np.testing.assert_allclose(mu, mu_l, atol=1e-9)
+    np.testing.assert_allclose(vals, vals_l[order], atol=1e-9)
+    np.testing.assert_allclose(w, w_l, atol=1e-6)
+    assert np.allclose(w @ w.T, np.eye(8), atol=1e-9)  # orthonormal
+
+    got = (SIM.pca_project(emb, components=(mu, w))
+           .select("vec_id", "pca").toPandas()
+           .set_index("vec_id").loc[pdf["vec_id"]])
+    P = np.vstack([np.asarray(v) for v in got["pca"]])
+    np.testing.assert_allclose(P, (X - mu_l) @ w_l.T, atol=1e-8)
+
+
+def test_char_ngram_lm_matches_local_counts(spark):
+    """Crafted corpus vs a local Python reimplementation of the smoothed
+    trigram scorer (incl. a too-short doc → NULL score, n_ngrams 0)."""
+    from collections import Counter
+    from satellitetools_spark.operators.text import char_ngram_lm_scores
+    texts = {1: "abcabcab", 2: "abcd abcd", 3: "zzzz", 4: "ab"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           char_ngram_lm_scores(df, n=3, k=1.0, vocab=96.0).collect()}
+
+    tri, ctx = Counter(), Counter()
+    for t in texts.values():
+        for i in range(len(t) - 2):
+            tri[t[i:i + 3]] += 1
+    for g, c in tri.items():
+        ctx[g[:2]] += c
+    for d, t in texts.items():
+        grams = [t[i:i + 3] for i in range(len(t) - 2)]
+        assert out[d].n_ngrams == len(grams)
+        if not grams:
+            assert out[d].avg_logp is None
+            continue
+        lp = sum(np.log((tri[g] + 1.0) / (ctx[g[:2]] + 96.0))
+                 for g in grams) / len(grams)
+        assert abs(out[d].avg_logp - lp) < 1e-9
+        assert abs(out[d].ppl - np.exp(-lp)) < 1e-6
