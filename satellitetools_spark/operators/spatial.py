@@ -414,3 +414,105 @@ def cluster_by_zorder(df: DataFrame, num_partitions: int,
                                              cell_m))
     return (keyed.repartitionByRange(num_partitions, "zkey")
                  .sortWithinPartitions("zkey"))
+
+
+def focal_conv(px: DataFrame, value_col: str, kernels: Dict[str, dict],
+               doc_col: str = "doc_id", x_col: str = "x",
+               y_col: str = "y", gsd_col: str = "gsd") -> DataFrame:
+    """Generalized raster kernel correlation — Sobel gradients, Laplacian
+    edge detection, Gaussian blur, slope/aspect stencils — over the long
+    pixel frame, ALL kernels in one pass.
+
+    ``kernels`` maps output-column name → {(dx, dy): weight}; per pixel
+    and kernel, the output is ``Σ w(dx,dy) · v(ix+dx, iy+dy)`` over the
+    neighbors present (correlation orientation — flip the kernel for true
+    convolution). Same distributed shape as :func:`focal_stats`: each
+    pixel EXPLODES one weighted contribution per offset in the union
+    stencil (constant fanout), targeting cell ``(ix−dx, iy−dy)`` so the
+    receiving cell's sum realizes the +offset read; ONE hash aggregation
+    sums every kernel simultaneously and folds the center pixel's payload
+    through (no self-join → the decode upstream runs once). N kernels
+    share the explode and the shuffle — adding a kernel adds one sum
+    column, not a pass.
+
+    Border cells receive partial stencil sums (standard raster edge
+    behavior); ``n_neigh`` counts non-null neighbors in the union stencil
+    so consumers can require full support (``n_neigh == |stencil|``).
+    NULL (nodata) neighbors contribute nothing; a kernel whose every
+    support pixel is NULL yields NULL.
+    """
+    if not kernels:
+        raise ValueError("focal_conv: need at least one kernel")
+    names = list(kernels)
+    offs = sorted(set().union(*[set(k) for k in kernels.values()])
+                  | {(0, 0)})
+    ix = F.floor(F.col(x_col) / F.col(gsd_col)).cast("long")
+    iy = F.floor(F.col(y_col) / F.col(gsd_col)).cast("long")
+    base = px.withColumn("_ix", ix).withColumn("_iy", iy)
+    pay = [c for c in px.columns if c != doc_col]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 *[F.lit(float(kernels[n].get((dx, dy), 0.0)))
+                   .alias(f"w_{n}") for n in names])
+        for dx, dy in offs])).alias("_o")
+    center = (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)
+    contrib = (base.select(doc_col, "_ix", "_iy",
+                           F.col(value_col).alias("_v"),
+                           *[F.col(c) for c in pay], off)
+                   .select(doc_col,
+                           (F.col("_ix") - F.col("_o.dx")).alias("_ix"),
+                           (F.col("_iy") - F.col("_o.dy")).alias("_iy"),
+                           "_v", center.alias("_isc"),
+                           *[(F.col(f"_o.w_{n}") * F.col("_v"))
+                             .alias(f"_wv_{n}") for n in names],
+                           *[F.when(center, F.col(c)).alias(c)
+                             for c in pay]))
+    agg = (contrib.groupBy(doc_col, "_ix", "_iy")
+                  .agg(F.count("_v").alias("_n"),
+                       F.max("_isc").alias("_has_ctr"),
+                       *[F.sum(f"_wv_{n}").alias(n) for n in names],
+                       *[F.max(c).alias(c) for c in pay]))
+    return (agg.filter(F.col("_has_ctr"))
+               .select(F.col(doc_col), *pay,
+                       F.col("_ix").alias("ix"), F.col("_iy").alias("iy"),
+                       F.col("_n").cast("int").alias("n_neigh"),
+                       *names))
+
+
+def focal_conv_sql(pixels_sql: str, value_sql: str,
+                   kernels: Dict[str, dict], doc_col: str = "doc_id"
+                   ) -> str:
+    """DuckDB oracle for :func:`focal_conv`: VALUES stencil table,
+    contribute/aggregate, join back to the pixel relation. ``pixels_sql``
+    must yield (doc_col, ix, iy) plus the value expression's inputs."""
+    names = list(kernels)
+    offs = sorted(set().union(*[set(k) for k in kernels.values()])
+                  | {(0, 0)})
+    rows = ", ".join(
+        "(" + ", ".join(
+            [str(dx), str(dy)]
+            + [repr(float(kernels[n].get((dx, dy), 0.0))) for n in names])
+        + ")" for dx, dy in offs)
+    wcols = ", ".join(f"w_{n}" for n in names)
+    sums = ", ".join(f"SUM(w_{n} * v) AS {n}" for n in names)
+    outs = ", ".join(f"a.{n}" for n in names)
+    return f"""
+WITH fcpx AS ({pixels_sql}),
+fcval AS (SELECT {doc_col}, ix, iy, {value_sql} AS v FROM fcpx),
+fcoff (dx, dy, {wcols}) AS (VALUES {rows}),
+fccontrib AS (
+  SELECT {doc_col}, ix - dx AS tix, iy - dy AS tiy, v, {wcols}
+  FROM fcval, fcoff),
+fcagg AS (
+  SELECT {doc_col}, tix, tiy, COUNT(v) AS n, {sums}
+  FROM fccontrib GROUP BY {doc_col}, tix, tiy)
+SELECT p.{doc_col}, p.ix, p.iy, CAST(a.n AS INT) AS n_neigh, {outs}
+FROM fcval p JOIN fcagg a
+  ON p.{doc_col} = a.{doc_col} AND p.ix = a.tix AND p.iy = a.tiy
+"""
+
+
+SOBEL_GX = {(dx, dy): float(dx * (2 - abs(dy)))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+SOBEL_GY = {(dx, dy): float(dy * (2 - abs(dx)))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)}

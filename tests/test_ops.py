@@ -978,3 +978,67 @@ def test_char_ngram_lm_matches_local_counts(spark):
                  for g in grams) / len(grams)
         assert abs(out[d].avg_logp - lp) < 1e-9
         assert abs(out[d].ppl - np.exp(-lp)) < 1e-6
+
+
+def test_focal_conv_sobel_matches_scipy_style_local(spark):
+    """Sobel gx/gy on a small synthetic raster vs a local dense stencil
+    loop (partial borders, a nodata hole, and center-payload carry)."""
+    from satellitetools_spark.operators.spatial import (
+        focal_conv, SOBEL_GX, SOBEL_GY)
+    rng = np.random.default_rng(3)
+    w, h = 12, 9
+    vals = rng.normal(0.4, 0.2, (h, w))
+    vals[4, 5] = np.nan  # nodata hole
+    rows = [("d1", (cx + 0.5) * 10.0, (cy + 0.5) * 10.0, 10.0,
+             None if np.isnan(vals[cy, cx]) else float(vals[cy, cx]))
+            for cy in range(h) for cx in range(w)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, x double, y double, gsd double, v double")
+    out = focal_conv(df, "v", {"gx": SOBEL_GX, "gy": SOBEL_GY})
+    got = {(r.ix, r.iy): r for r in out.collect()}
+    assert len(got) == w * h
+    for cy in range(h):
+        for cx in range(w):
+            gx = gy = 0.0
+            n = 0
+            any_val = False
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nx, ny = cx + dx, cy + dy
+                    if 0 <= nx < w and 0 <= ny < h and \
+                            not np.isnan(vals[ny, nx]):
+                        n += 1
+                        any_val = True
+                        gx += dx * (2 - abs(dy)) * vals[ny, nx]
+                        gy += dy * (2 - abs(dx)) * vals[ny, nx]
+            r = got[(cx, cy)]
+            assert r.n_neigh == n
+            if any_val:
+                assert abs(r.gx - gx) < 1e-9 and abs(r.gy - gy) < 1e-9
+            else:
+                assert r.gx is None and r.gy is None
+
+
+def test_incremental_stats_fold_matches_oneshot(spark, tmp_path):
+    """Three increments folded in sequence (with a parquet state
+    round-trip between merges, as a real pipeline would persist it)
+    must equal the one-shot aggregate over the union."""
+    from satellitetools_spark.plans import incremental as INC
+    ev = (spark.read.parquet(os.path.join(TESTDATA, "events.parquet"))
+          .select("user_id", "event_type", "value"))
+    parts = [ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i)
+             for i in range(3)]
+    keys = ["event_type"]
+    state = INC.partial_stats(parts[0], keys, "value")
+    for p in parts[1:]:
+        path = str(tmp_path / f"state_{id(p)}")
+        state.write.mode("overwrite").parquet(path)
+        state = INC.merge_stats(spark.read.parquet(path),
+                                INC.partial_stats(p, keys, "value"), keys)
+    got = (INC.finalize_stats(state, keys).toPandas()
+           .set_index("event_type").sort_index())
+    ref = (INC.finalize_stats(INC.partial_stats(ev, keys, "value"), keys)
+           .toPandas().set_index("event_type").sort_index())
+    assert (got["n"] == ref["n"]).all()
+    for c in ("mean", "std", "min", "max"):
+        np.testing.assert_allclose(got[c], ref[c], rtol=1e-9)
