@@ -1,0 +1,133 @@
+"""Declarative data-quality expectations (Deequ/Great-Expectations
+style): a constraint suite evaluated in ONE pass over the table, emitted
+as a (check, column, metric, threshold, passed) report — the gate a
+production ingest puts between "partition landed" and "partition
+visible to consumers".
+
+Specs carry the Spark aggregate as a zero-arg thunk (Column
+construction needs a live JVM gateway; the SQL side must stay buildable
+without one, e.g. for oracle generation). Every expectation contributes one aggregate expression to a single
+global HashAggregate (map-side combine; the only wide op), and the
+single result row unpivots via a constant-width struct explode — the
+same audited shape as the table profiler. Adding a constraint adds a
+column to the aggregate, never a pass over the data. ``unique`` is the
+one exception to constant state: its COUNT(DISTINCT) plans an Expand
+(rows × distinct-constraints); swap in HLL counts at extreme scale the
+same way the profiler does.
+
+Each helper returns a spec carrying BOTH the Spark aggregate column and
+the equivalent ANSI-SQL aggregate string, so a suite is oracle-checkable
+by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expect_not_null(col: str, tol: float = 0.0) -> Dict:
+    """Fraction of NULLs must be <= tol."""
+    return {
+        "name": "not_null", "column": col, "threshold": float(tol),
+        "op": "le",
+        "col": lambda: F.avg(F.when(F.col(col).isNull(), 1.0)
+                             .otherwise(0.0)),
+        "sql": (f"AVG(CASE WHEN {col} IS NULL THEN 1.0 ELSE 0.0 END)"),
+    }
+
+
+def expect_unique(col: str, tol: float = 0.0) -> Dict:
+    """Duplicate fraction among non-null values must be <= tol."""
+    return {
+        "name": "unique", "column": col, "threshold": float(tol),
+        "op": "le",
+        "col": lambda: ((F.count(col) - F.countDistinct(col))
+                        / F.greatest(F.count(col), F.lit(1))),
+        "sql": (f"(COUNT({col}) - COUNT(DISTINCT {col})) * 1.0"
+                f" / GREATEST(COUNT({col}), 1)"),
+    }
+
+
+def expect_in_range(col: str, lo: float, hi: float,
+                    tol: float = 0.0) -> Dict:
+    """Fraction of non-null values outside [lo, hi] must be <= tol."""
+    def _viol():
+        c = F.col(col)
+        return F.avg(F.when(c.isNotNull(),
+                            F.when((c < lo) | (c > hi), 1.0)
+                             .otherwise(0.0)))
+    return {
+        "name": f"in_range[{lo!r},{hi!r}]", "column": col,
+        "threshold": float(tol), "op": "le",
+        "col": _viol,
+        "sql": (f"AVG(CASE WHEN {col} IS NOT NULL THEN "
+                f"CASE WHEN {col} < {lo!r} OR {col} > {hi!r} "
+                f"THEN 1.0 ELSE 0.0 END END)"),
+    }
+
+
+def expect_matches(col: str, pattern: str, min_frac: float) -> Dict:
+    """Fraction of non-null values matching the regex must be
+    >= min_frac (partial-match semantics on both engines)."""
+    def _hit():
+        c = F.col(col)
+        return F.avg(F.when(c.isNotNull(),
+                            F.when(c.rlike(pattern), 1.0)
+                             .otherwise(0.0)))
+    return {
+        "name": f"matches[{pattern}]", "column": col,
+        "threshold": float(min_frac), "op": "ge",
+        "col": _hit,
+        "sql": (f"AVG(CASE WHEN {col} IS NOT NULL THEN "
+                f"CASE WHEN regexp_matches({col}, '{pattern}') "
+                f"THEN 1.0 ELSE 0.0 END END)"),
+    }
+
+
+def expect_min_rows(n: int) -> Dict:
+    """Row count must be >= n (empty-partition tripwire)."""
+    return {
+        "name": f"min_rows[{n}]", "column": "*", "threshold": float(n),
+        "op": "ge",
+        "col": lambda: F.count(F.lit(1)).cast("double"),
+        "sql": "CAST(COUNT(*) AS DOUBLE)",
+    }
+
+
+def expectations(df: DataFrame, suite: List[Dict],
+                 digits: int = 9) -> DataFrame:
+    """Evaluate a constraint suite in one aggregation pass."""
+    row = df.agg(*[e["col"]().alias(f"_m_{i}")
+                   for i, e in enumerate(suite)])
+    structs = []
+    for i, e in enumerate(suite):
+        m = F.round(F.col(f"_m_{i}"), digits)
+        passed = (m <= e["threshold"] if e["op"] == "le"
+                  else m >= e["threshold"])
+        structs.append(F.struct(
+            F.lit(e["name"]).alias("check_name"),
+            F.lit(e["column"]).alias("col_name"),
+            m.alias("metric"),
+            F.lit(e["threshold"]).alias("threshold"),
+            passed.alias("passed")))
+    return (row.select(F.explode(F.array(*structs)).alias("r"))
+               .select("r.*"))
+
+
+def expectations_sql(table: str, suite: List[Dict],
+                     digits: int = 9) -> str:
+    """DuckDB oracle: one full-table aggregate per constraint, UNION
+    ALL — the unfused equivalent of the one-pass suite."""
+    parts = []
+    for e in suite:
+        cmp = "<=" if e["op"] == "le" else ">="
+        parts.append(f"""
+SELECT '{e["name"]}' AS check_name, '{e["column"]}' AS col_name,
+       ROUND({e["sql"]}, {digits}) AS metric,
+       {e["threshold"]!r} AS threshold,
+       ROUND({e["sql"]}, {digits}) {cmp} {e["threshold"]!r} AS passed
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

@@ -347,3 +347,69 @@ def range_join(left: DataFrame, right: DataFrame,
     return (l_probe.join(r_tag, cond)
             .filter(F.abs(dt) <= w)
             .drop("_bin", *[f"_rk_{k}" for k in keys]))
+
+
+def rolling_zscore(df: DataFrame, key: Sequence[str] = ("user_id",),
+                   ts_col: str = "ts", value_col: str = "value",
+                   window: int = 24, min_periods: int = 8,
+                   z_thresh: float = 3.0) -> DataFrame:
+    """Trailing-window anomaly score: each observation's z-score against
+    the mean/std of its own PREVIOUS ``window`` observations (current row
+    excluded — no self-leakage), flagged when ``|z| > z_thresh``. The
+    point-anomaly detector a monitoring pipeline runs over per-key metric
+    streams.
+
+    ONE shuffle: all four window aggregates (count, mean, mean-of-squares
+    → std) share a single partition+order frame, so Catalyst evaluates
+    them in one Window operator over one Exchange+Sort. Std uses the
+    population moment form ``sqrt(E[v²] − E[v]²)`` (cancellation-clamped)
+    — written identically in the DuckDB oracle so both engines agree to
+    rounding, which `STDDEV`'s Welford accumulation would not. Rows with
+    fewer than ``min_periods`` predecessors or a degenerate (zero) std
+    emit NULL z and false flag.
+    """
+    key = list(key)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(*key).orderBy(us)
+         .rowsBetween(-window, -1))
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    m = F.avg(v).over(w)
+    m2 = F.avg(v * v).over(w)
+    sd = F.sqrt(F.greatest(m2 - m * m, F.lit(0.0)))
+    z = F.when((n >= min_periods) & (sd > 0), (v - m) / sd)
+    return (df.withColumn("n_prev", n.cast("int"))
+              .withColumn("z", z)
+              .withColumn("is_anomaly",
+                          F.coalesce(F.abs(z) > z_thresh, F.lit(False))))
+
+
+def rolling_zscore_sql(table: str, key: Sequence[str] = ("user_id",),
+                       ts_col: str = "ts", value_col: str = "value",
+                       window: int = 24, min_periods: int = 8,
+                       z_thresh: float = 3.0,
+                       columns: str = "*") -> str:
+    """DuckDB oracle: the identical shared window frame and moment-form
+    std."""
+    key_sql = ", ".join(key)
+    v = value_col
+    return f"""
+WITH zw AS (
+  SELECT {columns},
+         COUNT({v}) OVER w AS n_prev,
+         AVG({v}) OVER w AS m,
+         AVG({v} * {v}) OVER w AS m2
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_col})
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+)
+SELECT * EXCLUDE (m, m2),
+       CASE WHEN n_prev >= {min_periods}
+                 AND sqrt(GREATEST(m2 - m * m, 0.0)) > 0
+            THEN ({v} - m) / sqrt(GREATEST(m2 - m * m, 0.0)) END AS z,
+       COALESCE(abs(CASE WHEN n_prev >= {min_periods}
+                 AND sqrt(GREATEST(m2 - m * m, 0.0)) > 0
+            THEN ({v} - m) / sqrt(GREATEST(m2 - m * m, 0.0)) END)
+                > {z_thresh!r}, FALSE) AS is_anomaly
+FROM zw
+"""

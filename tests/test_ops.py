@@ -1042,3 +1042,55 @@ def test_incremental_stats_fold_matches_oneshot(spark, tmp_path):
     assert (got["n"] == ref["n"]).all()
     for c in ("mean", "std", "min", "max"):
         np.testing.assert_allclose(got[c], ref[c], rtol=1e-9)
+
+
+def test_expectations_crafted_suite(spark):
+    """Crafted frame with known nulls/dups/range violations — each
+    constraint's metric and verdict must match hand-computed values."""
+    from satellitetools_spark.operators import checks as CHK
+    rows = [(1, "aa", 10.0), (2, "bb", 20.0), (2, None, -5.0),
+            (3, "cc", 300.0), (None, "d4", 40.0)]
+    df = spark.createDataFrame(rows, "id int, code string, v double")
+    suite = [
+        CHK.expect_min_rows(5),
+        CHK.expect_not_null("id"),                 # 1/5 null -> fail
+        CHK.expect_unique("id"),                   # 1 dup of 4 -> fail
+        CHK.expect_in_range("v", 0.0, 100.0),      # 2/5 out -> fail
+        CHK.expect_matches("code", "^[a-z][a-z]$", 0.5),  # 3/4 -> pass
+    ]
+    got = {r.check_name: r for r in CHK.expectations(df, suite).collect()}
+    assert got["min_rows[5]"].metric == 5.0 and got["min_rows[5]"].passed
+    assert abs(got["not_null"].metric - 0.2) < 1e-12
+    assert not got["not_null"].passed
+    assert abs(got["unique"].metric - 0.25) < 1e-12
+    assert not got["unique"].passed
+    assert abs(got["in_range[0.0,100.0]"].metric - 0.4) < 1e-12
+    assert not got["in_range[0.0,100.0]"].passed
+    m = got["matches[^[a-z][a-z]$]"]
+    assert abs(m.metric - 0.75) < 1e-12 and m.passed
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    """Trailing-window z-score vs pandas rolling (shifted, population
+    ddof=0), incl. min-support NULLs and the anomaly flag."""
+    from satellitetools_spark.operators.temporal import rolling_zscore
+    ev = (spark.read.parquet(os.path.join(TESTDATA, "events.parquet"))
+          .select("user_id", "ts", "value"))
+    out = (rolling_zscore(ev, window=24, min_periods=8, z_thresh=2.5)
+           .toPandas())
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    g = pdf.groupby("user_id")["value"]
+    m = g.transform(lambda s: s.shift(1).rolling(24, min_periods=1).mean())
+    sd = g.transform(lambda s: s.shift(1).rolling(24, min_periods=1)
+                     .std(ddof=0))
+    n = g.transform(lambda s: s.shift(1).rolling(24, min_periods=1).count())
+    z = (pdf["value"] - m) / sd
+    z[(n < 8) | ~(sd > 0)] = np.nan
+    ref = pdf.assign(z_ref=z, n_ref=n.fillna(0).astype(int))
+    j = out.merge(ref, on=["user_id", "ts"], suffixes=("", "_r"))
+    assert len(j) == len(out)
+    assert (j["n_prev"] == j["n_ref"]).all()
+    both_nan = j["z"].isna() & j["z_ref"].isna()
+    np.testing.assert_allclose(j.loc[~both_nan, "z"],
+                               j.loc[~both_nan, "z_ref"], atol=1e-9)
+    assert (j["is_anomaly"] == (j["z"].abs() > 2.5).fillna(False)).all()
