@@ -486,3 +486,203 @@ pairs AS (
 SELECT p.i, p.j, ROUND(p.exixj - ma.m * mb.m, {digits}) AS cov
 FROM pairs p JOIN mu ma ON p.i = ma.i JOIN mu mb ON p.j = mb.i
 """
+
+
+def _sq_dist(a, b):
+    """Squared L2 via the norm-dot identity ``a·a + b·b − 2·a·b`` — three
+    left-fold dots, the exact op sequence the DuckDB oracle's
+    ``list_dot_product`` uses, so distances are bit-comparable across
+    engines (a zip-subtract-square fold would associate differently)."""
+    return _dot(a, a) + _dot(b, b) - F.lit(2.0) * _dot(a, b)
+
+
+def pq_encode(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
+              seed_order: Optional[Column] = None,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> Tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al., TPAMI'11): split each vector
+    into ``m`` subspaces and store only the id of the nearest sub-codebook
+    centroid per subspace — ``m·log2(ksub)`` bits per vector instead of
+    ``dim·32``, the compression that makes billion-scale ANN candidate
+    scoring RAM-resident.
+
+    Codebooks are the hash-stratified seed sample's subvectors (same
+    deterministic scheme as :func:`ivf_topk`; pass ``seed_order`` =
+    portable hash for the oracle-exact variant). Encoding is one
+    broadcast cross join (|emb| × ksub rows) computing all ``m`` subspace
+    distances per pair JVM-side — squared L2 via :func:`_sq_dist` so the
+    argmin is engine-portable — then a per-(vector, subspace) min-struct
+    pick and one ``array_sort(collect_list)`` reassembly into the code
+    array. Two keyed aggregations, both on vector-id cardinality; no
+    Python.
+
+    Returns ``(codes, cent)``: codes (id_col, codes array<int>[m]) and
+    the centroid table to score against.
+    """
+    if dim % m:
+        raise ValueError("pq_encode: dim must divide into m subspaces")
+    dsub = dim // m
+    if seed_order is None:
+        seed_order = F.xxhash64(F.col(id_col))
+    cent = (emb.orderBy(seed_order.asc(), F.col(id_col).asc())
+               .limit(ksub)
+               .select(F.col(id_col).alias("centroid_id"),
+                       F.col(vec_col).cast("array<double>").alias("cvec")))
+    pairs = (emb.select(id_col,
+                        F.col(vec_col).cast("array<double>").alias("v"))
+                .crossJoin(F.broadcast(cent)))
+    sub = F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            _sq_dist(F.slice(F.col("v"), s * dsub + 1, dsub),
+                     F.slice(F.col("cvec"), s * dsub + 1, dsub))
+            .alias("dsq"))
+        for s in range(m)])).alias("_d")
+    d = pairs.select(id_col, "centroid_id", sub).select(
+        id_col, "centroid_id", F.col("_d.s").alias("s"),
+        F.col("_d.dsq").alias("dsq"))
+    best = (d.groupBy(id_col, "s")
+             .agg(F.min(F.struct("dsq", "centroid_id")).alias("b"))
+             .select(id_col, "s", F.col("b.centroid_id").alias("code")))
+    codes = (best.groupBy(id_col)
+                 .agg(F.array_sort(F.collect_list(F.struct("s", "code")))
+                       .alias("sc"))
+                 .select(id_col,
+                         F.transform("sc", lambda x: x["code"])
+                          .alias("codes")))
+    return codes, cent
+
+
+def pq_topk(emb: DataFrame, query_ids: List[int], k: int = 10,
+            m: int = 8, ksub: int = 16, dim: int = 64,
+            rerank: int = 0,
+            seed_order: Optional[Column] = None,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; every database vector is scored as the sum of its ``m``
+    precomputed query↔centroid subspace distances — a table lookup per
+    subspace, never a full d-dim dot product per candidate.
+
+    The distance table (queries × m × ksub rows — KBs) broadcasts to the
+    codes join; the sum-over-subspaces is one hash aggregation keyed on
+    (query, vector) and the top-k a per-query window. Approximation error
+    comes only from quantizing the database side (asymmetric), verified
+    in pytest as recall vs brute force; with the portable seed the whole
+    pipeline is exact relational math with a verbatim DuckDB oracle.
+
+    ``rerank`` > 0 enables the standard two-stage retrieval: the ADC
+    pass produces a top-``rerank`` SHORTLIST per query (cheap — table
+    lookups over compressed codes), and only those candidates get exact
+    full-dimension cosine scoring (output column ``cosine``). Recall is
+    then bounded by shortlist membership, not quantization ranking —
+    measured ≥0.8@10 with rerank=100 on the clustered test embeddings —
+    while the exact pass touches ``rerank`` vectors per query instead of
+    the whole table. With ``rerank=0`` the raw ADC ranking is returned
+    (column ``adist``), which is the oracle-checked surface.
+    """
+    dsub = dim // m
+    codes, cent = pq_encode(emb, m, ksub, dim, seed_order,
+                            id_col, vec_col)
+    queries = (emb.filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).cast("array<double>")
+                           .alias("qv")))
+    qsub = F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            _sq_dist(F.slice(F.col("qv"), s * dsub + 1, dsub),
+                     F.slice(F.col("cvec"), s * dsub + 1, dsub))
+            .alias("dsq"))
+        for s in range(m)])).alias("_d")
+    qdist = (queries.crossJoin(F.broadcast(cent))
+                    .select("query_id", "centroid_id", qsub)
+                    .select("query_id", "centroid_id",
+                            F.col("_d.s").alias("s"),
+                            F.col("_d.dsq").alias("dsq")))
+    ccode = codes.select(
+        id_col, F.posexplode("codes").alias("s", "centroid_id"))
+    scored = (ccode.join(F.broadcast(qdist), ["s", "centroid_id"])
+                   .filter(F.col(id_col) != F.col("query_id"))
+                   .groupBy("query_id", id_col)
+                   .agg(F.sum("dsq").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc(id_col))
+    if not rerank:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= k)
+                      .select("query_id",
+                              F.col(id_col).alias("neighbor_id"),
+                              "rank", F.round("adist", 6).alias("adist")))
+    short = (scored.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= rerank)
+                   .select("query_id", id_col))
+    exact = (short.join(emb.select(id_col, vec_col), id_col)
+                  .join(F.broadcast(queries), "query_id"))
+    exact = with_cosine(exact, vec_col, "qv")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc(id_col))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", F.col(id_col).alias("neighbor_id"),
+                         "rank", F.round("cosine", 6).alias("cosine")))
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2.0 * list_dot_product({a}, {b}))")
+
+
+def pq_topk_sql(query_ids: List[int], k: int = 10, m: int = 8,
+                ksub: int = 16, dim: int = 64,
+                seed_order_sql: str = None,
+                table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`pq_topk` with the portable seed —
+    verbatim re-run of encode + ADC as relational algebra (recall vs
+    brute force stays a pytest property)."""
+    from .sampling import portable_hash_sql
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    seed = seed_order_sql or portable_hash_sql("vec_id")
+
+    def sub(col, s):
+        return f"({col}::DOUBLE[])[{s * dsub + 1}:{(s + 1) * dsub}]"
+
+    enc_rows = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, c.centroid_id, {s} AS s, "
+        f"{_sqd_sql(sub('e.embedding', s), sub('c.cvec', s))} AS dsq "
+        f"FROM {table} e CROSS JOIN cent c" for s in range(m))
+    q_rows = "\nUNION ALL\n".join(
+        f"SELECT q.query_id, c.centroid_id, {s} AS s, "
+        f"{_sqd_sql(sub('q.qv', s), sub('c.cvec', s))} AS dsq "
+        f"FROM q CROSS JOIN cent c" for s in range(m))
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM {table} ORDER BY {seed} ASC, vec_id ASC LIMIT {ksub}
+),
+enc AS ({enc_rows}),
+codes AS (
+  SELECT vec_id, s, centroid_id FROM (
+    SELECT vec_id, s, centroid_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dsq ASC, centroid_id ASC) AS rn
+    FROM enc) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM {table}
+      WHERE vec_id IN ({ids})),
+qdist AS ({q_rows}),
+scored AS (
+  SELECT d.query_id, c.vec_id, SUM(d.dsq) AS adist
+  FROM codes c JOIN qdist d USING (s, centroid_id)
+  WHERE c.vec_id <> d.query_id
+  GROUP BY d.query_id, c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, rank, ROUND(adist, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""

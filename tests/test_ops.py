@@ -1094,3 +1094,27 @@ def test_rolling_zscore_matches_pandas(spark):
     np.testing.assert_allclose(j.loc[~both_nan, "z"],
                                j.loc[~both_nan, "z_ref"], atol=1e-9)
     assert (j["is_anomaly"] == (j["z"].abs() > 2.5).fillna(False)).all()
+
+
+def test_pq_rerank_recall_and_code_shape(spark):
+    """PQ ADC shortlist + exact rerank must reach recall >= 0.8@10 vs
+    brute force on the clustered embeddings; codes must be m sub-ids
+    drawn from the ksub seed set."""
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    qids = [r.vec_id for r in emb.select("vec_id").limit(8).collect()]
+    codes, cent = SIM.pq_encode(emb, m=16, ksub=16)
+    crows = codes.limit(20).collect()
+    cids = {r.centroid_id for r in cent.select("centroid_id").collect()}
+    assert len(cids) == 16
+    for r in crows:
+        assert len(r.codes) == 16 and set(r.codes) <= cids
+    bf = SIM.cosine_topk(emb, qids, k=10).collect()
+    pq = SIM.pq_topk(emb, qids, k=10, m=16, ksub=16, rerank=100).collect()
+    from collections import defaultdict
+    b, p = defaultdict(set), defaultdict(set)
+    for r in bf:
+        b[r.query_id].add(r.neighbor_id)
+    for r in pq:
+        p[r.query_id].add(r.neighbor_id)
+    rec = sum(len(b[q] & p[q]) / 10 for q in qids) / len(qids)
+    assert rec >= 0.8, rec
