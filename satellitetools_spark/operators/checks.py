@@ -131,3 +131,76 @@ SELECT '{e["name"]}' AS check_name, '{e["column"]}' AS col_name,
        ROUND({e["sql"]}, {digits}) {cmp} {e["threshold"]!r} AS passed
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def drift_metrics(df: DataFrame, slice_col: str, cat_col: str,
+                  k_smooth: float = 0.5) -> DataFrame:
+    """Distribution-drift monitor: per data slice (source, day,
+    partition...), the categorical distribution of ``cat_col`` compared
+    against the whole-corpus reference — Shannon entropy, KL(slice ‖ global)
+    and total-variation distance. The dashboard numbers that catch a
+    crawler suddenly shipping 90% one language.
+
+    Two hash aggregations, both at (slice × category) cardinality (tiny):
+    one builds slice×category counts, one folds them into per-slice
+    metrics; the global reference derives from the same counts (no second
+    scan). Add-k smoothing keeps KL finite when a slice lacks a category
+    the corpus has. All arithmetic is plain double log/sum — written
+    identically in the oracle.
+    """
+    sc = (df.groupBy(slice_col, cat_col)
+            .agg(F.count(F.lit(1)).alias("n")))
+    cats = sc.groupBy(cat_col).agg(F.sum("n").alias("n_cat"))
+    n_cats = F.broadcast(cats.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n_cat").alias("n_tot")))
+    # complete the slice×category grid so missing categories contribute
+    # their smoothed mass (a cross join of two TINY dimensions)
+    slices = sc.groupBy(slice_col).agg(F.sum("n").alias("n_slice"))
+    grid = (slices.crossJoin(F.broadcast(cats))
+                  .join(sc, [slice_col, cat_col], "left")
+                  .withColumn("n", F.coalesce("n", F.lit(0)))
+                  .crossJoin(n_cats))
+    p = (F.col("n") + k_smooth) / (F.col("n_slice") + k_smooth * F.col("k"))
+    q = F.col("n_cat") / F.col("n_tot")
+    ent_term = -p * F.log(p)
+    kl_term = p * F.log(p / q)
+    tv_term = F.abs(p - q) / 2
+    return (grid.groupBy(slice_col)
+                .agg(F.max("n_slice").alias("n_rows"),
+                     F.sum(ent_term).alias("entropy"),
+                     F.sum(kl_term).alias("kl_vs_global"),
+                     F.sum(tv_term).alias("tv_dist")))
+
+
+def drift_metrics_sql(table: str, slice_col: str, cat_col: str,
+                      k_smooth: float = 0.5) -> str:
+    """DuckDB oracle: identical grid completion, smoothing, and metric
+    folds."""
+    return f"""
+WITH sc AS (
+  SELECT {slice_col}, {cat_col}, COUNT(*) AS n
+  FROM {table} GROUP BY {slice_col}, {cat_col}
+),
+cats AS (SELECT {cat_col}, SUM(n) AS n_cat FROM sc GROUP BY {cat_col}),
+tot AS (SELECT COUNT(*) AS k, SUM(n_cat) AS n_tot FROM cats),
+slices AS (SELECT {slice_col}, SUM(n) AS n_slice FROM sc
+           GROUP BY {slice_col}),
+grid AS (
+  SELECT s.{slice_col}, c.{cat_col}, s.n_slice, c.n_cat, t.k, t.n_tot,
+         COALESCE(sc.n, 0) AS n
+  FROM slices s CROSS JOIN cats c CROSS JOIN tot t
+  LEFT JOIN sc ON sc.{slice_col} = s.{slice_col}
+             AND sc.{cat_col} = c.{cat_col}
+),
+terms AS (
+  SELECT {slice_col}, n_slice,
+         (n + {k_smooth!r}) / (n_slice + {k_smooth!r} * k) AS p,
+         n_cat * 1.0 / n_tot AS q
+  FROM grid
+)
+SELECT {slice_col}, MAX(n_slice) AS n_rows,
+       SUM(-p * ln(p)) AS entropy,
+       SUM(p * ln(p / q)) AS kl_vs_global,
+       SUM(abs(p - q) / 2) AS tv_dist
+FROM terms GROUP BY {slice_col}
+"""

@@ -413,3 +413,69 @@ SELECT * EXCLUDE (m, m2),
                 > {z_thresh!r}, FALSE) AS is_anomaly
 FROM zw
 """
+
+
+def ewma(df: DataFrame, key: Sequence[str] = ("user_id",),
+         ts_col: str = "ts", value_col: str = "value",
+         alpha: float = 0.3, window: int = 12,
+         out_col: str = "ewma") -> DataFrame:
+    """Windowed exponentially-weighted moving average: per key,
+    ``Σ_j (1−α)^j · v_{t−j} / Σ_j (1−α)^j`` over the last ``window``
+    observations (inclusive of the current one), normalized over the
+    lags actually present — the trend-smoothing companion of
+    :func:`rolling_zscore`.
+
+    The infinite-history EWMA recurrence is not expressible as a window
+    aggregate (no per-offset weights in SQL frames) and its prefix-sum
+    rewrite ``(1−α)^t · Σ v_i (1−α)^{−i}`` overflows/cancels for long
+    keys; truncating at ``window`` lags — where the dropped tail weight
+    is ``(1−α)^W`` (≈1.4% at α=0.3, W=12) — admits an EXACT form: an
+    explicit chain of ``window`` ``lag()`` terms sharing ONE window
+    frame (one shuffle, one Window operator; the chain is left-
+    associated identically in the DuckDB oracle, so results are
+    bit-comparable). Plan growth is linear in ``window``: right for the
+    smoothing spans monitoring uses (O(10)), wrong for W ≫ 100 — at that
+    point use :func:`time_grid_fill` + a mapInPandas recurrence.
+    """
+    key = list(key)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key).orderBy(us)
+    decay = 1.0 - alpha
+    num = None
+    den = None
+    for j in range(window):
+        wj = F.lit(decay ** j)
+        vj = F.lag(F.col(value_col), j).over(w) if j else F.col(value_col)
+        t = F.when(vj.isNotNull(), wj * vj).otherwise(F.lit(0.0))
+        d = F.when(vj.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return df.withColumn(out_col,
+                         F.when(den > 0, num / den))
+
+
+def ewma_sql(table: str, key: Sequence[str] = ("user_id",),
+             ts_col: str = "ts", value_col: str = "value",
+             alpha: float = 0.3, window: int = 12,
+             out_col: str = "ewma", columns: str = "*") -> str:
+    """DuckDB oracle: the identical left-associated lag chain over one
+    window."""
+    key_sql = ", ".join(key)
+    v = value_col
+    decay = 1.0 - alpha
+    nums, dens = [], []
+    for j in range(window):
+        wj = repr(decay ** j)
+        vj = f"lag({v}, {j}) OVER w" if j else v
+        nums.append(f"CASE WHEN {vj} IS NOT NULL THEN {wj} * {vj} "
+                    f"ELSE 0.0 END")
+        dens.append(f"CASE WHEN {vj} IS NOT NULL THEN {wj} "
+                    f"ELSE 0.0 END")
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return f"""
+SELECT {columns},
+       CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) END AS {out_col}
+FROM {table}
+WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_col}))
+"""

@@ -4,7 +4,9 @@ from .ingest import (
     streaming_qi,
     streaming_scene_counts,
     streaming_sessions,
+    streaming_zscore,
 )
 
 __all__ = ["stream_documents", "streaming_first_seen", "streaming_qi",
-           "streaming_scene_counts", "streaming_sessions"]
+           "streaming_scene_counts", "streaming_sessions",
+           "streaming_zscore"]

@@ -149,3 +149,67 @@ def streaming_first_seen(doc_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_zscore(events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     window: int = 24, min_periods: int = 8,
+                     z_thresh: float = 2.5) -> DataFrame:
+    """Streaming point-anomaly detection — the stateful analog of the
+    batch ``temporal.rolling_zscore``: per key, the state is a ring
+    buffer of the last ``window`` observations; each arriving event is
+    scored against the buffer (self-excluded, population std) and then
+    appended.
+
+    State is O(window) doubles per key — constant, shardable, and
+    checkpoint-friendly; output mode ``append`` (one scored row per
+    event, exactly once per trigger). Matches the batch operator exactly
+    when each key's events arrive in timestamp order (micro-batches are
+    sorted internally; cross-batch reordering beyond the buffer depth is
+    the usual streaming caveat and the reason the batch operator remains
+    the backfill path).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sel = events.select(key, ts_col, value_col)
+    out_schema = (f"{key} long, {ts_col} timestamp, value double, "
+                  f"n_prev int, z double, is_anomaly boolean")
+
+    def update_fn(k, pdfs, state):
+        buf = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        o_ts, o_v, o_n, o_z, o_f = [], [], [], [], []
+        for r in rows.itertuples(index=False):
+            v = getattr(r, value_col)
+            n = len(buf)
+            z = None
+            if n >= min_periods:
+                a = np.asarray(buf, dtype=np.float64)
+                m = a.mean()
+                sd = float(np.sqrt(np.maximum(
+                    (a * a).mean() - m * m, 0.0)))
+                if sd > 0:
+                    z = float((v - m) / sd)
+            o_ts.append(getattr(r, ts_col))
+            o_v.append(v)
+            o_n.append(n)
+            o_z.append(z)
+            o_f.append(bool(z is not None and abs(z) > z_thresh))
+            buf.append(float(v))
+            if len(buf) > window:
+                buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame({key: [k[0]] * len(o_v), ts_col: o_ts,
+                            "value": o_v, "n_prev": o_n, "z": o_z,
+                            "is_anomaly": o_f})
+
+    return sel.groupBy(key).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType="buf array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

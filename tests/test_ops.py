@@ -1118,3 +1118,31 @@ def test_pq_rerank_recall_and_code_shape(spark):
         p[r.query_id].add(r.neighbor_id)
     rec = sum(len(b[q] & p[q]) / 10 for q in qids) / len(qids)
     assert rec >= 0.8, rec
+
+
+def test_ewma_matches_local_loop(spark):
+    """Windowed EWMA vs a local truncated-weight loop (present-lag
+    normalization at stream heads)."""
+    from satellitetools_spark.operators.temporal import ewma
+    ev = (spark.read.parquet(os.path.join(TESTDATA, "events.parquet"))
+          .select("user_id", "ts", "value"))
+    out = ewma(ev, alpha=0.3, window=12).toPandas()
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    decay = 0.7
+
+    def ref(s):
+        vals = s.to_numpy()
+        r = np.empty(len(vals))
+        for t in range(len(vals)):
+            num = den = 0.0
+            for j in range(min(12, t + 1)):
+                wj = decay ** j
+                num += wj * vals[t - j]
+                den += wj
+            r[t] = num / den
+        return pd.Series(r, index=s.index)
+
+    pdf["ref"] = pdf.groupby("user_id")["value"].transform(ref)
+    j = out.merge(pdf, on=["user_id", "ts"], suffixes=("", "_r"))
+    assert len(j) == len(out)
+    np.testing.assert_allclose(j["ewma"], j["ref"], atol=1e-9)

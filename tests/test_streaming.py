@@ -146,3 +146,58 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
     assert got["user_id"].tolist() == batch["user_id"].tolist()
     assert got["session_start"].tolist() == batch["session_start"].tolist()
     assert got["n_events"].tolist() == batch["n_events"].tolist()
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Stateful streaming z-score over a 3-micro-batch time-ordered
+    replay equals the batch rolling_zscore row-for-row (same buffer
+    depth, min-support, and flag)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.temporal import rolling_zscore
+    from satellitetools_spark.streaming import streaming_zscore
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(src).select("user_id", "ts", "value")
+    feed = tmp_path / "ev_feed"
+    feed.mkdir()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = (ev.agg(F.expr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"))
+              .collect()[0])
+    t = us
+    chunks = [ev.filter(t <= lo), ev.filter((t > lo) & (t <= hi)),
+              ev.filter(t > hi)]
+    import glob
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"chunk_{i}")
+        chunk.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_zscore(stream, window=24, min_periods=8, z_thresh=2.5)
+         .writeStream.format("memory").queryName("zscore_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = (spark.sql("SELECT * FROM zscore_stream").toPandas()
+           .sort_values(["user_id", "ts"]).reset_index(drop=True))
+
+    ref = (rolling_zscore(ev, window=24, min_periods=8, z_thresh=2.5)
+           .select("user_id", "ts", "value", "n_prev", "z", "is_anomaly")
+           .toPandas().sort_values(["user_id", "ts"])
+           .reset_index(drop=True))
+    assert len(got) == len(ref)
+    assert (got["n_prev"] == ref["n_prev"]).all()
+    both_nan = got["z"].isna() & ref["z"].isna()
+    import numpy as np
+    np.testing.assert_allclose(got.loc[~both_nan, "z"],
+                               ref.loc[~both_nan, "z"], atol=1e-9)
+    assert (got["is_anomaly"] == ref["is_anomaly"]).all()
