@@ -359,3 +359,49 @@ SELECT {key_col}, shard, n_tokens, start_offset,
        CAST(start_offset % {seq_len} AS BIGINT) AS pack_pos
 FROM off
 """
+
+
+def wrs_sample(df: DataFrame, weight_col: str, n: int,
+               key_col: str = "doc_id", salt: str = "wrs") -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, IPL'06): draw exactly ``n`` rows where each row's
+    inclusion odds are proportional to its weight — the exact-size
+    counterpart of the Poisson :func:`pps_sample` (fixed budget, e.g.
+    "exactly 1M documents, long ones more likely").
+
+    Per row, a deterministic uniform ``u = (portable_hash(key:salt)+1) /
+    (M+1)`` and the A-ES ranking key ``ln(u)/w`` (the monotone-stable
+    form of ``u^(1/w)`` — ln+divide instead of pow keeps cross-engine
+    float drift out of the ordering); the sample is the global top-n by
+    key. One TakeOrderedAndProject (per-partition top-n, driver merge of
+    n·partitions candidates) — no full sort, no shuffle of non-winners,
+    no driver state beyond the result. Keys are rounded to 1e-12 before
+    ranking with the id as tiebreak, so engine ulp differences in
+    ``ln`` cannot reorder the sample (verified by the DuckDB oracle
+    computing the identical fold). Rows with non-positive weight are
+    excluded (their ranking key is undefined).
+    """
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    u = (portable_hash(salted) + 1).cast("double") / F.lit(float(_M + 1))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, 12)
+    return (df.filter(w > 0)
+              .withColumn("wrs_key", score)
+              .orderBy(F.desc("wrs_key"), F.asc(key_col))
+              .limit(n))
+
+
+def wrs_sample_sql(table: str = "documents", weight_col: str = "n_chars",
+                   n: int = 100, key_col: str = "doc_id",
+                   salt: str = "wrs", columns: str = "*") -> str:
+    """DuckDB oracle: identical hash fold, uniform, and A-ES key."""
+    salted = f"CAST({key_col} AS VARCHAR) || ':{salt}'"
+    return f"""
+SELECT {columns},
+       ROUND(ln(({portable_hash_sql(salted)} + 1) / {float(_M + 1)!r})
+             / CAST({weight_col} AS DOUBLE), 12) AS wrs_key
+FROM {table}
+WHERE CAST({weight_col} AS DOUBLE) > 0
+ORDER BY wrs_key DESC, {key_col} ASC
+LIMIT {n}
+"""

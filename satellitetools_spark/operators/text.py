@@ -861,3 +861,88 @@ SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams, avg_logp,
        exp(-avg_logp) AS ppl
 FROM {table} d LEFT JOIN per_doc USING (doc_id)
 """
+
+
+def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 retrieval: the top-k documents for a bag-of-terms
+    query — the standard lexical ranking function (and the usual sparse
+    half of hybrid dense+sparse retrieval next to the embedding ANN
+    operators).
+
+    Per query term: Robertson idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``
+    from the corpus; per (doc, term): saturated tf
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``. One tokenize pass
+    feeds BOTH the per-doc term counts (filtered to the query's terms —
+    a broadcast literal `isin`, so the shuffle carries only matching
+    pairs) and the per-doc lengths; df for the query terms comes from
+    the same filtered aggregate, N/avgdl ride in as a broadcast one-row
+    table. Ranking is a global top-k over scored docs —
+    TakeOrderedAndProject, no full sort. Documents matching no query
+    term score 0 and are not returned.
+    """
+    terms = sorted(set(query_terms))
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    base = docs.select("doc_id", toks.alias("_toks"))
+    dl = base.select("doc_id", F.size("_toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (base.select("doc_id", F.explode("_toks").alias("token"))
+              .filter(F.col("token").isin(terms))
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_t), "token")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    per_term = scored.withColumn("_s", idf * sat)
+    out = (per_term.groupBy("doc_id")
+                   .agg(F.round(F.sum("_s"), 6).alias("bm25"),
+                        F.count("*").alias("n_terms_hit")))
+    return (out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+               .select("doc_id", "bm25", "n_terms_hit"))
+
+
+def bm25_topk_sql(table: str = "documents",
+                  query_terms: Sequence[str] = (), k: int = 10,
+                  k1: float = 1.2, b: float = 0.75,
+                  text_col: str = "text") -> str:
+    """DuckDB oracle: identical tokenize/df/saturation/ranking."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+  FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+),
+df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * ({k1!r} + 1.0))
+           / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / s.avgdl))
+           AS s_term
+  FROM tf JOIN df_t d USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, ROUND(SUM(s_term), 6) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+"""

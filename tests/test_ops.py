@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from satellitetools_spark import geometry as G
 from satellitetools_spark.operators import dedup as D
 from satellitetools_spark.operators import media as M
+from satellitetools_spark.operators import sampling as SAMP
 from satellitetools_spark.operators import similarity as SIM
 from satellitetools_spark.operators.knn_fill import knn_fill
 from satellitetools_spark.operators.skew import salted_group_count
@@ -1146,3 +1147,49 @@ def test_ewma_matches_local_loop(spark):
     j = out.merge(pdf, on=["user_id", "ts"], suffixes=("", "_r"))
     assert len(j) == len(out)
     np.testing.assert_allclose(j["ewma"], j["ref"], atol=1e-9)
+
+
+def test_bm25_matches_local(spark):
+    """BM25 vs a local Counter reimplementation on a crafted corpus."""
+    import math
+    import re
+    from collections import Counter
+    from satellitetools_spark.operators.text import bm25_topk
+    texts = {1: "hash join hash join scan", 2: "hash scan filter",
+             3: "vector vector vector hash", 4: "sort merge order",
+             5: "join"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           bm25_topk(df, ["hash", "vector"], k=5).collect()}
+
+    toks = {d: re.findall("[a-z0-9]+", t.lower()) for d, t in texts.items()}
+    N = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in ("hash", "vector"):
+        dfreq = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+        for d, v in toks.items():
+            tf = Counter(v)[term]
+            if tf:
+                s = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl))
+                want[d] = want.get(d, 0.0) + s
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert abs(got[d].bm25 - round(s, 6)) < 1e-6
+
+
+def test_wrs_sample_deterministic_and_weight_biased(spark):
+    """A-ES sample: exact size, re-run identical, layout-independent,
+    and long-document-biased (mean sampled weight > corpus mean)."""
+    docs = _docs(spark).select("doc_id", "n_chars")
+    s1 = SAMP.wrs_sample(docs, "n_chars", n=100).collect()
+    s2 = SAMP.wrs_sample(docs.repartition(13), "n_chars", n=100).collect()
+    assert len(s1) == 100
+    assert {r.doc_id for r in s1} == {r.doc_id for r in s2}
+    mean_corpus = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sample = sum(r.n_chars for r in s1) / 100
+    assert mean_sample > mean_corpus
