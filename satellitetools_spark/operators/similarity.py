@@ -686,3 +686,50 @@ ranked AS (
 SELECT query_id, vec_id AS neighbor_id, rank, ROUND(adist, 6) AS adist
 FROM ranked WHERE rank <= {k}
 """
+
+
+def rrf_fuse(rankings: List[DataFrame], k: int = 10, k_rrf: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge any
+    number of rankings — BM25, dense ANN, recency — by summing
+    ``1/(k_rrf + rank)`` per candidate; rank-based, so incomparable
+    scores (lexical vs cosine) fuse without calibration. The standard
+    hybrid-retrieval combiner.
+
+    Each input needs (id_col, rank_col). Missing candidates simply
+    contribute nothing. One union of top-R tables (tiny), one hash agg,
+    one TakeOrderedAndProject — driver-free and independent of corpus
+    size because inputs are already top-R."""
+    parts = [r.select(F.col(id_col).alias("fid"),
+                      (1.0 / (F.lit(float(k_rrf)) + F.col(rank_col)))
+                      .alias("c"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (u.groupBy("fid")
+            .agg(F.round(F.sum("c"), 9).alias("rrf_score"),
+                 F.count("*").alias("n_rankers")))
+    return (out.orderBy(F.desc("rrf_score"), F.asc("fid")).limit(k)
+               .select(F.col("fid").alias(id_col), "rrf_score",
+                       "n_rankers"))
+
+
+def rrf_fuse_sql(ranking_sqls: List[str], k: int = 10, k_rrf: int = 60,
+                 id_col: str = "doc_id", rank_col: str = "rank") -> str:
+    """DuckDB oracle: UNION ALL of the contribution subqueries + the
+    identical fold. Each entry of ``ranking_sqls`` must yield
+    (id_col, rank_col)."""
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {id_col} AS fid, 1.0 / ({float(k_rrf)!r} + {rank_col}) "
+        f"AS c FROM ({s}) rrf_in_{i}"
+        for i, s in enumerate(ranking_sqls))
+    return f"""
+WITH contrib AS ({parts}),
+fused AS (
+  SELECT fid, ROUND(SUM(c), 9) AS rrf_score, COUNT(*) AS n_rankers
+  FROM contrib GROUP BY fid
+)
+SELECT fid AS {id_col}, rrf_score, n_rankers
+FROM fused ORDER BY rrf_score DESC, fid ASC LIMIT {k}
+"""

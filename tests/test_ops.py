@@ -1193,3 +1193,41 @@ def test_wrs_sample_deterministic_and_weight_biased(spark):
     mean_corpus = docs.agg(F.avg("n_chars")).collect()[0][0]
     mean_sample = sum(r.n_chars for r in s1) / 100
     assert mean_sample > mean_corpus
+
+
+def test_pagerank_matches_local_power_iteration(spark):
+    """3-iteration PageRank on a crafted graph vs a local dense power
+    iteration (undirected symmetrization, no dangling nodes)."""
+    from satellitetools_spark.operators.graph import pagerank
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)]
+    df = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+    got = {r.node: r.pr for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    deg = A.sum(1)
+    p = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        p = (1 - 0.85) / len(nodes) + 0.85 * (A.T @ (p / deg))
+    for v in nodes:
+        assert abs(got[v] - round(p[idx[v]], 9)) < 1e-8
+
+
+def test_rrf_fuse_known_rankings(spark):
+    """RRF on two crafted rankings: overlap candidates outrank
+    single-ranker ones; scores match the 1/(60+r) fold."""
+    from satellitetools_spark.operators.similarity import rrf_fuse
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                               "doc_id int, rank int")
+    r2 = spark.createDataFrame([(3, 1), (4, 2), (1, 3)],
+                               "doc_id int, rank int")
+    got = {r.doc_id: r for r in rrf_fuse([r1, r2], k=4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert abs(got[1].rrf_score - round(1 / 61 + 1 / 63, 9)) < 1e-9
+    assert abs(got[3].rrf_score - round(1 / 63 + 1 / 61, 9)) < 1e-9
+    assert got[1].n_rankers == 2 and got[2].n_rankers == 1
+    order = sorted(got.values(), key=lambda r: -r.rrf_score)
+    assert {order[0].doc_id, order[1].doc_id} == {1, 3}
