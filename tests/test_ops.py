@@ -1231,3 +1231,22 @@ def test_rrf_fuse_known_rankings(spark):
     assert got[1].n_rankers == 2 and got[2].n_rankers == 1
     order = sorted(got.values(), key=lambda r: -r.rrf_score)
     assert {order[0].doc_id, order[1].doc_id} == {1, 3}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted fact-to-hot-dimension join returns exactly the plain
+    join's rows (inner and left, incl. unmatched-left NULLs)."""
+    from satellitetools_spark.operators.skew import salted_join
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    dim = (docs.groupBy("lang")
+           .agg(F.avg("n_chars").alias("lang_mean"))
+           .filter(F.col("lang") != "en"))  # force unmatched keys
+    for how in ("inner", "left"):
+        got = (salted_join(docs, dim, "lang", n_salt=8, how=how)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        ref = (docs.join(dim, "lang", how)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(ref)
+        got = got[sorted(got.columns)]
+        ref = ref[sorted(ref.columns)]
+        pd.testing.assert_frame_equal(got, ref, check_like=True)
