@@ -204,3 +204,61 @@ SELECT {slice_col}, MAX(n_slice) AS n_rows,
        SUM(abs(p - q) / 2) AS tv_dist
 FROM terms GROUP BY {slice_col}
 """
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              n_bins: int = 20) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one hash aggregation
+    keyed by bin index (map-side combine → shuffle at n_bins
+    cardinality), the grouped-data companion of the profiler. Values
+    below ``lo`` land in bin -1, at/above ``hi`` in bin ``n_bins`` —
+    explicit under/overflow bins rather than silent clipping, so the
+    histogram always sums to the non-null count. Empty bins are emitted
+    (zero count) via a range join to the full bin index — consumers plot
+    without gap handling. Bin edges are derived from the index by the
+    same expression in the oracle, so they match bit-for-bit.
+    """
+    if n_bins < 1:
+        raise ValueError("histogram: n_bins must be >= 1")
+    v = F.col(col)
+    width = (float(hi) - float(lo)) / n_bins
+    raw = F.floor((v - float(lo)) / F.lit(width)).cast("long")
+    bin_ = (F.when(v < lo, F.lit(-1))
+             .when(v >= hi, F.lit(n_bins))
+             .otherwise(F.least(raw, F.lit(n_bins - 1))).cast("int"))
+    counts = (df.filter(v.isNotNull())
+                .groupBy(bin_.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    bins = spark.range(-1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin"))
+    return (bins.join(counts, "bin", "left")
+                .select("bin",
+                        (F.lit(float(lo)) + F.col("bin") * F.lit(width))
+                        .alias("bin_lo"),
+                        (F.lit(float(lo)) + (F.col("bin") + 1)
+                         * F.lit(width)).alias("bin_hi"),
+                        F.coalesce("n", F.lit(0)).alias("n")))
+
+
+def histogram_sql(table: str, col: str, lo: float, hi: float,
+                  n_bins: int = 20) -> str:
+    """DuckDB oracle: identical binning and edge derivation."""
+    width = (float(hi) - float(lo)) / n_bins
+    return f"""
+WITH hcounts AS (
+  SELECT CAST(CASE WHEN {col} < {lo!r} THEN -1
+              WHEN {col} >= {hi!r} THEN {n_bins}
+              ELSE LEAST(CAST(FLOOR(({col} - {lo!r}) / {width!r}) AS BIGINT),
+                         {n_bins - 1}) END AS INT) AS bin,
+         COUNT(*) AS n
+  FROM {table} WHERE {col} IS NOT NULL
+  GROUP BY 1
+),
+hbins AS (SELECT CAST(u.b AS INT) AS bin
+          FROM unnest(generate_series(-1, {n_bins})) u(b))
+SELECT bin, {lo!r} + bin * {width!r} AS bin_lo,
+       {lo!r} + (bin + 1) * {width!r} AS bin_hi,
+       COALESCE(n, 0) AS n
+FROM hbins LEFT JOIN hcounts USING (bin)
+"""
