@@ -90,3 +90,85 @@ pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
 {layer_sql}
 SELECT node, ROUND(pr, 9) AS pr FROM {prev}
 """
+
+
+def triangle_count(pairs: DataFrame, src_col: str = "doc_a",
+                   dst_col: str = "doc_b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected pair
+    table — the clustering-structure primitive behind dup-cluster
+    density scoring and community detection seeds.
+
+    Uses the degree-oriented (Cohen) algorithm: every edge is directed
+    from its lower-(degree, node) endpoint to the higher one, so wedge
+    enumeration fans out from each node over its HIGHER-degree
+    neighbours only — a hub of degree d generates O(d) oriented
+    out-edges instead of O(d²) wedges, which is what makes the plan
+    survive power-law graphs at scale (the skew lands on low-degree
+    apexes). Each triangle is then found exactly once: its unique
+    out-degree-2 apex proposes the wedge, one join against the
+    canonical edge set closes it. Shape: two self-joins at edge
+    cardinality + one explode at triangle cardinality + a hash agg at
+    node cardinality; the degree table is node-cardinality and
+    broadcast-able.
+    """
+    e = (pairs.select(F.least(src_col, dst_col).alias("u"),
+                      F.greatest(src_col, dst_col).alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | \
+        ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(F.when(lower_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("src"),
+                        F.when(lower_first, F.col("v")).otherwise(F.col("u"))
+                        .alias("dst")))
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = (o1.join(o2, "src").filter(F.col("d1") < F.col("d2")))
+    tris = wedges.join(
+        e, (F.col("d1") == F.col("u")) & (F.col("d2") == F.col("v")))
+    per_node = (tris.select(F.explode(F.array("src", "d1", "d2"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count("*").alias("n_tri")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", F.coalesce("n_tri", F.lit(0)).alias("n_tri")))
+
+
+def triangle_count_sql(pairs_sql: str, src_col: str = "doc_a",
+                       dst_col: str = "doc_b") -> str:
+    """DuckDB oracle: the identical degree-oriented enumeration."""
+    return f"""
+WITH tpairs AS ({pairs_sql}),
+ce AS (SELECT DISTINCT LEAST({src_col}, {dst_col}) AS u,
+              GREATEST({src_col}, {dst_col}) AS v FROM tpairs),
+tdeg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM ce UNION ALL SELECT v AS node FROM ce
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM ce e JOIN tdeg du ON du.node = e.u JOIN tdeg dv ON dv.node = e.v
+),
+tris AS (
+  SELECT o1.src, o1.dst AS d1, o2.dst AS d2
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src AND o1.dst < o2.dst
+  JOIN ce ON ce.u = o1.dst AND ce.v = o2.dst
+),
+per_node AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT src AS node FROM tris
+    UNION ALL SELECT d1 FROM tris
+    UNION ALL SELECT d2 FROM tris
+  ) GROUP BY node
+)
+SELECT d.node, COALESCE(p.n_tri, 0) AS n_tri
+FROM tdeg d LEFT JOIN per_node p ON p.node = d.node
+"""

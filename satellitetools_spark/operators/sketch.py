@@ -1,0 +1,101 @@
+"""Distinct-count sketching: K-minimum-values (KMV) estimator.
+
+The HLL-role operator for vocabulary / key-cardinality estimation in a
+training-data pipeline (vocab sizing, join-key cardinality for plan
+choice, dedup-rate monitoring). KMV keeps the k smallest distinct hash
+values of a key stream; if the k-th smallest is h_k over a hash space of
+size M, the distinct count is estimated as (k-1) * M / h_k (the order-
+statistics estimator of Bar-Yossef et al., relative error ~ 1/sqrt(k)).
+
+Unlike engine-native ``approx_count_distinct`` (whose HLL++ registers
+are implementation-defined and cannot be reproduced by an oracle), the
+hash here is the repo's portable polynomial (131, 1e9+7) char fold — so
+a DuckDB twin computes the bit-identical sketch, estimate and all, and
+the correctness gate covers an *approximate* operator exactly.
+
+Distributed shape: explode → hash → hash-aggregate on the hash value.
+The map-side partial dedup means the shuffle carries per-partition
+DISTINCT hashes only (each partition's stream collapses to its local
+sketch-superset), then ``ORDER BY h LIMIT k`` compiles to
+TakeOrderedAndProject — per-partition top-k heaps merged on the driver
+at k·P rows, never a global sort. The exact distinct count rides along
+in the same plan for gate-time error accounting; production callers
+drop that column and with it the only vocabulary-cardinality
+aggregation state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _M, portable_hash, portable_hash_sql
+
+_B = 131
+
+
+def _mix(h):
+    """Nonlinear post-mix for order-statistics use: the raw polynomial
+    fold maps strings differing only in the last char to CONSECUTIVE
+    values (the fold's last step adds the char code), which clumps the
+    low order statistics and biases the KMV estimator ~4x. Squaring mod
+    p spreads consecutive inputs by ~2h ≈ the full hash space. All
+    intermediates stay < 2^63 (h < 1e9+7, h² < 1e18), so Spark long and
+    DuckDB BIGINT compute it bit-identically."""
+    return ((h * h) % _M * _B + h) % _M
+
+
+def _mix_sql(expr: str) -> str:
+    h = f"CAST({expr} AS BIGINT)"
+    return f"(({h} * {h}) % {_M} * {_B} + {h}) % {_M}"
+
+
+def kmv_distinct(docs: DataFrame, k: int = 256,
+                 text_col: str = "text") -> DataFrame:
+    """One-row KMV distinct-token estimate over a document corpus:
+    ``(k, n_kept, kth_hash, est_distinct, exact_distinct)``.
+
+    ``n_kept < k`` means the stream had fewer than k distinct hashes —
+    the sketch then IS the exact distinct set and the estimate degrades
+    to the exact count (the standard small-cardinality escape).
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct: k must be >= 2")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    hs = (docs.select(F.explode(toks).alias("token"))
+          .select(_mix(portable_hash(F.col("token"))).alias("h"))
+          .distinct())
+    kmin = hs.select("h").orderBy("h").limit(k)
+    sketch = kmin.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+    exact = hs.agg(F.count("*").alias("exact_distinct"))
+    return (sketch.crossJoin(F.broadcast(exact))
+            .select(F.lit(k).alias("k"), "n_kept", "kth_hash",
+                    F.round(F.when(F.col("n_kept") < k,
+                                   F.col("n_kept").cast("double"))
+                            .otherwise((F.lit(float(k - 1)) * F.lit(float(_M)))
+                                       / F.col("kth_hash")), 6)
+                    .alias("est_distinct"),
+                    "exact_distinct"))
+
+
+def kmv_distinct_sql(table: str = "documents", k: int = 256,
+                     text_col: str = "text") -> str:
+    """DuckDB oracle: the bit-identical sketch and estimator."""
+    return f"""
+WITH ktoks AS (
+  SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS token
+  FROM {table}
+),
+kraw AS (SELECT {portable_hash_sql('token')} AS h0 FROM ktoks),
+khs AS (SELECT DISTINCT {_mix_sql('h0')} AS h FROM kraw),
+kmin AS (SELECT h FROM khs ORDER BY h LIMIT {k}),
+sk AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth_hash FROM kmin)
+SELECT {k} AS k, n_kept, kth_hash,
+       ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+             ELSE {float(k - 1)!r} * {float(_M)!r} / kth_hash END,
+             6) AS est_distinct,
+       (SELECT COUNT(*) FROM khs) AS exact_distinct
+FROM sk
+"""

@@ -946,3 +946,94 @@ scored AS (
 SELECT doc_id, bm25, n_terms_hit
 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
 """
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50,
+                text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-token bigrams by pointwise mutual information —
+    the phrase-mining primitive (word2phrase-style collocation
+    detection) for tokenizer/vocab construction over a training corpus.
+
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab / N_bigrams and
+    p(w) = c_w / N_tokens. Bigrams are formed inside one projection —
+    ``zip_with`` over the token array against its shift — so there is no
+    token-cardinality self-join; the only shuffles are the two hash aggs
+    at bigram- and unigram-vocabulary cardinality (both map-side
+    combined, Zipf ≪ stream). The ``min_count`` filter lands BEFORE the
+    unigram joins, so the join input is the surviving-bigram set, and
+    the unigram count table is vocabulary-cardinality — broadcast-able
+    at any corpus size. Final top-k ranks on ROUND(pmi, 6) with a
+    (w1, w2) tie-break so the cut is engine-portable.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+                         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bi_rows = docs.select(F.explode(bigrams).alias("bg")) \
+                  .select("bg.w1", "bg.w2")
+    uni_rows = docs.select(F.explode(toks).alias("w"))
+    n_bi = bi_rows.agg(F.count("*").alias("n_bi"))
+    n_uni = uni_rows.agg(F.count("*").alias("n_uni"))
+    c_bi = (bi_rows.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+            .filter(F.col("c_ab") >= min_count))
+    c_uni = uni_rows.groupBy("w").agg(F.count("*").alias("c_w"))
+    scored = (c_bi
+              .join(F.broadcast(c_uni.select(F.col("w").alias("w1"),
+                                             F.col("c_w").alias("c_a"))),
+                    "w1")
+              .join(F.broadcast(c_uni.select(F.col("w").alias("w2"),
+                                             F.col("c_w").alias("c_b"))),
+                    "w2")
+              .crossJoin(F.broadcast(n_bi))
+              .crossJoin(F.broadcast(n_uni))
+              .select("w1", "w2", "c_ab",
+                      F.round(F.log((F.col("c_ab") / F.col("n_bi"))
+                                    / ((F.col("c_a") / F.col("n_uni"))
+                                       * (F.col("c_b") / F.col("n_uni")))),
+                              6).alias("pmi")))
+    from pyspark.sql import Window
+    # cut FIRST (TakeOrderedAndProject: per-partition heaps, no global
+    # sort), then number the k survivors — the single-partition
+    # row_number window only ever sees k rows
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "w1", "w2", "c_ab", "pmi"))
+
+
+def pmi_bigrams_sql(table: str = "documents", min_count: int = 5,
+                    k: int = 50, text_col: str = "text") -> str:
+    """DuckDB oracle: identical counting, PMI formula, and ranked cut."""
+    return f"""
+WITH ptoks AS (
+  SELECT regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS ts
+  FROM {table}
+),
+puni AS (SELECT unnest(ts) AS w FROM ptoks),
+pbi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM ptoks, unnest(generate_series(1, len(ts) - 1)) u(i)
+),
+c_uni AS (SELECT w, COUNT(*) AS c_w FROM puni GROUP BY w),
+c_bi AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM pbi GROUP BY w1, w2
+  HAVING COUNT(*) >= {min_count}
+),
+tots AS (SELECT (SELECT COUNT(*) FROM pbi) AS n_bi,
+                (SELECT COUNT(*) FROM puni) AS n_uni),
+pscored AS (
+  SELECT b.w1, b.w2, b.c_ab,
+         ROUND(ln((b.c_ab * 1.0 / t.n_bi)
+                  / ((ca.c_w * 1.0 / t.n_uni)
+                     * (cb.c_w * 1.0 / t.n_uni))), 6) AS pmi
+  FROM c_bi b
+  JOIN c_uni ca ON ca.w = b.w1
+  JOIN c_uni cb ON cb.w = b.w2
+  CROSS JOIN tots t
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank,
+       w1, w2, c_ab, pmi
+FROM pscored
+ORDER BY rank LIMIT {k}
+"""

@@ -1250,3 +1250,57 @@ def test_salted_join_equals_plain_join(spark):
         got = got[sorted(got.columns)]
         ref = ref[sorted(ref.columns)]
         pd.testing.assert_frame_equal(got, ref, check_like=True)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on a-d (4 triangles, each node in 3) plus a pendant edge d-e
+    # and an isolated edge f-g (zero triangles each)
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("f", "g"),
+             ("b", "a")]  # duplicate in reverse order must not double-count
+    from satellitetools_spark.operators.graph import triangle_count
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_count(pairs).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0, "f": 0, "g": 0}
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # 2000 distinct synthetic tokens; KMV(k=256) must land within the
+    # ~3/sqrt(k) relative-error envelope of the exact count
+    from satellitetools_spark.operators.sketch import kmv_distinct
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"tok{i}x{j}" for j in range(10)),)
+         for i in range(200)], ["doc_id", "text"])
+    row = kmv_distinct(docs, k=256).collect()[0]
+    assert row["exact_distinct"] == 2000
+    assert row["n_kept"] == 256
+    rel = abs(row["est_distinct"] - 2000) / 2000
+    assert rel < 3.0 / (256 ** 0.5), rel
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    from satellitetools_spark.operators.sketch import kmv_distinct
+    docs = spark.createDataFrame(
+        [("d0", "alpha beta gamma alpha beta",)], ["doc_id", "text"])
+    row = kmv_distinct(docs, k=256).collect()[0]
+    assert row["n_kept"] == 3
+    assert row["est_distinct"] == 3.0 == float(row["exact_distinct"])
+
+
+def test_pmi_bigrams_crafted_collocation(spark):
+    # "new york" always adjacent; "the" everywhere — the collocation
+    # must outrank any bigram involving the stopword
+    from satellitetools_spark.operators.text import pmi_bigrams
+    rows = [(f"d{i}", "the new york office near the station",)
+            for i in range(10)]
+    out = pmi_bigrams(spark.createDataFrame(rows, ["doc_id", "text"]),
+                      min_count=5, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in by_pair
+    top = out[0]
+    assert (top["w1"], top["w2"]) != ("the", "new")
+    pmi_ny = by_pair[("new", "york")]["pmi"]
+    for (w1, w2), r in by_pair.items():
+        if "the" in (w1, w2):
+            assert r["pmi"] < pmi_ny
