@@ -25,6 +25,7 @@ tiles ~1e9:1) plus AQE skew-join splitting.
 from __future__ import annotations
 
 import json
+import math
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -516,3 +517,47 @@ SOBEL_GX = {(dx, dy): float(dx * (2 - abs(dy)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
 SOBEL_GY = {(dx, dy): float(dy * (2 - abs(dx)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+
+
+def distance_join(points: DataFrame, stations: DataFrame, radius: float,
+                  cell_m: float = CELL_SIZE_M,
+                  station_id_col: str = "station_id",
+                  broadcast_stations: bool = True) -> DataFrame:
+    """Distance-threshold spatial pair join: every (point, station) pair
+    with planar distance ≤ ``radius`` — the within-d band join (sensor
+    attribution, ground-truth matching) that neither equi- nor range
+    joins express directly.
+
+    Candidate generation replicates the SMALL side: each station row
+    explodes to the grid cells its radius-disc bounding box overlaps —
+    (2·ceil(r/cell)+1)² rows per station, a constant — and the result
+    broadcasts, so the big point side is touched by exactly one
+    broadcast hash join on the cell id it computes in codegen, zero
+    shuffles at point cardinality. The distance predicate then runs
+    exactly on the survivors (bbox-cell false positives only). With a
+    planetary station table, ``broadcast_stations=False`` shuffles both
+    sides on the cell key instead — same replicated-build shape, still
+    no cross product anywhere. Stations carry (``station_id``, sx, sy).
+    """
+    r_cells = int(math.ceil(radius / cell_m))
+    six = F.floor(F.col("sx") / cell_m).cast("long")
+    siy = F.floor(F.col("sy") / cell_m).cast("long")
+    cand = (stations
+            .select(station_id_col, "sx", "sy",
+                    F.explode(F.sequence(six - r_cells, six + r_cells))
+                    .alias("ix"), siy.alias("siy"))
+            .select(station_id_col, "sx", "sy", "ix",
+                    F.explode(F.sequence(F.col("siy") - r_cells,
+                                         F.col("siy") + r_cells))
+                    .alias("iy"))
+            .select(station_id_col, "sx", "sy",
+                    (F.col("iy") * F.lit(2 ** 32)
+                     + F.pmod(F.col("ix"), F.lit(2 ** 32))).alias("cell")))
+    if broadcast_stations:
+        cand = F.broadcast(cand)
+    px = points if "cell" in points.columns else with_cell(points, cell_m)
+    d2 = ((F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2)
+    return (px.join(cand, "cell")
+            .filter(d2 <= F.lit(float(radius) ** 2))
+            .drop("cell")
+            .withColumn("dist", F.round(F.sqrt(d2), 6)))

@@ -479,3 +479,84 @@ SELECT {columns},
 FROM {table}
 WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_col}))
 """
+
+
+def funnel(events: DataFrame, steps: Sequence[str], key: str = "user_id",
+           type_col: str = "event_type",
+           time_col: str = "ts") -> DataFrame:
+    """Ordered-funnel analysis: for each key, step i counts only if an
+    event of type ``steps[i]`` occurs STRICTLY AFTER the key's earliest
+    completion of step i-1 (first-touch semantics — the per-key
+    timestamps are the lexicographically earliest completion chain).
+    Returns one row per step: ``(step, event_type, n_users, conv_rate,
+    avg_seconds)`` where conv_rate is vs step 1 and avg_seconds is the
+    mean time from the step-1 touch.
+
+    Shape: the step-1 aggregation reduces the stream to key cardinality
+    once; each later step is a key-equi join of the (filtered,
+    step-type-only) event stream against that key-cardinality frontier
+    + a hash agg — len(steps) is a small constant, every join keys on
+    the funnel key so AQE/co-partitioning applies, and nothing is ever
+    per-row Python or driver-side. The final per-step rollup aggregates
+    k single-row DataFrames — constant work.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    ev = events.select(F.col(key).alias("k"), F.col(type_col).alias("et"),
+                       F.col(time_col).alias("t"))
+    frontier = (ev.filter(F.col("et") == steps[0])
+                .groupBy("k").agg(F.min("t").alias("t0")))
+    tables = [frontier]
+    for i, s in enumerate(steps[1:], start=1):
+        prev = tables[-1]
+        prev_ts = [c for c in prev.columns if c != "k"]
+        cur = (ev.filter(F.col("et") == s)
+               .join(prev, "k")
+               .filter(F.col("t") > F.col(f"t{i - 1}"))
+               .groupBy("k", *prev_ts).agg(F.min("t").alias(f"t{i}")))
+        tables.append(cur)
+    base = tables[0].agg(F.count("*").alias("n_base"))
+    out = None
+    for i, s in enumerate(steps):
+        secs = _epoch(F.col(f"t{i}")) - _epoch(F.col("t0"))
+        row = (tables[i]
+               .agg(F.count("*").alias("n_users"),
+                    F.round(F.avg(secs), 6).alias("avg_seconds"))
+               .select(F.lit(i + 1).alias("step"),
+                       F.lit(s).alias("event_type"), "n_users",
+                       "avg_seconds"))
+        out = row if out is None else out.unionByName(row)
+    return (out.crossJoin(F.broadcast(base))
+            .select("step", "event_type", "n_users",
+                    F.round(F.col("n_users") / F.col("n_base"), 6)
+                    .alias("conv_rate"), "avg_seconds"))
+
+
+def funnel_sql(table: str, steps: Sequence[str], key: str = "user_id",
+               type_col: str = "event_type", time_col: str = "ts") -> str:
+    """DuckDB oracle: the identical first-touch chain as CTE layers."""
+    layers = [f"""
+f0 AS (SELECT {key} AS k, MIN({time_col}) AS t0
+       FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1)"""]
+    for i, s in enumerate(steps[1:], start=1):
+        prev_ts = ", ".join(f"t{j}" for j in range(i))
+        layers.append(f"""
+f{i} AS (SELECT e.{key} AS k, {prev_ts}, MIN(e.{time_col}) AS t{i}
+         FROM {table} e JOIN f{i - 1} p ON p.k = e.{key}
+         WHERE e.{type_col} = '{s}' AND e.{time_col} > p.t{i - 1}
+         GROUP BY e.{key}, {prev_ts})""")
+    selects = []
+    for i, s in enumerate(steps):
+        selects.append(f"""
+SELECT {i + 1} AS step, '{s}' AS event_type, COUNT(*) AS n_users,
+       ROUND(AVG(epoch(t{i}) - epoch(t0)), 6) AS avg_seconds
+FROM f{i}""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH {",".join(layers)},
+steprows AS ({union})
+SELECT step, event_type, n_users,
+       ROUND(n_users * 1.0 / (SELECT COUNT(*) FROM f0), 6) AS conv_rate,
+       avg_seconds
+FROM steprows
+"""

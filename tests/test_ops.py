@@ -1304,3 +1304,49 @@ def test_pmi_bigrams_crafted_collocation(spark):
     for (w1, w2), r in by_pair.items():
         if "the" in (w1, w2):
             assert r["pmi"] < pmi_ny
+
+
+def test_funnel_strict_after_semantics(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import funnel
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(9)),
+        # u2's click PRECEDES its first view -> stops at view
+        (2, "click", T(1)), (2, "view", T(2)), (2, "purchase", T(3)),
+        # wait: u2 purchase at T(3) > t0=T(2) but needs click AFTER view;
+        # no click after T(2) -> must NOT reach purchase
+        # u3 never views -> not even in the funnel base
+        (3, "click", T(0)), (3, "purchase", T(1)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["event_type"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 2
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["avg_seconds"] == 0.0
+    assert out["click"]["avg_seconds"] == 300.0
+    assert out["purchase"]["avg_seconds"] == 540.0
+    assert out["click"]["conv_rate"] == 0.5
+
+
+def test_distance_join_matches_bruteforce(spark):
+    import itertools
+    from satellitetools_spark.operators.spatial import distance_join
+    rng = np.random.RandomState(7)
+    pts = [(f"p{i}", float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(0, 3000, size=(300, 2)))]
+    sts = [(int(j), float(sx), float(sy)) for j, (sx, sy) in
+           enumerate(rng.uniform(0, 3000, size=(12, 2)))]
+    r = 450.0
+    want = {(p[0], s[0]) for p, s in itertools.product(pts, sts)
+            if (p[1] - s[1]) ** 2 + (p[2] - s[2]) ** 2 <= r * r}
+    px = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    st = spark.createDataFrame(sts, ["station_id", "sx", "sy"])
+    got_rows = distance_join(px, st, radius=r).collect()
+    got = {(row["doc_id"], row["station_id"]) for row in got_rows}
+    assert got == want and len(want) > 0
+    for row in got_rows:
+        assert row["dist"] <= r
