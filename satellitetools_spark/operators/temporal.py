@@ -560,3 +560,94 @@ SELECT step, event_type, n_users,
        avg_seconds
 FROM steprows
 """
+
+
+def retention(events: DataFrame, key: str = "user_id",
+              time_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the week of
+    their first event; cell (cohort, offset) counts distinct users from
+    that cohort active ``offset`` weeks later, with the rate vs cohort
+    size. The growth-analytics companion of :func:`funnel`.
+
+    Shape: one (key, week) distinct reduction of the stream (map-side
+    partial dedup → shuffle at user-week cardinality, ≪ events), a
+    key-cardinality MIN aggregation for cohort assignment, one key-equi
+    join back, and two small hash aggs at matrix cardinality. Weeks via
+    ``date_trunc('week')`` (Monday start in both engines), so the
+    offset is an exact integer day-diff / 7.
+    """
+    acts = (events.select(F.col(key).alias("k"),
+                          F.date_trunc("week", F.col(time_col)).alias("w"))
+            .distinct())
+    cohort = acts.groupBy("k").agg(F.min("w").alias("cw"))
+    cells = (acts.join(cohort, "k")
+             .select("cw", (F.datediff(F.to_date("w"), F.to_date("cw")) / 7)
+                     .cast("int").alias("offset"))
+             .groupBy("cw", "offset")
+             .agg(F.count("*").alias("n_active")))
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("n_cohort"))
+    return (cells.join(sizes, "cw")
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    "offset", "n_active", "n_cohort",
+                    F.round(F.col("n_active") / F.col("n_cohort"), 6)
+                    .alias("retention")))
+
+
+def retention_sql(table: str, key: str = "user_id",
+                  time_col: str = "ts") -> str:
+    """DuckDB oracle: identical cohorting and offset arithmetic."""
+    return f"""
+WITH racts AS (
+  SELECT DISTINCT {key} AS k, date_trunc('week', {time_col}) AS w
+  FROM {table}
+),
+rcohort AS (SELECT k, MIN(w) AS cw FROM racts GROUP BY k),
+rcells AS (
+  SELECT cw, CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7
+              AS INT) AS "offset", COUNT(*) AS n_active
+  FROM racts JOIN rcohort USING (k)
+  GROUP BY 1, 2
+),
+rsizes AS (SELECT cw, COUNT(*) AS n_cohort FROM rcohort GROUP BY cw)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, "offset", n_active,
+       n_cohort, ROUND(n_active * 1.0 / n_cohort, 6) AS retention
+FROM rcells JOIN rsizes USING (cw)
+"""
+
+
+def rollup_counts(events: DataFrame, time_col: str = "ts",
+                  dim_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Native ROLLUP over (day, dimension): per-cell count + value sum
+    at every aggregation level — (day, dim), (day), and grand total —
+    in ONE pass. Spark's Expand emits all grouping sets from each input
+    row before a single hash aggregation (map-side combined), so the
+    cost is levels×rows map work and a shuffle at Σ group-cardinality —
+    never one job per level. NULL grouping markers are normalized to
+    'ALL' so the output is join/oracle-friendly without GROUPING()
+    bitmask semantics."""
+    d = F.date_format(F.date_trunc("day", F.col(time_col)),
+                      "yyyy-MM-dd")
+    out = (events.select(d.alias("day"), F.col(dim_col).alias("dim"),
+                         F.col(value_col).alias("v"))
+           .rollup("day", "dim")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("v"), 6).alias("value_sum")))
+    return out.select(
+        F.coalesce("day", F.lit("ALL")).alias("day"),
+        F.coalesce("dim", F.lit("ALL")).alias("dim"), "n", "value_sum")
+
+
+def rollup_counts_sql(table: str, time_col: str = "ts",
+                      dim_col: str = "event_type",
+                      value_col: str = "value") -> str:
+    """DuckDB oracle: GROUP BY ROLLUP with the same normalization."""
+    return f"""
+SELECT COALESCE(strftime(date_trunc('day', {time_col}), '%Y-%m-%d'), 'ALL')
+         AS day,
+       COALESCE({dim_col}, 'ALL') AS dim,
+       COUNT(*) AS n, ROUND(SUM({value_col}), 6) AS value_sum
+FROM {table}
+GROUP BY ROLLUP (strftime(date_trunc('day', {time_col}), '%Y-%m-%d'),
+                 {dim_col})
+"""

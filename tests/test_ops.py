@@ -1350,3 +1350,41 @@ def test_distance_join_matches_bruteforce(spark):
     assert got == want and len(want) > 0
     for row in got_rows:
         assert row["dist"] <= r
+
+
+def test_retention_crafted_cohorts(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import retention
+    W = lambda wk, d=0: dt.datetime(2024, 1, 1 + 7 * wk + d, 12)  # Mondays
+    rows = [
+        # cohort week0: u1 active w0+w1+w2, u2 active w0 only
+        (1, W(0)), (1, W(1)), (1, W(2)), (2, W(0, 3)),
+        # cohort week1: u3 active w1 and w3 (skips w2)
+        (3, W(1)), (3, W(3)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["cohort_week"], r["offset"]): (r["n_active"], r["n_cohort"],
+                                             r["retention"])
+           for r in retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1, 1.0)
+    assert ("2024-01-08", 1) not in got
+
+
+def test_rollup_counts_levels_consistent(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import rollup_counts
+    rows = [(dt.datetime(2024, 1, 1, 5), "a", 1.0),
+            (dt.datetime(2024, 1, 1, 9), "b", 2.0),
+            (dt.datetime(2024, 1, 2, 5), "a", 4.0)]
+    ev = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {(r["day"], r["dim"]): (r["n"], r["value_sum"])
+           for r in rollup_counts(ev).collect()}
+    assert got[("2024-01-01", "a")] == (1, 1.0)
+    assert got[("2024-01-01", "ALL")] == (2, 3.0)
+    assert got[("2024-01-02", "ALL")] == (1, 4.0)
+    assert got[("ALL", "ALL")] == (3, 7.0)
+    assert len(got) == 6
