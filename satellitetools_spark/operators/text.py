@@ -1037,3 +1037,88 @@ SELECT ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank,
 FROM pscored
 ORDER BY rank LIMIT {k}
 """
+
+
+def chunk_lines(docs: DataFrame, words_per_line: int = 10,
+                text_col: str = "text") -> DataFrame:
+    """Deterministic re-chunking of documents into fixed ``words_per_line``
+    token lines ``(doc_id, pos, line)`` — the unit stream for
+    :func:`line_dedup` on corpora without natural line structure. One
+    projection + one explode; no shuffle."""
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(words_per_line))).cast("int")
+    return (docs
+            .select("doc_id", ws.alias("ws"),
+                    F.explode(F.sequence(F.lit(1), F.greatest(
+                        n_chunks, F.lit(1)))).alias("pos"))
+            .select("doc_id", "pos",
+                    F.array_join(F.slice(
+                        F.col("ws"),
+                        (F.col("pos") - 1) * words_per_line + 1,
+                        words_per_line), " ").alias("line")))
+
+
+def line_dedup(lines: DataFrame, max_occurrences: int = 1) -> DataFrame:
+    """CCNet-style cross-corpus boilerplate removal: drop every line
+    whose DISTINCT-document frequency exceeds ``max_occurrences``
+    (headers, navigation, license blocks — the dominant noise in web
+    corpora), then reassemble each document in original line order.
+
+    Shape: the frequency agg keys on ``md5(line)`` so the shuffle
+    carries 32-byte digests, not line text, at distinct-line
+    cardinality (map-side combined). Removal is a hash-equi LEFT join
+    of the line stream against that count table (Catalyst broadcasts it
+    when it fits; co-partitions otherwise), and reassembly is one
+    per-document ``collect_list`` + ``array_sort`` — state bounded by
+    document size, the same bound the input row already occupies.
+    Empty lines are never counted and never removed.
+    """
+    keyed = lines.withColumn("lh", F.md5(F.col("line")))
+    counts = (keyed.filter(F.col("line") != "")
+              .groupBy("lh")
+              .agg(F.countDistinct("doc_id").alias("n_docs")))
+    kept_flag = (F.col("line") == "") | \
+        (F.coalesce(F.col("n_docs"), F.lit(0)) <= max_occurrences)
+    flagged = keyed.join(counts, "lh", "left").withColumn("keep", kept_flag)
+    return (flagged.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]), " ").alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                 .alias("n_removed")))
+
+
+def line_dedup_sql(table: str = "documents", words_per_line: int = 10,
+                   max_occurrences: int = 1, text_col: str = "text") -> str:
+    """DuckDB oracle: identical re-chunk, count, drop, and reassembly."""
+    w = words_per_line
+    return f"""
+WITH ldocs AS (SELECT doc_id, str_split({text_col}, ' ') AS ws FROM {table}),
+llines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[(i - 1) * {w} + 1:i * {w}], ' ') AS line
+  FROM ldocs, unnest(generate_series(1,
+       GREATEST(CAST(ceil(len(ws) / {float(w)!r}) AS BIGINT), 1))) u(i)
+),
+lcounts AS (
+  SELECT md5(line) AS lh, COUNT(DISTINCT doc_id) AS n_docs
+  FROM llines WHERE line <> '' GROUP BY 1
+),
+lflag AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (l.line = '' OR COALESCE(c.n_docs, 0) <= {max_occurrences})
+           AS keep
+  FROM llines l LEFT JOIN lcounts c ON c.lh = md5(l.line)
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+                           ORDER BY pos), '') AS clean_text,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_removed
+FROM lflag GROUP BY doc_id
+"""

@@ -1388,3 +1388,36 @@ def test_rollup_counts_levels_consistent(spark):
     assert got[("2024-01-02", "ALL")] == (1, 4.0)
     assert got[("ALL", "ALL")] == (3, 7.0)
     assert len(got) == 6
+
+
+def test_line_dedup_crafted_boilerplate(spark):
+    from satellitetools_spark.operators.text import line_dedup
+    rows = [
+        # "HEADER" appears in all 3 docs -> removed everywhere;
+        # empty lines and unique lines survive; order preserved
+        ("d1", 1, "HEADER"), ("d1", 2, "alpha"), ("d1", 3, ""),
+        ("d1", 4, "omega"),
+        ("d2", 1, "HEADER"), ("d2", 2, "beta"),
+        ("d3", 1, "HEADER"), ("d3", 2, "HEADER"), ("d3", 3, "gamma"),
+    ]
+    lines = spark.createDataFrame(rows, ["doc_id", "pos", "line"])
+    got = {r["doc_id"]: r for r in
+           line_dedup(lines, max_occurrences=1).collect()}
+    assert got["d1"]["clean_text"] == "alpha  omega"  # empty line kept
+    assert (got["d1"]["n_kept"], got["d1"]["n_removed"]) == (3, 1)
+    assert got["d2"]["clean_text"] == "beta"
+    # within-doc repetition still counts ONE distinct doc, but both
+    # occurrences are removed once the cross-doc threshold trips
+    assert got["d3"]["clean_text"] == "gamma"
+    assert got["d3"]["n_removed"] == 2
+
+
+def test_line_dedup_within_doc_repeat_not_removed(spark):
+    from satellitetools_spark.operators.text import line_dedup
+    rows = [("d1", 1, "solo"), ("d1", 2, "solo"), ("d2", 1, "other")]
+    lines = spark.createDataFrame(rows, ["doc_id", "pos", "line"])
+    got = {r["doc_id"]: r for r in
+           line_dedup(lines, max_occurrences=1).collect()}
+    # "solo" occurs twice but in ONE distinct doc -> kept
+    assert got["d1"]["clean_text"] == "solo solo"
+    assert got["d1"]["n_removed"] == 0
