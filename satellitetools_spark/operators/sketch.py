@@ -99,3 +99,70 @@ SELECT {k} AS k, n_kept, kth_hash,
        (SELECT COUNT(*) FROM khs) AS exact_distinct
 FROM sk
 """
+
+
+def kmv_distinct_by(docs: DataFrame, group_col: str = "lang",
+                    k: int = 64, text_col: str = "text") -> DataFrame:
+    """Per-group KMV sketches: one row per group with the k-minimum-value
+    estimate and the exact distinct count — vocabulary size per
+    language/source in a single pass. Demonstrates the property that
+    makes KMV the right scale sketch: per-group state is k values,
+    mergeable by union+truncate, so a 10^12-token corpus reduces to
+    groups × k longs.
+
+    Shape: explode → hash → DISTINCT (group, hash) with map-side partial
+    dedup, then a per-group k-min via ranked window over the distinct
+    set (group-vocabulary cardinality, ≪ token stream) and one hash agg
+    at group cardinality.
+    """
+    from pyspark.sql import Window
+    if k < 2:
+        raise ValueError("kmv_distinct_by: k must be >= 2")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    hs = (docs.select(F.col(group_col).alias("grp"),
+                      F.explode(toks).alias("token"))
+          .select("grp", _mix(portable_hash(F.col("token"))).alias("h"))
+          .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    kmin = hs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k)
+    sk = kmin.groupBy("grp").agg(F.count("*").alias("n_kept"),
+                                 F.max("h").alias("kth_hash"))
+    exact = hs.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
+    return (sk.join(exact, "grp")
+            .select(F.col("grp").alias(group_col), F.lit(k).alias("k"),
+                    "n_kept", "kth_hash",
+                    F.round(F.when(F.col("n_kept") < k,
+                                   F.col("n_kept").cast("double"))
+                            .otherwise((F.lit(float(k - 1)) * F.lit(float(_M)))
+                                       / F.col("kth_hash")), 6)
+                    .alias("est_distinct"),
+                    "exact_distinct"))
+
+
+def kmv_distinct_by_sql(table: str = "documents", group_col: str = "lang",
+                        k: int = 64, text_col: str = "text") -> str:
+    """DuckDB oracle: bit-identical per-group sketch and estimator."""
+    return f"""
+WITH gtoks AS (
+  SELECT {group_col} AS grp,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS token
+  FROM {table}
+),
+graw AS (SELECT grp, {portable_hash_sql('token')} AS h0 FROM gtoks),
+ghs AS (SELECT DISTINCT grp, {_mix_sql('h0')} AS h FROM graw),
+gkmin AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM ghs
+),
+gsk AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+        FROM gkmin WHERE rn <= {k} GROUP BY grp),
+gex AS (SELECT grp, COUNT(*) AS exact_distinct FROM ghs GROUP BY grp)
+SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
+       ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+             ELSE {0.0 + (k - 1)!r} * {1000000007.0!r} / kth_hash END,
+             6) AS est_distinct,
+       exact_distinct
+FROM gsk JOIN gex USING (grp)
+"""

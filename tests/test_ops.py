@@ -1421,3 +1421,17 @@ def test_line_dedup_within_doc_repeat_not_removed(spark):
     # "solo" occurs twice but in ONE distinct doc -> kept
     assert got["d1"]["clean_text"] == "solo solo"
     assert got["d1"]["n_removed"] == 0
+
+
+def test_kmv_by_group_matches_per_group_exact_when_small(spark):
+    from satellitetools_spark.operators.sketch import kmv_distinct_by
+    docs = spark.createDataFrame(
+        [("d1", "en", "apple banana cherry"),
+         ("d2", "en", "apple dog"),
+         ("d3", "fr", "un deux trois quatre")],
+        ["doc_id", "lang", "text"])
+    got = {r["lang"]: r for r in
+           kmv_distinct_by(docs, k=64).collect()}
+    assert got["en"]["exact_distinct"] == 4
+    assert got["en"]["est_distinct"] == 4.0  # < k -> exact escape
+    assert got["fr"]["exact_distinct"] == 4
