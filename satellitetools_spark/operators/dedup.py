@@ -433,3 +433,45 @@ SELECT doc_id, n_shared_grams, n_grams,
        ROUND(n_shared_grams * 1.0 / n_grams, 6) AS shared_frac
 FROM hits JOIN sizes USING (doc_id)
 """
+
+
+def dup_keeper(components: DataFrame, scores: DataFrame,
+               score_col: str = "quality") -> DataFrame:
+    """Quality-aware canonical-copy selection: inside each duplicate
+    cluster, keep the member with the best quality score
+    (deterministic (score DESC, doc_id ASC) tie order) — the finishing
+    step of a dedup pipeline, replacing the naive min-id keeper with
+    the copy a pretraining corpus actually wants to retain.
+
+    ``components`` is (doc_id, component) from
+    :func:`connected_components`; ``scores`` any (doc_id, score) frame.
+    One key-equi join + one ranked window partitioned by component —
+    both at clustered-doc cardinality (≪ corpus: only docs that
+    appeared in a near-dup pair), so the window never sees the full
+    table.
+    """
+    from pyspark.sql import Window
+    j = components.join(scores.select("doc_id", score_col), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc())
+    return (j.withColumn("rnk", F.row_number().over(w))
+            .select("doc_id", "component", score_col,
+                    (F.col("rnk") == 1).alias("is_keeper")))
+
+
+def dup_keeper_sql(components_sql_str: str, scores_sql_str: str,
+                   score_col: str = "quality") -> str:
+    """DuckDB oracle: identical join + ranked window."""
+    return f"""
+WITH kcomp AS ({components_sql_str}),
+kscore AS ({scores_sql_str}),
+kj AS (
+  SELECT c.doc_id, c.component, s.{score_col}
+  FROM kcomp c JOIN kscore s USING (doc_id)
+)
+SELECT doc_id, component, {score_col},
+       (ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY {score_col} DESC, doc_id ASC) = 1)
+         AS is_keeper
+FROM kj
+"""

@@ -31,7 +31,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -561,3 +561,39 @@ def distance_join(points: DataFrame, stations: DataFrame, radius: float,
             .filter(d2 <= F.lit(float(radius) ** 2))
             .drop("cell")
             .withColumn("dist", F.round(F.sqrt(d2), 6)))
+
+
+def knn_join(points: DataFrame, stations: DataFrame, k: int = 3,
+             radius: float = 3 * CELL_SIZE_M,
+             cell_m: float = CELL_SIZE_M,
+             point_key=("doc_id", "x", "y"),
+             station_id_col: str = "station_id",
+             broadcast_stations: bool = True) -> DataFrame:
+    """k-nearest-neighbor join: for each point, its ``k`` nearest
+    stations by planar distance (deterministic (dist, station_id) tie
+    order) — the lookup join behind nearest-sensor attribution and
+    ground-truth matching.
+
+    EXACT whenever the point has ≥ k stations within ``radius``: the k
+    true nearest are then all ≤ radius away, so ranking the within-
+    radius candidate set cannot miss one. Points with fewer than k
+    candidates keep what they have, flagged ``truncated`` — widen
+    ``radius`` (cost grows with the square) or treat as border cases.
+
+    Shape: :func:`distance_join` candidates (station-side constant
+    bbox-cell replication + ONE broadcast hash join, zero
+    point-cardinality shuffles) → one ranked window partitioned by the
+    point key at candidate-pair cardinality. No cross product, no
+    global sort.
+    """
+    pairs = distance_join(points, stations, radius=radius, cell_m=cell_m,
+                          station_id_col=station_id_col,
+                          broadcast_stations=broadcast_stations)
+    w = Window.partitionBy(*point_key).orderBy(
+        F.col("dist").asc(), F.col(station_id_col).asc())
+    wk = Window.partitionBy(*point_key)
+    return (pairs.withColumn("knn_rank", F.row_number().over(w))
+            .withColumn("n_cand", F.count("*").over(wk))
+            .filter(F.col("knn_rank") <= k)
+            .withColumn("truncated", F.col("n_cand") < k)
+            .drop("n_cand", "sx", "sy"))

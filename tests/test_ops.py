@@ -1435,3 +1435,43 @@ def test_kmv_by_group_matches_per_group_exact_when_small(spark):
     assert got["en"]["exact_distinct"] == 4
     assert got["en"]["est_distinct"] == 4.0  # < k -> exact escape
     assert got["fr"]["exact_distinct"] == 4
+
+
+def test_knn_join_matches_bruteforce(spark):
+    from satellitetools_spark.operators.spatial import knn_join
+    rng = np.random.RandomState(11)
+    pts = [(f"p{i}", float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(0, 2000, size=(150, 2)))]
+    # dense station grid: every 160 m cell center over the point extent,
+    # so the radius precondition (>= k candidates within r) holds
+    sts = [(ix * 100 + iy, ix * 160.0 + 80.0, iy * 160.0 + 80.0)
+           for ix in range(14) for iy in range(14)]
+    px = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    st = spark.createDataFrame(sts, ["station_id", "sx", "sy"])
+    got = knn_join(px, st, k=3, radius=480.0).collect()
+    assert len(got) == 150 * 3 and not any(r["truncated"] for r in got)
+    by_pt = {}
+    for r in got:
+        by_pt.setdefault(r["doc_id"], []).append((r["knn_rank"],
+                                                  r["station_id"]))
+    import math as m
+    for pid, x, y in pts:
+        want = sorted(((m.hypot(x - sx, y - sy), sid)
+                       for sid, sx, sy in sts))[:3]
+        got_ids = [sid for _, sid in sorted(by_pt[pid])]
+        assert got_ids == [sid for _, sid in want], pid
+
+
+def test_dup_keeper_prefers_quality_then_id(spark):
+    from satellitetools_spark.operators.dedup import dup_keeper
+    comp = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        ["doc_id", "component"])
+    scores = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("x", 0.5), ("y", 0.5)],
+        ["doc_id", "quality"])
+    got = {r["doc_id"]: r["is_keeper"]
+           for r in dup_keeper(comp, scores).collect()}
+    # b beats c on id at equal quality; both beat a's low score
+    assert got == {"a": False, "b": True, "c": False,
+                   "x": True, "y": False}
