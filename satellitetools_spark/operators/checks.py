@@ -262,3 +262,42 @@ SELECT bin, {lo!r} + bin * {width!r} AS bin_lo,
        COALESCE(n, 0) AS n
 FROM hbins LEFT JOIN hcounts USING (bin)
 """
+
+
+def pivot_counts(df: DataFrame, pivot_col: str, values,
+                 keys=("doc_id",), prefix: str = None) -> DataFrame:
+    """Wide crosstab: one row per key with a count column per pinned
+    ``pivot_col`` value — the feature-row companion of the long-format
+    aggregations (SCL class mixes per scene, event types per user).
+
+    The value list is PINNED: ``groupBy().pivot(values=...)`` then
+    stays a single map-side-combined hash aggregation; omitting the
+    list forces Spark to run an extra distinct-scan job just to
+    discover the output schema — never acceptable at corpus scale, and
+    a nondeterministic schema besides. Absent values yield 0 so the
+    schema is stable across inputs.
+    """
+    prefix = prefix if prefix is not None else f"{pivot_col.lower()}_"
+    out = (df.groupBy(*keys)
+           .pivot(pivot_col, list(values))
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        *keys, *[F.coalesce(F.col(str(v)), F.lit(0)).alias(f"{prefix}{v}")
+                 for v in values])
+
+
+def pivot_counts_sql(source_sql: str, pivot_col: str, values,
+                     keys=("doc_id",), prefix: str = None) -> str:
+    """DuckDB oracle: conditional-aggregation columns — the relational
+    meaning of the pivot."""
+    prefix = prefix if prefix is not None else f"{pivot_col.lower()}_"
+    key_sql = ", ".join(keys)
+    cols = ",\n       ".join(
+        f"SUM(CASE WHEN {pivot_col} = {v!r} THEN 1 ELSE 0 END)"
+        f" AS {prefix}{v}" for v in values)
+    return f"""
+SELECT {key_sql},
+       {cols}
+FROM ({source_sql}) t
+GROUP BY {key_sql}
+"""

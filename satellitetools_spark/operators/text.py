@@ -1122,3 +1122,45 @@ SELECT doc_id,
        SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_removed
 FROM lflag GROUP BY doc_id
 """
+
+
+def quality_percentiles(docs: DataFrame, group_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document quality percentile WITHIN its group (language/
+    source): `percent_rank` over the composite quality score with a
+    doc_id tie-break removed — ties share a rank, as calibration
+    requires. This is the per-document companion of
+    :func:`quality_quantiles` (which yields per-group cut points): a
+    corpus curator filters on "top X% within each language" without
+    computing thresholds first.
+
+    One window per group partition — a per-group sort at group
+    cardinality. At 10^12 docs prefer the two-pass form (bucketed ECDF
+    via :func:`satellitetools_spark.operators.checks.histogram` + a
+    broadcast join of cumulative bucket mass); this exact form is for
+    calibration-grade output where rank ties must be exact.
+    """
+    from pyspark.sql import Window
+    ex = quality_exprs(F.col(text_col))
+    scored = docs.select("doc_id", F.col(group_col).alias("grp"),
+                         ex["quality"].alias("quality"))
+    w = Window.partitionBy("grp").orderBy(F.col("quality").asc())
+    return (scored
+            .select("doc_id", F.col("grp").alias(group_col), "quality",
+                    F.round(F.percent_rank().over(w), 6)
+                    .alias("quality_pctile")))
+
+
+def quality_percentiles_sql(table: str = "documents",
+                            group_col: str = "lang",
+                            text_col: str = "text") -> str:
+    """DuckDB oracle: identical window over the identical score."""
+    return f"""
+WITH qs AS ({quality_score_sql(table, text_col)})
+SELECT doc_id, {group_col}, quality,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY {group_col}
+                                  ORDER BY quality ASC), 6)
+         AS quality_pctile
+FROM qs JOIN (SELECT doc_id AS did, {group_col} FROM {table}) g
+  ON g.did = qs.doc_id
+"""

@@ -1475,3 +1475,30 @@ def test_dup_keeper_prefers_quality_then_id(spark):
     # b beats c on id at equal quality; both beat a's low score
     assert got == {"a": False, "b": True, "c": False,
                    "x": True, "y": False}
+
+
+def test_pivot_counts_stable_schema_and_zero_fill(spark):
+    from satellitetools_spark.operators.checks import pivot_counts
+    df = spark.createDataFrame(
+        [("d1", 4), ("d1", 4), ("d1", 8), ("d2", 9)], ["doc_id", "SCL"])
+    got = {r["doc_id"]: r for r in
+           pivot_counts(df, "SCL", values=[4, 8, 9, 10],
+                        prefix="scl_").collect()}
+    assert (got["d1"]["scl_4"], got["d1"]["scl_8"],
+            got["d1"]["scl_9"], got["d1"]["scl_10"]) == (2, 1, 0, 0)
+    assert got["d2"]["scl_9"] == 1 and got["d2"]["scl_10"] == 0
+
+
+def test_quality_percentiles_rank_semantics(spark):
+    from satellitetools_spark.operators.text import quality_percentiles
+    # identical texts -> tied quality -> shared percent_rank
+    docs = spark.createDataFrame(
+        [("a", "en", "x"), ("b", "en", "x"),
+         ("c", "en", "the the the the and of a to in is on. " * 20),
+         ("d", "fr", "y")],
+        ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: r["quality_pctile"]
+           for r in quality_percentiles(docs).collect()}
+    assert got["a"] == got["b"] == 0.0   # tied at the bottom, shared rank
+    assert got["c"] == 1.0               # best of the 3 'en' docs
+    assert got["d"] == 0.0               # singleton group
