@@ -1164,3 +1164,71 @@ SELECT doc_id, {group_col}, quality,
 FROM qs JOIN (SELECT doc_id AS did, {group_col} FROM {table}) g
   ON g.did = qs.doc_id
 """
+
+
+def _del_at(t, i):
+    """Column expr: ``t`` with the i-th (1-based) char deleted."""
+    return F.concat(t.substr(F.lit(1), i - 1),
+                    t.substr(i + 1, F.length(t) - i))
+
+
+def fuzzy_token_pairs(docs: DataFrame, max_dist: int = 2,
+                      text_col: str = "text") -> DataFrame:
+    """Typo/variant pair mining: all DISTINCT-token pairs within
+    Levenshtein distance ``max_dist`` (≤ 2) — the blocking step of
+    record linkage and spelling normalization, without a cross join.
+
+    Candidate generation is the symmetric-delete scheme (SymSpell): each
+    token emits every variant reachable by up to ``max_dist`` character
+    DELETIONS (1 + L + L(L-1)/2 keys at d=2 — bounded by token length,
+    and the input is the DISTINCT vocabulary, Zipf-bounded ≪ corpus);
+    two tokens within distance d always share a deletion variant
+    (delete the edited positions from each side), so the equi-join on
+    the variant key is a COMPLETE candidate set. Exact
+    ``levenshtein()`` then verifies — JVM codegen, only on candidates.
+    Shape: explode at vocab × L²/2, one equi-join, one distinct, zero
+    Python, no cross product at any vocabulary size.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_token_pairs: max_dist must be 1 or 2")
+    toks = (docs.select(F.explode(F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0))
+            .alias("t")).distinct())
+    t = F.col("t")
+    d1 = F.transform(F.sequence(F.lit(1), F.length(t)),
+                     lambda i: _del_at(t, i))
+    keys = F.array(t)
+    keys = F.concat(keys, d1)
+    if max_dist == 2:
+        d2 = F.flatten(F.transform(d1, lambda s: F.filter(
+            F.transform(F.sequence(F.lit(1), F.greatest(F.length(s),
+                                                        F.lit(1))),
+                        lambda i: F.when(i <= F.length(s),
+                                         _del_at(s, i))),
+            lambda x: x.isNotNull())))
+        keys = F.concat(keys, d2)
+    keyed = toks.select("t", F.explode(F.array_distinct(keys)).alias("k"))
+    a = keyed.select(F.col("k"), F.col("t").alias("token_a"))
+    b = keyed.select(F.col("k"), F.col("t").alias("token_b"))
+    cand = (a.join(b, "k")
+            .filter(F.col("token_a") < F.col("token_b"))
+            .select("token_a", "token_b").distinct())
+    dist = F.levenshtein("token_a", "token_b")
+    return (cand.filter(dist <= max_dist)
+            .select("token_a", "token_b", dist.alias("dist")))
+
+
+def fuzzy_token_pairs_sql(table: str = "documents", max_dist: int = 2,
+                          text_col: str = "text") -> str:
+    """DuckDB oracle: brute-force vocabulary cross join — an
+    INDEPENDENT algorithm, which also pins the blocking's completeness."""
+    return f"""
+WITH ftoks AS (
+  SELECT DISTINCT
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS t
+  FROM {table}
+)
+SELECT a.t AS token_a, b.t AS token_b, levenshtein(a.t, b.t) AS dist
+FROM ftoks a JOIN ftoks b ON a.t < b.t
+WHERE levenshtein(a.t, b.t) <= {max_dist}
+"""

@@ -1502,3 +1502,32 @@ def test_quality_percentiles_rank_semantics(spark):
     assert got["a"] == got["b"] == 0.0   # tied at the bottom, shared rank
     assert got["c"] == 1.0               # best of the 3 'en' docs
     assert got["d"] == 0.0               # singleton group
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark):
+    from satellitetools_spark.operators.text import fuzzy_token_pairs
+    words = ["spark", "spork", "sprk", "sparkle", "park", "dark",
+             "data", "date", "gate", "gaze", "a", "at", "cat", "table",
+             "cable", "enable", "stable", "sable"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", w) for i, w in enumerate(words)], ["doc_id", "text"])
+    for d in (1, 2):
+        want = {tuple(sorted((u, v))) + (_lev(u, v),)
+                for i, u in enumerate(words)
+                for v in words[i + 1:] if _lev(u, v) <= d}
+        got = {(r["token_a"], r["token_b"], r["dist"])
+               for r in fuzzy_token_pairs(docs, max_dist=d).collect()}
+        assert got == want, (d, got ^ want)
