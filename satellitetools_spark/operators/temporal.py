@@ -651,3 +651,105 @@ FROM {table}
 GROUP BY ROLLUP (strftime(date_trunc('day', {time_col}), '%Y-%m-%d'),
                  {dim_col})
 """
+
+
+def concurrency_daily(events: DataFrame, key: Sequence[str] = ("user_id",),
+                      ts_col: str = "ts",
+                      gap_seconds: float = 1800.0) -> DataFrame:
+    """Peak-load analysis: per day, how many sessions were active at
+    once (closed-interval semantics — a session [s, e] counts at both
+    endpoints, so single-event sessions count too) plus the day's
+    session-start count. The sweep-line pattern: sessions become
+    (+1 at clipped start, -1 at clipped end) endpoint events; running
+    prefix sum = instantaneous concurrency; ties order (+1 before -1)
+    so back-to-back sessions overlap at the boundary instant.
+
+    Shape: :func:`sessionize` (one key shuffle) → interval agg at
+    session cardinality → day-span explode (sessions rarely span days;
+    the explode factor is ~1) → ONE window per day partition over
+    endpoint cardinality. Partitioning by day keeps the sweep
+    parallel — no global ordered window — at the cost of clipping
+    intervals to day boundaries, which is exactly the semantics a
+    per-day report wants.
+    """
+    s = sessionize(events, key=key, ts_col=ts_col,
+                   gap_seconds=gap_seconds)
+    iv = (s.groupBy(*key, "session_seq")
+          .agg(F.min(F.col(ts_col).cast("timestamp")).alias("ivs"),
+               F.max(F.col(ts_col).cast("timestamp")).alias("ive")))
+    spanned = iv.select(
+        "ivs", "ive",
+        F.explode(F.sequence(F.to_date("ivs"), F.to_date("ive")))
+        .alias("day"))
+    day_lo = F.col("day").cast("timestamp")
+    day_hi = F.date_add(F.col("day"), 1).cast("timestamp")
+    clipped = spanned.select(
+        "day",
+        F.greatest(F.col("ivs"), day_lo).alias("cs"),
+        F.least(F.col("ive"), day_hi).alias("ce"),
+        (F.col("ivs") >= day_lo).alias("starts_today"))
+    pts = (clipped.select("day", F.col("cs").alias("t"),
+                          F.lit(1).alias("delta"), "starts_today")
+           .unionByName(clipped.select(
+               "day", F.col("ce").alias("t"),
+               F.lit(-1).alias("delta"),
+               F.lit(False).alias("starts_today"))))
+    w = (Window.partitionBy("day")
+         .orderBy(F.col("t").asc(), F.col("delta").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    return (run.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.max("conc").cast("long").alias("max_concurrency"),
+                 F.sum(F.when(F.col("starts_today")
+                              & (F.col("delta") == 1), 1).otherwise(0))
+                 .cast("long").alias("n_sessions_started"))
+            )
+
+
+def concurrency_daily_sql(table: str, key: Sequence[str] = ("user_id",),
+                          ts_col: str = "ts",
+                          gap_seconds: float = 1800.0) -> str:
+    """DuckDB oracle: identical sessionize → clip → sweep chain."""
+    key_sql = ", ".join(key)
+    inner = sessionize_sql(table, key=key, ts_col=ts_col,
+                           gap_seconds=gap_seconds,
+                           columns=f"{key_sql}, {ts_col}")
+    return f"""
+WITH sess AS ({inner}),
+civ AS (
+  SELECT {key_sql}, session_seq,
+         MIN(CAST({ts_col} AS TIMESTAMP)) AS ivs,
+         MAX(CAST({ts_col} AS TIMESTAMP)) AS ive
+  FROM sess GROUP BY {key_sql}, session_seq
+),
+cspan AS (
+  SELECT ivs, ive, CAST(u.d AS DATE) AS day
+  FROM civ, unnest(generate_series(CAST(ivs AS DATE),
+                                   CAST(ive AS DATE),
+                                   INTERVAL 1 DAY)) u(d)
+),
+cclip AS (
+  SELECT day,
+         GREATEST(ivs, CAST(day AS TIMESTAMP)) AS cs,
+         LEAST(ive, CAST(day + 1 AS TIMESTAMP)) AS ce,
+         (ivs >= CAST(day AS TIMESTAMP)) AS starts_today
+  FROM cspan
+),
+cpts AS (
+  SELECT day, cs AS t, 1 AS delta, starts_today FROM cclip
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta, FALSE FROM cclip
+),
+crun AS (
+  SELECT day, t, delta, starts_today,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS conc
+  FROM cpts
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+       CAST(SUM(CASE WHEN starts_today AND delta = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions_started
+FROM crun GROUP BY day
+"""

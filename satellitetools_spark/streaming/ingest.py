@@ -213,3 +213,57 @@ def streaming_zscore(events: DataFrame, key: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kmv(doc_stream: DataFrame, k: int = 256, n_shards: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """Streaming distinct-count sketch — the stateful analog of the
+    batch ``sketch.kmv_distinct``: per shard (hash-mod of the mixed
+    token hash), the state is the shard's k smallest distinct hashes;
+    every trigger emits the shard's current sketch row.
+
+    The shard split is what makes the sketch both PARALLEL and
+    mergeable: a globally small hash is necessarily small within its
+    shard, so the union of shard sketches contains the global k
+    minimum — merge with ``unique → first k`` (see the parity test) and
+    the estimate is BIT-IDENTICAL to the batch operator on the same
+    data, regardless of batch boundaries or arrival order (state is a
+    set; reordering cannot change it). State: ≤ k longs per shard,
+    constant; output mode append, one row per active shard per trigger
+    (the latest row per shard IS the shard's sketch).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sampling import portable_hash
+    from ..operators.sketch import _mix
+
+    toks = F.explode(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)).alias("token")
+    hs = (doc_stream.select(toks)
+          .select(_mix(portable_hash(F.col("token"))).alias("h"))
+          .withColumn("shard",
+                      F.pmod(F.col("h"), F.lit(n_shards)).cast("int")))
+
+    def update_fn(key, pdfs, state):
+        cur = (np.asarray(state.get[0], dtype=np.int64)
+               if state.exists else np.empty(0, dtype=np.int64))
+        batches = [p["h"].to_numpy(dtype=np.int64) for p in pdfs]
+        merged = np.unique(np.concatenate([cur] + batches))[:k]
+        state.update((merged.tolist(),))
+        yield pd.DataFrame({
+            "shard": [int(key[0])],
+            "n_kept": [int(merged.size)],
+            "kth_hash": [int(merged[-1]) if merged.size else None],
+            "sketch": [merged.tolist()],
+        })
+
+    return hs.groupBy("shard").applyInPandasWithState(
+        update_fn,
+        outputStructType=("shard int, n_kept int, kth_hash long, "
+                         "sketch array<long>"),
+        stateStructType="mins array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1531,3 +1531,42 @@ def test_fuzzy_pairs_complete_vs_bruteforce(spark):
         got = {(r["token_a"], r["token_b"], r["dist"])
                for r in fuzzy_token_pairs(docs, max_dist=d).collect()}
         assert got == want, (d, got ^ want)
+
+
+def test_concurrency_daily_crafted(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import concurrency_daily
+    T = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)
+    rows = [
+        # u1: one session 09:00-09:10; u2: 09:05-09:07 (overlaps u1);
+        # u3: single event at 09:10 (point session, coincides with u1
+        # end -> closed endpoints count all three? u2 ended 09:07, so
+        # peak is u1+u2 = 2 then u1+u3 = 2); u4 next day alone
+        (1, T(9, 0)), (1, T(9, 10)),
+        (2, T(9, 5)), (2, T(9, 7)),
+        (3, T(9, 10)),
+        (4, dt.datetime(2024, 3, 2, 12)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["day"]: r for r in concurrency_daily(ev).collect()}
+    assert got["2024-03-01"]["max_concurrency"] == 2
+    assert got["2024-03-01"]["n_sessions_started"] == 3
+    assert got["2024-03-02"]["max_concurrency"] == 1
+    assert got["2024-03-02"]["n_sessions_started"] == 1
+
+
+def test_concurrency_daily_cross_midnight_session(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import concurrency_daily
+    rows = [
+        # session spanning midnight: events 23:50 and 00:05 within gap
+        (1, dt.datetime(2024, 3, 1, 23, 50)),
+        (1, dt.datetime(2024, 3, 2, 0, 5)),
+        (2, dt.datetime(2024, 3, 2, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["day"]: r for r in concurrency_daily(ev).collect()}
+    # u1's session is active on BOTH days; it STARTS only on day 1
+    assert got["2024-03-01"]["n_sessions_started"] == 1
+    assert got["2024-03-02"]["n_sessions_started"] == 1  # u2 only
+    assert got["2024-03-02"]["max_concurrency"] == 2  # u1 spillover + u2

@@ -201,3 +201,52 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     np.testing.assert_allclose(got.loc[~both_nan, "z"],
                                ref.loc[~both_nan, "z"], atol=1e-9)
     assert (got["is_anomaly"] == ref["is_anomaly"]).all()
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """Sharded streaming KMV over a 3-micro-batch replay merges to the
+    BIT-IDENTICAL global sketch and estimate as the batch operator —
+    regardless of batch boundaries (state is a set)."""
+    import glob
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.sketch import kmv_distinct
+    from satellitetools_spark.streaming import streaming_kmv
+
+    k = 64
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    feed = tmp_path / "kmv_feed"
+    feed.mkdir()
+    chunks = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)]
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"kmv_chunk_{i}")
+        chunk.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_kmv(stream, k=k, n_shards=4)
+         .writeStream.format("memory").queryName("kmv_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT * FROM kmv_stream").toPandas()
+    # latest emission per shard IS the shard's final sketch
+    rows["emit_order"] = rows.index
+    last = rows.sort_values("emit_order").groupby("shard").tail(1)
+    merged = np.unique(np.concatenate(
+        [np.asarray(s, dtype=np.int64) for s in last["sketch"]]))[:k]
+
+    ref = kmv_distinct(docs, k=k).collect()[0]
+    assert int(merged[-1]) == ref["kth_hash"]
+    assert len(merged) == ref["n_kept"]
+    est = (k - 1) * 1_000_000_007.0 / merged[-1] if len(merged) == k \
+        else float(len(merged))
+    assert round(est, 6) == ref["est_distinct"]
