@@ -301,3 +301,68 @@ SELECT {key_sql},
 FROM ({source_sql}) t
 GROUP BY {key_sql}
 """
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row key-skew diagnosis for a prospective shuffle/join key:
+    key count, row count, the heaviest key and its share, and the Gini
+    coefficient of the key-frequency distribution — the number that
+    says whether this key needs salting (see ``skew.salted_join``)
+    BEFORE the job falls over, not after.
+
+    Shape: one hash agg at key cardinality; the Gini prefix index is a
+    ranked window over the KEY-COUNT table (key cardinality, ≪ rows —
+    a global window here is fine because its input is the aggregated
+    key table, never the row stream); the top key is a
+    TakeOrderedAndProject over the same table. Gini =
+    Σ(2i − n_keys − 1)·x_i / (n_keys·Σx) over counts sorted ascending
+    (deterministic (count, key) order).
+    """
+    from pyspark.sql import Window
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("k"))
+              .agg(F.count("*").alias("n")))
+    idx = counts.withColumn(
+        "i", F.row_number().over(
+            Window.orderBy(F.col("n").asc(), F.col("k").asc())))
+    stats = idx.agg(F.count("*").alias("n_keys"),
+                    F.sum("n").alias("n_rows"),
+                    F.max("n").alias("max_n"))
+    gini = (idx.crossJoin(F.broadcast(stats))
+            .agg(F.round(F.sum((2 * F.col("i") - F.col("n_keys") - 1)
+                               * F.col("n"))
+                         / (F.first("n_keys") * F.first("n_rows")), 6)
+                 .alias("gini")))
+    top = (counts.orderBy(F.col("n").desc(), F.col("k").asc()).limit(1)
+           .select(F.col("k").alias("top_key")))
+    return (stats.crossJoin(F.broadcast(gini))
+            .crossJoin(F.broadcast(top))
+            .select("n_keys", "n_rows", "max_n",
+                    F.round(F.col("max_n") / F.col("n_rows"), 6)
+                    .alias("max_share"), "top_key", "gini"))
+
+
+def skew_report_sql(table: str, key_col: str) -> str:
+    """DuckDB oracle: identical counts, index, and folds."""
+    return f"""
+WITH scounts AS (
+  SELECT CAST({key_col} AS VARCHAR) AS k, COUNT(*) AS n
+  FROM {table} GROUP BY 1
+),
+sidx AS (
+  SELECT k, n, ROW_NUMBER() OVER (ORDER BY n ASC, k ASC) AS i
+  FROM scounts
+),
+sstats AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n
+           FROM sidx),
+sgini AS (
+  SELECT ROUND(SUM((2 * i - (SELECT n_keys FROM sstats) - 1) * n)
+               / ((SELECT n_keys FROM sstats) * 1.0
+                  * (SELECT n_rows FROM sstats)), 6) AS gini
+  FROM sidx
+),
+stop AS (SELECT k AS top_key FROM scounts
+         ORDER BY n DESC, k ASC LIMIT 1)
+SELECT n_keys, n_rows, max_n,
+       ROUND(max_n * 1.0 / n_rows, 6) AS max_share, top_key, gini
+FROM sstats, sgini, stop
+"""

@@ -597,3 +597,56 @@ def knn_join(points: DataFrame, stations: DataFrame, k: int = 3,
             .filter(F.col("knn_rank") <= k)
             .withColumn("truncated", F.col("n_cand") < k)
             .drop("n_cand", "sx", "sy"))
+
+
+def categorical_mode_grid(px: DataFrame, value_col: str = "SCL",
+                          size_m: float = 4 * 10.0) -> DataFrame:
+    """Categorical (majority-vote) raster downsampling: each coarse
+    ``size_m`` cell takes the most frequent class of the pixels inside
+    it — the correct resampling rule for class rasters (SCL, land
+    cover), where bilinear averaging of class IDs is meaningless.
+    Deterministic tie order: highest count, then SMALLEST class id.
+
+    Shape: one hash agg at (coarse cell, class) cardinality (map-side
+    combined — the pixel stream collapses per partition first), then a
+    ranked window per coarse cell at class cardinality (≤ the class
+    alphabet, trivially small). Never a per-pixel window.
+    """
+    cx = F.floor(F.col("x") / size_m).cast("long")
+    cy = F.floor(F.col("y") / size_m).cast("long")
+    counts = (px.select(cx.alias("cx"), cy.alias("cy"),
+                        F.col(value_col).alias("v"))
+              .groupBy("cx", "cy", "v")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("cx", "cy").orderBy(
+        F.col("n").desc(), F.col("v").asc())
+    tot = Window.partitionBy("cx", "cy")
+    return (counts
+            .withColumn("rnk", F.row_number().over(w))
+            .withColumn("n_total", F.sum("n").over(tot))
+            .filter(F.col("rnk") == 1)
+            .select("cx", "cy", F.col("v").alias("mode_value"),
+                    F.col("n").alias("n_votes"), "n_total"))
+
+
+def categorical_mode_grid_sql(pixels_sql: str, value_col: str = "SCL",
+                              size_m: float = 4 * 10.0) -> str:
+    """DuckDB oracle: identical counts, tie order, and totals."""
+    return f"""
+WITH mpx AS ({pixels_sql}),
+mcounts AS (
+  SELECT CAST(floor(x / {size_m!r}) AS BIGINT) AS cx,
+         CAST(floor(y / {size_m!r}) AS BIGINT) AS cy,
+         {value_col} AS v, COUNT(*) AS n
+  FROM mpx GROUP BY 1, 2, 3
+),
+mrank AS (
+  SELECT cx, cy, v, n,
+         ROW_NUMBER() OVER (PARTITION BY cx, cy
+                            ORDER BY n DESC, v ASC) AS rnk,
+         SUM(n) OVER (PARTITION BY cx, cy) AS n_total
+  FROM mcounts
+)
+SELECT cx, cy, v AS mode_value, n AS n_votes, n_total
+FROM mrank WHERE rnk = 1
+"""

@@ -1232,3 +1232,56 @@ SELECT a.t AS token_a, b.t AS token_b, levenshtein(a.t, b.t) AS dist
 FROM ftoks a JOIN ftoks b ON a.t < b.t
 WHERE levenshtein(a.t, b.t) <= {max_dist}
 """
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution entropy (bits) — the CCNet-
+    style gibberish/boilerplate signal: natural text sits in a
+    band (~3.5-4.5 bits for English), base64 blobs and repeated
+    padding fall far outside it.
+
+    Shape: one char explode → hash agg on (doc, char) — map-side
+    combine bounds the shuffle at doc × alphabet, not doc × length —
+    then a per-doc entropy fold. The log2 sum is grouped per doc, so
+    the second agg is doc-cardinality. Empty docs yield entropy 0.
+    """
+    chars = (docs.select("doc_id",
+                         F.explode(F.split(F.col(text_col), "")).alias("c"))
+             .filter(F.col("c") != ""))
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    ent = (counts.join(tot, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.round(-F.sum((F.col("n") / F.col("len"))
+                               * F.log2(F.col("n") / F.col("len"))), 6)
+                .alias("char_entropy"),
+                F.max("len").alias("n_chars")))
+    return (docs.select("doc_id")
+            .join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("char_entropy", F.lit(0.0))
+                    .alias("char_entropy"),
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars")))
+
+
+def char_entropy_sql(table: str = "documents",
+                     text_col: str = "text") -> str:
+    """DuckDB oracle: identical counts and fold."""
+    return f"""
+WITH echars AS (
+  SELECT doc_id, unnest(str_split({text_col}, '')) AS c FROM {table}
+),
+ecounts AS (SELECT doc_id, c, COUNT(*) AS n FROM echars
+            WHERE c <> '' GROUP BY doc_id, c),
+etot AS (SELECT doc_id, SUM(n) AS len FROM ecounts GROUP BY doc_id),
+eent AS (
+  SELECT c2.doc_id,
+         ROUND(-SUM((n * 1.0 / len) * log2(n * 1.0 / len)), 6)
+           AS char_entropy,
+         MAX(len) AS n_chars
+  FROM ecounts c2 JOIN etot USING (doc_id) GROUP BY c2.doc_id
+)
+SELECT d.doc_id, COALESCE(eent.char_entropy, 0.0) AS char_entropy,
+       COALESCE(eent.n_chars, 0) AS n_chars
+FROM {table} d LEFT JOIN eent ON eent.doc_id = d.doc_id
+"""

@@ -1570,3 +1570,42 @@ def test_concurrency_daily_cross_midnight_session(spark):
     assert got["2024-03-01"]["n_sessions_started"] == 1
     assert got["2024-03-02"]["n_sessions_started"] == 1  # u2 only
     assert got["2024-03-02"]["max_concurrency"] == 2  # u1 spillover + u2
+
+
+def test_char_entropy_known_values(spark):
+    import math as m
+    from satellitetools_spark.operators.text import char_entropy
+    docs = spark.createDataFrame(
+        [("d1", "aaaa"), ("d2", "ab"), ("d3", "abcd"), ("d4", "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got["d1"]["char_entropy"] == 0.0
+    assert got["d2"]["char_entropy"] == 1.0
+    assert got["d3"]["char_entropy"] == 2.0
+    assert got["d4"]["char_entropy"] == 0.0 and got["d4"]["n_chars"] == 0
+
+
+def test_categorical_mode_grid_tie_order(spark):
+    from satellitetools_spark.operators.spatial import categorical_mode_grid
+    # cell (0,0): class 5 x2, class 3 x2 -> tie -> smaller class 3 wins
+    rows = [(1.0, 1.0, 5), (2.0, 2.0, 5), (3.0, 3.0, 3), (4.0, 4.0, 3),
+            (45.0, 1.0, 7)]
+    px = spark.createDataFrame(rows, ["x", "y", "SCL"])
+    got = {(r["cx"], r["cy"]): r for r in
+           categorical_mode_grid(px, size_m=40.0).collect()}
+    assert got[(0, 0)]["mode_value"] == 3
+    assert got[(0, 0)]["n_votes"] == 2 and got[(0, 0)]["n_total"] == 4
+    assert got[(1, 0)]["mode_value"] == 7
+
+
+def test_skew_report_uniform_vs_hot(spark):
+    from satellitetools_spark.operators.checks import skew_report
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], ["k"])
+    hot = spark.createDataFrame(
+        [(0,)] * 910 + [(i,) for i in range(1, 10)] * 10, ["k"])
+    u = skew_report(uniform, "k").collect()[0]
+    h = skew_report(hot, "k").collect()[0]
+    assert u["gini"] == 0.0 and u["max_share"] == 0.1
+    assert h["top_key"] == "0" and h["max_share"] == 0.91
+    assert h["gini"] > 0.7
