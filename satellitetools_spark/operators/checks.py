@@ -366,3 +366,80 @@ SELECT n_keys, n_rows, max_n,
        ROUND(max_n * 1.0 / n_rows, 6) AS max_share, top_key, gini
 FROM sstats, sgini, stop
 """
+
+
+def binned_quantiles(df: DataFrame, col: str, lo: float, hi: float,
+                     n_bins: int = 200,
+                     probs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> DataFrame:
+    """Mergeable approximate quantiles from a fixed-bin CDF — the
+    10^12-row path the exact per-group ``percentile`` operators defer
+    to: state is ``n_bins`` longs (mergeable by vector add), error is
+    bounded by one bin width, and unlike ``percentile_approx``'s
+    KLL/GK internals the whole computation is deterministic relational
+    algebra an oracle reproduces bit-for-bit.
+
+    Estimator: within the bucket where the cumulative count crosses
+    p·N, linear-interpolate between the bucket's edges by the
+    fractional position of the crossing (values below/above the range
+    clamp to the range edges — pick [lo, hi) from a prior
+    :func:`profile` pass). Shape: the :func:`histogram` hash agg at bin
+    cardinality + a windowed cumulative sum over the BIN table
+    (n_bins rows) + one broadcast of the total.
+    """
+    from pyspark.sql import Window
+    h = histogram(df, col, lo, hi, n_bins=n_bins)
+    width = (float(hi) - float(lo)) / n_bins
+    cum = (h.withColumn(
+        "cume", F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                              0)))
+        .withColumn("prev", F.col("cume") - F.col("n")))
+    tot = h.agg(F.sum("n").alias("ntot"))
+    out = None
+    for p in probs:
+        target = F.col("ntot") * float(p)
+        hit = (cum.crossJoin(F.broadcast(tot))
+               .filter((F.col("cume") >= target) & (F.col("n") > 0))
+               .orderBy("bin").limit(1)
+               .select(
+                   F.lit(float(p)).alias("p"),
+                   F.round(
+                       F.greatest(F.lit(float(lo)), F.least(
+                           F.lit(float(hi)),
+                           F.col("bin_lo") + F.lit(width)
+                           * ((target - F.col("prev")) / F.col("n")))),
+                       6).alias("q_est")))
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def binned_quantiles_sql(table: str, col: str, lo: float, hi: float,
+                         n_bins: int = 200,
+                         probs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """DuckDB oracle: identical histogram, cumulative walk, and
+    interpolation."""
+    width = (float(hi) - float(lo)) / n_bins
+    selects = []
+    for p in probs:
+        selects.append(f"""
+(SELECT {float(p)!r} AS p,
+       ROUND(GREATEST({float(lo)!r}, LEAST({float(hi)!r},
+             bin_lo + {width!r} * (((SELECT ntot FROM qtot) * {float(p)!r}
+                                    - prev) / n))), 6) AS q_est
+FROM qcum
+WHERE cume >= (SELECT ntot FROM qtot) * {float(p)!r} AND n > 0
+ORDER BY bin LIMIT 1)""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH qh AS ({histogram_sql(table, col, lo, hi, n_bins=n_bins)}),
+qcum AS (
+  SELECT bin, bin_lo, bin_hi, n,
+         SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cume,
+         SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - n AS prev
+  FROM qh
+),
+qtot AS (SELECT SUM(n) AS ntot FROM qh)
+{union}
+"""

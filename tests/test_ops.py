@@ -1609,3 +1609,18 @@ def test_skew_report_uniform_vs_hot(spark):
     assert u["gini"] == 0.0 and u["max_share"] == 0.1
     assert h["top_key"] == "0" and h["max_share"] == 0.91
     assert h["gini"] > 0.7
+
+
+def test_binned_quantiles_close_to_exact(spark):
+    from satellitetools_spark.operators.checks import binned_quantiles
+    import numpy as np
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0, 1000, size=5000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r["p"]: r["q_est"] for r in
+           binned_quantiles(df, "v", 0.0, 1000.0, n_bins=200,
+                            probs=(0.25, 0.5, 0.9)).collect()}
+    width = 1000.0 / 200
+    for p in (0.25, 0.5, 0.9):
+        exact = float(np.quantile(np.array(vals), p))
+        assert abs(got[p] - exact) <= width + 1e-6, (p, got[p], exact)
