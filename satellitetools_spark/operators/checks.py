@@ -443,3 +443,70 @@ qcum AS (
 qtot AS (SELECT SUM(n) AS ntot FROM qh)
 {union}
 """
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id",
+                  compare_cols=None) -> DataFrame:
+    """Change-data detection between two snapshots of a keyed table:
+    per key, ``added`` / ``removed`` / ``changed`` / ``unchanged`` plus
+    the sorted list of columns that differ (NULL-safe comparison) — the
+    primitive behind incremental re-processing (re-run only `changed`
+    docs) and ingest regression checks.
+
+    Shape: ONE full-outer key-equi join (co-partitioned on the key;
+    AQE handles skew) and a pure projection for the status/mask — no
+    windows, no second pass. At Iceberg scale the two sides are
+    snapshot-pinned reads of the same table, so storage-partition
+    pruning applies before the join.
+    """
+    cols = compare_cols or [c for c in old.columns
+                            if c != key and c in new.columns]
+    # presence flags come from the join sides (constant TRUE columns),
+    # never from data nullability
+    o = old.select(key, *[F.col(c).alias(f"_o_{c}") for c in cols],
+                   F.lit(True).alias("_present_o"))
+    n = new.select(key, *[F.col(c).alias(f"_n_{c}") for c in cols],
+                   F.lit(True).alias("_present_n"))
+    j = o.join(n, key, "full_outer")
+    o_present = F.col("_present_o")
+    n_present = F.col("_present_n")
+    diff_mask = F.array_sort(F.filter(
+        F.array(*[F.when(~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                         F.lit(c)) for c in cols]),
+        lambda x: x.isNotNull()))
+    status = (F.when(o_present.isNull(), F.lit("added"))
+              .when(n_present.isNull(), F.lit("removed"))
+              .when(F.size(diff_mask) > 0, F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(key, status.alias("status"),
+                    F.when(status == "changed", diff_mask)
+                    .otherwise(F.array().cast("array<string>"))
+                    .alias("changed_cols"))
+
+
+def snapshot_diff_sql(old_sql: str, new_sql: str, key: str = "doc_id",
+                      compare_cols=()) -> str:
+    """DuckDB oracle: identical full-outer join and NULL-safe mask."""
+    cols = list(compare_cols)
+    mask_items = ", ".join(
+        f"CASE WHEN NOT (o.{c} IS NOT DISTINCT FROM n.{c})"
+        f" THEN '{c}' END" for c in cols)
+    return f"""
+WITH sold AS ({old_sql}), snew AS ({new_sql}),
+sj AS (
+  SELECT COALESCE(o.{key}, n.{key}) AS {key},
+         (o.{key} IS NOT NULL) AS o_present,
+         (n.{key} IS NOT NULL) AS n_present,
+         list_sort(list_filter([{mask_items}], x -> x IS NOT NULL))
+           AS mask
+  FROM sold o FULL OUTER JOIN snew n ON o.{key} = n.{key}
+)
+SELECT {key},
+       CASE WHEN NOT o_present THEN 'added'
+            WHEN NOT n_present THEN 'removed'
+            WHEN len(mask) > 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN o_present AND n_present AND len(mask) > 0 THEN mask
+            ELSE [] END AS changed_cols
+FROM sj
+"""

@@ -1624,3 +1624,22 @@ def test_binned_quantiles_close_to_exact(spark):
     for p in (0.25, 0.5, 0.9):
         exact = float(np.quantile(np.array(vals), p))
         assert abs(got[p] - exact) <= width + 1e-6, (p, got[p], exact)
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from satellitetools_spark.operators.checks import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20), (3, "de", 30), (4, None, 40)],
+        ["doc_id", "lang", "n"])
+    new = spark.createDataFrame(
+        [(1, "en", 10),        # unchanged
+         (2, "en", 25),        # changed: lang AND n
+         (4, None, 40),        # unchanged (NULL-safe equality)
+         (5, "es", 50)],       # added; 3 removed
+        ["doc_id", "lang", "n"])
+    got = {r["doc_id"]: (r["status"], list(r["changed_cols"]))
+           for r in snapshot_diff(old, new, key="doc_id",
+                                  compare_cols=["lang", "n"]).collect()}
+    assert got == {1: ("unchanged", []), 2: ("changed", ["lang", "n"]),
+                   3: ("removed", []), 4: ("unchanged", []),
+                   5: ("added", [])}
