@@ -166,3 +166,64 @@ SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
        exact_distinct
 FROM gsk JOIN gex USING (grp)
 """
+
+
+def kmv_distinct_keys(df: DataFrame, group_col: str, key_col: str,
+                      k: int = 64) -> DataFrame:
+    """Per-group KMV over an arbitrary KEY column (distinct users per
+    day, distinct sessions per tile, …) — :func:`kmv_distinct_by`
+    without the tokenizer: the sketch input is ``key_col`` cast to
+    string and hashed with the same mixed portable fold, so any keyed
+    stream gets mergeable groups × k distinct-count state.
+
+    Same shape: DISTINCT (group, hash) with map-side partial dedup,
+    ranked window at group-key cardinality, one agg at group
+    cardinality; exact count alongside for error accounting.
+    """
+    from pyspark.sql import Window
+    if k < 2:
+        raise ValueError("kmv_distinct_keys: k must be >= 2")
+    hs = (df.select(F.col(group_col).alias("grp"),
+                    _mix(portable_hash(F.col(key_col).cast("string")))
+                    .alias("h"))
+          .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    kmin = hs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k)
+    sk = kmin.groupBy("grp").agg(F.count("*").alias("n_kept"),
+                                 F.max("h").alias("kth_hash"))
+    exact = hs.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
+    return (sk.join(exact, "grp")
+            .select(F.col("grp").alias(group_col), F.lit(k).alias("k"),
+                    "n_kept", "kth_hash",
+                    F.round(F.when(F.col("n_kept") < k,
+                                   F.col("n_kept").cast("double"))
+                            .otherwise((F.lit(float(k - 1)) * F.lit(float(_M)))
+                                       / F.col("kth_hash")), 6)
+                    .alias("est_distinct"),
+                    "exact_distinct"))
+
+
+def kmv_distinct_keys_sql(source_sql: str, group_col: str, key_col: str,
+                          k: int = 64) -> str:
+    """DuckDB oracle: bit-identical generic-key sketch."""
+    return f"""
+WITH ksrc AS ({source_sql}),
+kkraw AS (SELECT {group_col} AS grp,
+                 {portable_hash_sql(f'CAST({key_col} AS VARCHAR)')} AS h0
+          FROM ksrc),
+kkhs AS (SELECT DISTINCT grp, {_mix_sql('h0')} AS h FROM kkraw),
+kkmin AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM kkhs
+),
+kksk AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+         FROM kkmin WHERE rn <= {k} GROUP BY grp),
+kkex AS (SELECT grp, COUNT(*) AS exact_distinct FROM kkhs GROUP BY grp)
+SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
+       ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+             ELSE {0.0 + (k - 1)!r} * {1000000007.0!r} / kth_hash END,
+             6) AS est_distinct,
+       exact_distinct
+FROM kksk JOIN kkex USING (grp)
+"""

@@ -1,0 +1,95 @@
+"""Plan-shape regression tests: pin the PHYSICAL plans the operators
+were designed around, so a refactor that silently degrades a broadcast
+into a sort-merge join, or a heap top-k into a global sort, fails CI —
+the 100 TB properties are asserted, not just documented (complements
+the zero-Exchange assertions in test_bucketing and PLANS.md's audits).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _points_stations(spark):
+    pts = [(f"p{i}", float(i % 50) * 40.0, float(i // 50) * 40.0)
+           for i in range(200)]
+    sts = [(j, j * 300.0, j * 180.0) for j in range(10)]
+    return (spark.createDataFrame(pts, ["doc_id", "x", "y"]),
+            spark.createDataFrame(sts, ["station_id", "sx", "sy"]))
+
+
+def test_distance_join_broadcasts_and_never_sorts(spark):
+    from satellitetools_spark.operators.spatial import distance_join
+    px, st = _points_stations(spark)
+    plan = _plan(distance_join(px, st, radius=400.0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_top_k_is_heap_not_global_sort(spark):
+    from satellitetools_spark.operators.sketch import kmv_distinct
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha{i} beta{i}") for i in range(50)],
+        ["doc_id", "text"])
+    plan = _plan(kmv_distinct(docs, k=16))
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort allowed is inside TakeOrderedAndProject's heap —
+    # no standalone global Sort node
+    assert "\n+- Sort " not in plan and "GlobalLimit" not in plan
+
+
+def test_pivot_is_single_aggregate_no_extra_job(spark):
+    from satellitetools_spark.operators.checks import pivot_counts
+    df = spark.createDataFrame([("d1", 4), ("d2", 8)], ["doc_id", "SCL"])
+    plan = _plan(pivot_counts(df, "SCL", values=[4, 8, 9]))
+    # pinned values -> plain HashAggregate pipeline, no Expand explosion
+    # beyond the pivot agg and no join/sort
+    assert plan.count("HashAggregate") <= 4
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_line_dedup_never_cartesian(spark):
+    from satellitetools_spark.operators.text import line_dedup
+    lines = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 1, "a")],
+        ["doc_id", "pos", "line"])
+    plan = _plan(line_dedup(lines))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_equi_join_only(spark):
+    from satellitetools_spark.operators.text import fuzzy_token_pairs
+    docs = spark.createDataFrame(
+        [("d1", "spark spork data date")], ["doc_id", "text"])
+    plan = _plan(fuzzy_token_pairs(docs, max_dist=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_pixels_plan_contract(spark, geodata_small):
+    """The decode path's contract: the QI survivor filter joins as a
+    BROADCAST semi-join (never sort-merge), and the only shuffle
+    exchanges are the explicit decode repartition + the QI branch's
+    aoi repartition — no hidden aggregate-side shuffle before decode."""
+    from satellitetools_spark.plans.pipeline import get_s2_qi_and_data
+    from satellitetools_spark.sources import read_documents
+    docs = read_documents(spark, os.path.join(geodata_small,
+                                              "docs.parquet"))
+    qi, data = get_s2_qi_and_data(docs)
+    plan = _plan(data)
+    shuffles = sum(1 for line in plan.splitlines()
+                   if "Exchange" in line
+                   and "BroadcastExchange" not in line)
+    assert shuffles <= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
