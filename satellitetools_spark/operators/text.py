@@ -1285,3 +1285,107 @@ SELECT d.doc_id, COALESCE(eent.char_entropy, 0.0) AS char_entropy,
        COALESCE(eent.n_chars, 0) AS n_chars
 FROM {table} d LEFT JOIN eent ON eent.doc_id = d.doc_id
 """
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge training — the real tokenizer-training
+    loop (Sennrich et al.) as unrolled relational algebra: start from
+    per-token character sequences weighted by token frequency; each
+    iteration counts adjacent symbol pairs, picks the most frequent
+    (count DESC, then lexicographic — deterministic), and applies the
+    merge greedily left-to-right via an ``aggregate`` fold. Returns the
+    learned merge table ``(rank, p1, p2, pair, cnt)``.
+
+    Fully declarative: the iteration's winning pair is NEVER collected
+    to the driver — it rides into the next iteration as a one-row
+    broadcast cross join that the fold lambda references, so the whole
+    n-merge training is one lazy plan. Per iteration: a pair-count
+    hash agg at symbol-bigram cardinality (weighted by token freq — the
+    pair stream is the DISTINCT vocabulary, Zipf ≪ corpus) + a 1-row
+    TakeOrderedAndProject + a map-side fold. The greedy left-to-right
+    application (a fresh merge cannot chain into the next overlap)
+    matches the reference BPE semantics via the fold's accumulator:
+    the merged symbol becomes the accumulator tail, which no longer
+    equals p1's raw form unless genuinely re-mergeable.
+    """
+    toks = (docs.select(F.explode(F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0))
+                .alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq")))
+    seq = toks.select("freq", F.split("token", "").alias("seq"))
+    merges = None
+    for rank in range(1, n_merges + 1):
+        n1 = F.greatest(F.size("seq") - 1, F.lit(0))
+        bigrams = F.zip_with(F.slice("seq", 1, n1), F.slice("seq", 2, n1),
+                             lambda a, b: F.struct(a.alias("a"),
+                                                   b.alias("b")))
+        pairs = (seq.select("freq", F.explode(bigrams).alias("bg"))
+                 .groupBy(F.col("bg.a").alias("a"),
+                          F.col("bg.b").alias("b"))
+                 .agg(F.sum("freq").alias("cnt")))
+        top = (pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+               .select("a", "b", "cnt"))
+        row = top.select(F.lit(rank).alias("rank"), F.col("a").alias("p1"),
+                         F.col("b").alias("p2"),
+                         F.concat("a", "b").alias("pair"), "cnt")
+        merges = row if merges is None else merges.unionByName(row)
+
+        def fold(acc, x):
+            merged = F.concat(F.element_at(acc, -1), x)
+            hit = ((F.size(acc) > 0)
+                   & (F.element_at(acc, -1) == F.col("a"))
+                   & (x == F.col("b")))
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1,
+                                 F.greatest(F.size(acc) - 1, F.lit(0))),
+                         F.array(merged))
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        seq = (seq.crossJoin(F.broadcast(top))
+               .select("freq",
+                       F.aggregate("seq",
+                                   F.array().cast("array<string>"),
+                                   fold).alias("seq")))
+    return merges
+
+
+def bpe_merges_sql(table: str = "documents", n_merges: int = 5,
+                   text_col: str = "text") -> str:
+    """DuckDB oracle: the identical unrolled training loop — the fold
+    runs over a list-of-lists (DuckDB's list_reduce seeds from the
+    first element, so wrapping each symbol keeps accumulator and
+    element types uniform) with the iteration's top pair cross-joined
+    into lambda scope exactly like the engine's broadcast."""
+    layers = [f"""
+bt AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))
+      AS token FROM {table}) GROUP BY token
+),
+bs0 AS (SELECT freq, str_split(token, '') AS seq FROM bt)"""]
+    tops = []
+    for i in range(1, n_merges + 1):
+        prev = f"bs{i - 1}"
+        layers.append(f"""
+bp{i} AS (
+  SELECT seq[j] AS a, seq[j + 1] AS b, SUM(freq) AS cnt
+  FROM {prev}, unnest(generate_series(1, len(seq) - 1)) u(j)
+  GROUP BY 1, 2
+),
+btop{i} AS (SELECT a, b, cnt FROM bp{i}
+            ORDER BY cnt DESC, a, b LIMIT 1),
+bs{i} AS (
+  SELECT freq,
+         list_reduce(list_transform(seq, x -> [x]),
+                     (acc, x) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+                       THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+                       ELSE acc || x END) AS seq
+  FROM {prev} CROSS JOIN btop{i} t
+)""")
+        tops.append(f"SELECT {i} AS rank, a AS p1, b AS p2,"
+                    f" a || b AS pair, cnt FROM btop{i}")
+    return ("WITH " + ",".join(layers) + "\n"
+            + " UNION ALL ".join(tops))

@@ -1643,3 +1643,41 @@ def test_snapshot_diff_all_statuses(spark):
     assert got == {1: ("unchanged", []), 2: ("changed", ["lang", "n"]),
                    3: ("removed", []), 4: ("unchanged", []),
                    5: ("added", [])}
+
+
+def test_bpe_merges_match_local_reference(spark):
+    from collections import Counter
+
+    from satellitetools_spark.operators.text import bpe_merges
+
+    corpus = ["the theme thesis", "then the other theory",
+              "there mother weather", "the the the"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+
+    # local reference: classic Sennrich merge loop over freq-weighted
+    # token char sequences, greedy left-to-right application
+    freq = Counter(w for t in corpus for w in t.split())
+    seqs = {w: list(w) for w in freq}
+    want = []
+    for rank in range(1, 6):
+        counts = Counter()
+        for w, s in seqs.items():
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] += freq[w]
+        (a, b), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((rank, a, b, a + b, cnt))
+        for w, s in seqs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seqs[w] = out
+
+    got = [(r["rank"], r["p1"], r["p2"], r["pair"], r["cnt"])
+           for r in bpe_merges(docs, n_merges=5)
+           .orderBy("rank").collect()]
+    assert got == want
