@@ -93,3 +93,20 @@ def test_flagship_pixels_plan_contract(spark, geodata_small):
     assert shuffles <= 2, plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sales_topk_plan_broadcast_and_heap(spark):
+    import __spark_entry__ as E
+    df = E.queries()["sales_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_violations_anti_joins_broadcast(spark):
+    import __spark_entry__ as E
+    df = E.queries()["fk_violations"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
