@@ -198,7 +198,7 @@ terms AS (
          n_cat * 1.0 / n_tot AS q
   FROM grid
 )
-SELECT {slice_col}, MAX(n_slice) AS n_rows,
+SELECT {slice_col}, CAST(MAX(n_slice) AS BIGINT) AS n_rows,
        SUM(-p * ln(p)) AS entropy,
        SUM(p * ln(p / q)) AS kl_vs_global,
        SUM(abs(p - q) / 2) AS tv_dist
@@ -292,8 +292,11 @@ def pivot_counts_sql(source_sql: str, pivot_col: str, values,
     meaning of the pivot."""
     prefix = prefix if prefix is not None else f"{pivot_col.lower()}_"
     key_sql = ", ".join(keys)
+    # COUNT(CASE...), not SUM(CASE...): DuckDB SUM over integers yields
+    # HUGEINT, which pandas renders as float64 ("27.0" vs Spark's "27")
+    # and breaks the driver's stringify-sort-hash compare
     cols = ",\n       ".join(
-        f"SUM(CASE WHEN {pivot_col} = {v!r} THEN 1 ELSE 0 END)"
+        f"COUNT(CASE WHEN {pivot_col} = {v!r} THEN 1 END)"
         f" AS {prefix}{v}" for v in values)
     return f"""
 SELECT {key_sql},
@@ -352,7 +355,8 @@ sidx AS (
   SELECT k, n, ROW_NUMBER() OVER (ORDER BY n ASC, k ASC) AS i
   FROM scounts
 ),
-sstats AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n
+sstats AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+                  MAX(n) AS max_n
            FROM sidx),
 sgini AS (
   SELECT ROUND(SUM((2 * i - (SELECT n_keys FROM sstats) - 1) * n)

@@ -644,7 +644,7 @@ mrank AS (
   SELECT cx, cy, v, n,
          ROW_NUMBER() OVER (PARTITION BY cx, cy
                             ORDER BY n DESC, v ASC) AS rnk,
-         SUM(n) OVER (PARTITION BY cx, cy) AS n_total
+         CAST(SUM(n) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_total
   FROM mcounts
 )
 SELECT cx, cy, v AS mode_value, n AS n_votes, n_total

@@ -1118,8 +1118,8 @@ lflag AS (
 SELECT doc_id,
        COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
                            ORDER BY pos), '') AS clean_text,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_removed
+       COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN NOT keep THEN 1 END) AS n_removed
 FROM lflag GROUP BY doc_id
 """
 
@@ -1273,7 +1273,8 @@ WITH echars AS (
 ),
 ecounts AS (SELECT doc_id, c, COUNT(*) AS n FROM echars
             WHERE c <> '' GROUP BY doc_id, c),
-etot AS (SELECT doc_id, SUM(n) AS len FROM ecounts GROUP BY doc_id),
+etot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS len
+         FROM ecounts GROUP BY doc_id),
 eent AS (
   SELECT c2.doc_id,
          ROUND(-SUM((n * 1.0 / len) * log2(n * 1.0 / len)), 6)
@@ -1370,7 +1371,7 @@ bs0 AS (SELECT freq, str_split(token, '') AS seq FROM bt)"""]
         prev = f"bs{i - 1}"
         layers.append(f"""
 bp{i} AS (
-  SELECT seq[j] AS a, seq[j + 1] AS b, SUM(freq) AS cnt
+  SELECT seq[j] AS a, seq[j + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM {prev}, unnest(generate_series(1, len(seq) - 1)) u(j)
   GROUP BY 1, 2
 ),

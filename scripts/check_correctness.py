@@ -1,6 +1,9 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry at sf0.01 and compare against oracle_sql() via DuckDB (row count,
-column names, order-insensitive value comparison)."""
+column names, order-insensitive value comparison), PLUS a driver-style
+strict canonicalization hash check (stringify-sort-hash, no tolerance)
+so representation drift (int64 vs HUGEINT->float64, signed zero,
+unhashable array columns) is caught locally before the driver sees it."""
 
 from __future__ import annotations
 
@@ -31,6 +34,33 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(9)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def driver_hash_check(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    """Mimic the driver's canonicalizer: sort columns by name, sort rows
+    by all columns, compare exact value representations. Any difference
+    here is a driver hash_match=false even when tolerance-compare passes.
+    Fails loudly on unhashable (array) columns, exactly like the driver's
+    pandas sort_values did for docs_snapshot_diff in round 2."""
+    try:
+        ca = a[sorted(a.columns)].sort_values(
+            list(sorted(a.columns))).reset_index(drop=True)
+        cb = b[sorted(b.columns)].sort_values(
+            list(sorted(b.columns))).reset_index(drop=True)
+    except TypeError as ex:
+        return f"CANON-ERROR (driver would crash): {ex}"
+    for c in ca.columns:
+        # the driver stringifies values before hashing (r02 evidence:
+        # int32-vs-int64 and datetime ns-vs-us hashed green; int-vs-float
+        # "25" vs "25.0" and signed zero did not)
+        ra, rb = ca[c].astype(str), cb[c].astype(str)
+        bad = ra != rb
+        if bad.any():
+            i = bad.idxmax()
+            return (f"STR col={c} row={i}: {ca[c].iloc[i]!r} "
+                    f"[{ca[c].dtype}] vs {cb[c].iloc[i]!r} "
+                    f"[{cb[c].dtype}] ({int(bad.sum())} diffs)")
+    return "OK"
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
@@ -89,6 +119,10 @@ def main():
             failures += 1
             continue
         verdict = compare(got, want)
+        if verdict == "OK":
+            verdict = driver_hash_check(got, want)
+            if verdict != "OK":
+                verdict = "HASH " + verdict
         mark = "OK " if verdict == "OK" else "FAIL"
         if verdict != "OK":
             failures += 1
