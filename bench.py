@@ -491,7 +491,38 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
-    print(json.dumps(result), flush=True)
+    # Full evidence (raw reps, probes, ledgers) goes to BENCH_DETAIL.json;
+    # stdout gets ONE COMPACT line — round 2's driver failed to parse the
+    # bench output because the final line embedded the whole per-query
+    # ledger and rep history and outgrew what the driver captures.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+        log(f"full bench detail written to {detail_path}")
+    except OSError as e:
+        log(f"detail write failed: {e}")
+
+    compact = {k: result[k] for k in
+               ("metric", "value", "unit", "queries", "sf")}
+    if "flagship" in result:
+        compact["flagship"] = result["flagship"]
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {k: s[k] for k in
+                              ("cores_lo", "cores_hi", "cpu_bound",
+                               "sec_lo", "sec_hi", "docs_per_sec_lo",
+                               "docs_per_sec_hi", "efficiency",
+                               "efficiency_this_run", "contended", "pool")
+                              if k in s}
+        if "last_clean" in s:
+            lc = s["last_clean"]
+            compact["scaling"]["last_clean"] = {
+                k: lc[k] for k in ("captured_utc", "efficiency",
+                                   "efficiency_this_run", "sec_lo",
+                                   "sec_hi", "contended") if k in lc}
+    print(json.dumps(compact), flush=True)
 
 
 def run_scaling_proc(cores: int, geodir: str) -> dict:

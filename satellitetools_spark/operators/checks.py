@@ -220,6 +220,11 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
     """
     if n_bins < 1:
         raise ValueError("histogram: n_bins must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError(
+            f"histogram: hi ({hi}) must be > lo ({lo}) — equal bounds "
+            "give zero-width bins (divide by zero), reversed bounds a "
+            "negative width")
     v = F.col(col)
     width = (float(hi) - float(lo)) / n_bins
     raw = F.floor((v - float(lo)) / F.lit(width)).cast("long")
@@ -393,28 +398,30 @@ def binned_quantiles(df: DataFrame, col: str, lo: float, hi: float,
     from pyspark.sql import Window
     h = histogram(df, col, lo, hi, n_bins=n_bins)
     width = (float(hi) - float(lo)) / n_bins
+    # ONE plan, one scan of df: the cumulative sum AND the total both
+    # ride as windows over the tiny bin table, the probs become a
+    # broadcast dimension, and each quantile reads out as min_by over
+    # its crossing bins. (The per-prob filter+limit branches this
+    # replaced re-executed the full histogram scan once per prob.)
     cum = (h.withColumn(
         "cume", F.sum("n").over(
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
                                               0)))
-        .withColumn("prev", F.col("cume") - F.col("n")))
-    tot = h.agg(F.sum("n").alias("ntot"))
-    out = None
-    for p in probs:
-        target = F.col("ntot") * float(p)
-        hit = (cum.crossJoin(F.broadcast(tot))
-               .filter((F.col("cume") >= target) & (F.col("n") > 0))
-               .orderBy("bin").limit(1)
-               .select(
-                   F.lit(float(p)).alias("p"),
-                   F.round(
-                       F.greatest(F.lit(float(lo)), F.least(
-                           F.lit(float(hi)),
-                           F.col("bin_lo") + F.lit(width)
-                           * ((target - F.col("prev")) / F.col("n")))),
-                       6).alias("q_est")))
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        .withColumn("prev", F.col("cume") - F.col("n"))
+        .withColumn("ntot", F.sum("n").over(Window.partitionBy())))
+    spark = df.sparkSession
+    pdim = spark.createDataFrame([(float(p),) for p in probs],
+                                 "p double")
+    target = F.col("ntot") * F.col("p")
+    q_expr = F.round(
+        F.greatest(F.lit(float(lo)), F.least(
+            F.lit(float(hi)),
+            F.col("bin_lo") + F.lit(width)
+            * ((target - F.col("prev")) / F.col("n")))), 6)
+    return (cum.crossJoin(F.broadcast(pdim))
+            .filter((F.col("cume") >= target) & (F.col("n") > 0))
+            .groupBy("p")
+            .agg(F.min_by(q_expr, F.col("bin")).alias("q_est")))
 
 
 def binned_quantiles_sql(table: str, col: str, lo: float, hi: float,

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -384,16 +385,23 @@ def embedding_moments(emb: DataFrame, vec_col: str = "embedding"
                                 "g": [g.ravel().tolist()]})
 
     part = emb.select(vec_col).mapInPandas(partials, schema)
-    n_total = 0
-    acc: Dict[str, np.ndarray] = {}
-    for colname in ("s", "g"):
-        comp = (part.select("n", F.posexplode(colname).alias("i", "v"))
-                    .groupBy("i").agg(F.sum("v").alias("v"))
-                    .orderBy("i").collect())
-        acc[colname] = np.array([r.v for r in comp])
-    n_total = part.agg(F.sum("n")).collect()[0][0] or 0
-    d = len(acc["s"])
-    return int(n_total), acc["s"], acc["g"].reshape(d, d)
+    # ONE pass over the embeddings: pack [n] ++ s ++ g into a single
+    # array so count, sum-vector, and Gram reduce in the same
+    # posexplode-sum job (round 2 executed the mapInPandas subtree three
+    # times — once per component). Collect is (1 + d + d²) tiny rows.
+    packed = part.select(F.posexplode(
+        F.concat(F.array(F.col("n").cast("double")),
+                 F.col("s"), F.col("g"))).alias("i", "v"))
+    comp = (packed.groupBy("i").agg(F.sum("v").alias("v"))
+                  .orderBy("i").collect())
+    flat = np.array([r.v for r in comp])
+    if flat.size == 0:
+        return 0, np.array([]), np.zeros((0, 0))
+    d = int(round((math.sqrt(4 * (flat.size - 1) + 1) - 1) / 2))
+    n_total = int(round(flat[0]))
+    s = flat[1:1 + d]
+    g = flat[1 + d:]
+    return n_total, s, g.reshape(d, d)
 
 
 def covariance_matrix(emb: DataFrame, vec_col: str = "embedding"

@@ -63,13 +63,17 @@ def kmv_distinct(docs: DataFrame, k: int = 256,
         raise ValueError("kmv_distinct: k must be >= 2")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)),
                                 F.lit("[a-z0-9]+"), 0)
-    hs = (docs.select(F.explode(toks).alias("token"))
-          .select(_mix(portable_hash(F.col("token"))).alias("h"))
+    # exact_distinct counts DISTINCT TOKENS, not distinct hash values:
+    # at ~1e6-token vocabularies the 1e9+7 hash space already expects
+    # hundreds of collisions (n²/2M), so a distinct-hash count silently
+    # undercounts the true cardinality the column claims to report
+    ts = docs.select(F.explode(toks).alias("token")).distinct()
+    hs = (ts.select(_mix(portable_hash(F.col("token"))).alias("h"))
           .distinct())
     kmin = hs.select("h").orderBy("h").limit(k)
     sketch = kmin.agg(
         F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
-    exact = hs.agg(F.count("*").alias("exact_distinct"))
+    exact = ts.agg(F.count("*").alias("exact_distinct"))
     return (sketch.crossJoin(F.broadcast(exact))
             .select(F.lit(k).alias("k"), "n_kept", "kth_hash",
                     F.round(F.when(F.col("n_kept") < k,
@@ -88,7 +92,8 @@ WITH ktoks AS (
   SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS token
   FROM {table}
 ),
-kraw AS (SELECT {portable_hash_sql('token')} AS h0 FROM ktoks),
+kts AS (SELECT DISTINCT token FROM ktoks),
+kraw AS (SELECT {portable_hash_sql('token')} AS h0 FROM kts),
 khs AS (SELECT DISTINCT {_mix_sql('h0')} AS h FROM kraw),
 kmin AS (SELECT h FROM khs ORDER BY h LIMIT {k}),
 sk AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth_hash FROM kmin)
@@ -96,7 +101,7 @@ SELECT {k} AS k, n_kept, kth_hash,
        ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
              ELSE {float(k - 1)!r} * {float(_M)!r} / kth_hash END,
              6) AS est_distinct,
-       (SELECT COUNT(*) FROM khs) AS exact_distinct
+       (SELECT COUNT(*) FROM kts) AS exact_distinct
 FROM sk
 """
 
@@ -120,16 +125,19 @@ def kmv_distinct_by(docs: DataFrame, group_col: str = "lang",
         raise ValueError("kmv_distinct_by: k must be >= 2")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)),
                                 F.lit("[a-z0-9]+"), 0)
-    hs = (docs.select(F.col(group_col).alias("grp"),
+    # distinct (group, token) first: exact_distinct must count tokens,
+    # not hash values (hash collisions undercount the true cardinality)
+    ts = (docs.select(F.col(group_col).alias("grp"),
                       F.explode(toks).alias("token"))
-          .select("grp", _mix(portable_hash(F.col("token"))).alias("h"))
+          .distinct())
+    hs = (ts.select("grp", _mix(portable_hash(F.col("token"))).alias("h"))
           .distinct())
     w = Window.partitionBy("grp").orderBy("h")
     kmin = hs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k)
     sk = kmin.groupBy("grp").agg(F.count("*").alias("n_kept"),
                                  F.max("h").alias("kth_hash"))
-    exact = hs.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
+    exact = ts.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
     return (sk.join(exact, "grp")
             .select(F.col("grp").alias(group_col), F.lit(k).alias("k"),
                     "n_kept", "kth_hash",
@@ -150,7 +158,8 @@ WITH gtoks AS (
          unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS token
   FROM {table}
 ),
-graw AS (SELECT grp, {portable_hash_sql('token')} AS h0 FROM gtoks),
+gts AS (SELECT DISTINCT grp, token FROM gtoks),
+graw AS (SELECT grp, {portable_hash_sql('token')} AS h0 FROM gts),
 ghs AS (SELECT DISTINCT grp, {_mix_sql('h0')} AS h FROM graw),
 gkmin AS (
   SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
@@ -158,7 +167,7 @@ gkmin AS (
 ),
 gsk AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_hash
         FROM gkmin WHERE rn <= {k} GROUP BY grp),
-gex AS (SELECT grp, COUNT(*) AS exact_distinct FROM ghs GROUP BY grp)
+gex AS (SELECT grp, COUNT(*) AS exact_distinct FROM gts GROUP BY grp)
 SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
        ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
              ELSE {0.0 + (k - 1)!r} * {1000000007.0!r} / kth_hash END,
@@ -183,16 +192,17 @@ def kmv_distinct_keys(df: DataFrame, group_col: str, key_col: str,
     from pyspark.sql import Window
     if k < 2:
         raise ValueError("kmv_distinct_keys: k must be >= 2")
-    hs = (df.select(F.col(group_col).alias("grp"),
-                    _mix(portable_hash(F.col(key_col).cast("string")))
-                    .alias("h"))
+    ts = (df.select(F.col(group_col).alias("grp"),
+                    F.col(key_col).cast("string").alias("key"))
+          .distinct())
+    hs = (ts.select("grp", _mix(portable_hash(F.col("key"))).alias("h"))
           .distinct())
     w = Window.partitionBy("grp").orderBy("h")
     kmin = hs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k)
     sk = kmin.groupBy("grp").agg(F.count("*").alias("n_kept"),
                                  F.max("h").alias("kth_hash"))
-    exact = hs.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
+    exact = ts.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
     return (sk.join(exact, "grp")
             .select(F.col("grp").alias(group_col), F.lit(k).alias("k"),
                     "n_kept", "kth_hash",
@@ -209,9 +219,10 @@ def kmv_distinct_keys_sql(source_sql: str, group_col: str, key_col: str,
     """DuckDB oracle: bit-identical generic-key sketch."""
     return f"""
 WITH ksrc AS ({source_sql}),
-kkraw AS (SELECT {group_col} AS grp,
-                 {portable_hash_sql(f'CAST({key_col} AS VARCHAR)')} AS h0
-          FROM ksrc),
+kkts AS (SELECT DISTINCT {group_col} AS grp,
+                CAST({key_col} AS VARCHAR) AS key
+         FROM ksrc),
+kkraw AS (SELECT grp, {portable_hash_sql('key')} AS h0 FROM kkts),
 kkhs AS (SELECT DISTINCT grp, {_mix_sql('h0')} AS h FROM kkraw),
 kkmin AS (
   SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
@@ -219,7 +230,7 @@ kkmin AS (
 ),
 kksk AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_hash
          FROM kkmin WHERE rn <= {k} GROUP BY grp),
-kkex AS (SELECT grp, COUNT(*) AS exact_distinct FROM kkhs GROUP BY grp)
+kkex AS (SELECT grp, COUNT(*) AS exact_distinct FROM kkts GROUP BY grp)
 SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
        ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
              ELSE {0.0 + (k - 1)!r} * {1000000007.0!r} / kth_hash END,

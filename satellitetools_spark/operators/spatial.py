@@ -589,8 +589,13 @@ def knn_join(points: DataFrame, stations: DataFrame, k: int = 3,
     pairs = distance_join(points, stations, radius=radius, cell_m=cell_m,
                           station_id_col=station_id_col,
                           broadcast_stations=broadcast_stations)
+    # rank on the UNROUNDED squared distance (sx/sy are still present),
+    # not the rounded display column `dist`: two stations < 5e-7 apart
+    # in true distance round equal and would fall to the id tie-break,
+    # ranking a farther station ahead of a closer one
+    d2 = ((F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2)
     w = Window.partitionBy(*point_key).orderBy(
-        F.col("dist").asc(), F.col(station_id_col).asc())
+        d2.asc(), F.col(station_id_col).asc())
     wk = Window.partitionBy(*point_key)
     return (pairs.withColumn("knn_rank", F.row_number().over(w))
             .withColumn("n_cand", F.count("*").over(wk))

@@ -492,44 +492,66 @@ def funnel(events: DataFrame, steps: Sequence[str], key: str = "user_id",
     avg_seconds)`` where conv_rate is vs step 1 and avg_seconds is the
     mean time from the step-1 touch.
 
-    Shape: the step-1 aggregation reduces the stream to key cardinality
-    once; each later step is a key-equi join of the (filtered,
-    step-type-only) event stream against that key-cardinality frontier
-    + a hash agg — len(steps) is a small constant, every join keys on
-    the funnel key so AQE/co-partitioning applies, and nothing is ever
-    per-row Python or driver-side. The final per-step rollup aggregates
-    k single-row DataFrames — constant work.
+    Shape: ONE scan of the event stream and ONE shuffle at key
+    cardinality — a single hash agg collects each key's per-step-type
+    sorted time arrays (funnel-type events only, so per-key state is
+    bounded by the key's funnel events), the first-touch chain then
+    resolves as pure array expressions (``filter`` + ``get`` — no
+    joins, no per-step re-scan), and the per-step readout is one
+    explode + hash agg over the key-cardinality chain table. The
+    earlier formulation joined the event stream against a growing
+    frontier per step and re-executed the whole chain subtree for each
+    step's readout — O(steps²) scans; this is O(1).
     """
     if len(steps) < 2:
         raise ValueError("funnel: need at least 2 steps")
-    ev = events.select(F.col(key).alias("k"), F.col(type_col).alias("et"),
-                       F.col(time_col).alias("t"))
-    frontier = (ev.filter(F.col("et") == steps[0])
-                .groupBy("k").agg(F.min("t").alias("t0")))
-    tables = [frontier]
-    for i, s in enumerate(steps[1:], start=1):
-        prev = tables[-1]
-        prev_ts = [c for c in prev.columns if c != "k"]
-        cur = (ev.filter(F.col("et") == s)
-               .join(prev, "k")
-               .filter(F.col("t") > F.col(f"t{i - 1}"))
-               .groupBy("k", *prev_ts).agg(F.min("t").alias(f"t{i}")))
-        tables.append(cur)
-    base = tables[0].agg(F.count("*").alias("n_base"))
-    out = None
-    for i, s in enumerate(steps):
-        secs = _epoch(F.col(f"t{i}")) - _epoch(F.col("t0"))
-        row = (tables[i]
-               .agg(F.count("*").alias("n_users"),
-                    F.round(F.avg(secs), 6).alias("avg_seconds"))
-               .select(F.lit(i + 1).alias("step"),
-                       F.lit(s).alias("event_type"), "n_users",
-                       "avg_seconds"))
-        out = row if out is None else out.unionByName(row)
-    return (out.crossJoin(F.broadcast(base))
-            .select("step", "event_type", "n_users",
-                    F.round(F.col("n_users") / F.col("n_base"), 6)
-                    .alias("conv_rate"), "avg_seconds"))
+    from pyspark.sql import Window
+    ev = (events.select(F.col(key).alias("k"),
+                        F.col(type_col).alias("et"),
+                        F.col(time_col).alias("t"))
+          .filter(F.col("et").isin(list(steps))))
+    # collect_list drops the NULLs the unmatched when() produces, so
+    # a{i} is exactly the key's sorted times of step-type i
+    arrs = ev.groupBy("k").agg(*[
+        F.sort_array(F.collect_list(
+            F.when(F.col("et") == s, F.col("t")))).alias(f"a{i}")
+        for i, s in enumerate(steps)])
+    chain = arrs.withColumn("t0", F.get("a0", 0))
+    for i in range(1, len(steps)):
+        prev = F.col(f"t{i - 1}")
+        chain = chain.withColumn(
+            f"t{i}",
+            F.get(F.filter(F.col(f"a{i}"), lambda x: x > prev), 0))
+    chain = chain.filter(F.col("t0").isNotNull())
+    pairs = chain.select(
+        "t0",
+        F.explode(F.array(*[
+            F.struct(F.lit(i + 1).alias("step"),
+                     F.lit(s).alias("event_type"),
+                     F.col(f"t{i}").alias("ti"))
+            for i, s in enumerate(steps)])).alias("e"))
+    agged = (pairs.filter(F.col("e.ti").isNotNull())
+             .groupBy(F.col("e.step").alias("step"),
+                      F.col("e.event_type").alias("event_type"))
+             .agg(F.count("*").alias("n_users"),
+                  F.round(F.avg(_epoch(F.col("e.ti"))
+                                - _epoch(F.col("t0"))), 6)
+                  .alias("avg_seconds")))
+    # stable k-row output even for steps nobody reached; the base for
+    # conv_rate is step 1's user count, read off this tiny table by a
+    # full-frame window instead of a second pass over the chain
+    spark = events.sparkSession
+    sdim = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, event_type string")
+    out = (F.broadcast(sdim).join(agged, ["step", "event_type"], "left")
+           .withColumn("n_users", F.coalesce("n_users", F.lit(0)))
+           .withColumn("n_base",
+                       F.max(F.when(F.col("step") == 1, F.col("n_users")))
+                       .over(Window.partitionBy())))
+    return out.select("step", "event_type", "n_users",
+                      F.round(F.col("n_users") / F.col("n_base"), 6)
+                      .alias("conv_rate"), "avg_seconds")
 
 
 def funnel_sql(table: str, steps: Sequence[str], key: str = "user_id",
