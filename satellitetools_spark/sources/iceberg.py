@@ -53,6 +53,53 @@ def catalog_conf(name: str = "local",
     }
 
 
+DOCUMENTS_SCHEMA_SQL = (
+    "doc_id STRING, "
+    "spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+    "media_ref: STRING, offset: INT>>")
+
+
+def documents_table_ddl(table: str, buckets: int = 128,
+                        schema_sql: str = DOCUMENTS_SCHEMA_SQL) -> str:
+    """DDL for the bucketed document table — the SQL twin of
+    :func:`create_documents_table` (same hidden partitioning), testable
+    without the runtime jar."""
+    return (f"CREATE TABLE IF NOT EXISTS {table} ({schema_sql}) "
+            f"USING iceberg "
+            f"PARTITIONED BY (bucket({buckets}, doc_id)) "
+            f"TBLPROPERTIES ('write.distribution-mode' = 'hash', "
+            f"'format-version' = '2')")
+
+
+def merge_upsert_sql(table: str, source_view: str,
+                     key: str = "doc_id") -> str:
+    """Idempotent upsert of a (re)processed batch into the table —
+    MERGE keyed on ``key`` so a retried partition never duplicates
+    rows (the write-side half of the lineage/resume contract)."""
+    return (f"MERGE INTO {table} t USING {source_view} s "
+            f"ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def snapshot_read_options(snapshot_id: int | None = None) -> dict:
+    """Reader options for a snapshot-pinned scan (empty dict = current
+    snapshot). Factored out of :func:`read_documents_table` so the
+    option plumbing is assertable without a catalog."""
+    return {} if snapshot_id is None else {"snapshot-id": str(snapshot_id)}
+
+
+def incremental_read_options(start_snapshot_id: int,
+                             end_snapshot_id: int | None = None) -> dict:
+    """Reader options for the append-feed between two snapshots
+    (start exclusive, end inclusive — Iceberg's incremental-scan
+    contract)."""
+    opts = {"start-snapshot-id": str(start_snapshot_id)}
+    if end_snapshot_id is not None:
+        opts["end-snapshot-id"] = str(end_snapshot_id)
+    return opts
+
+
 def create_documents_table(docs: DataFrame, table: str,
                            buckets: int = 128) -> None:
     """Create (or replace) a document table bucketed on doc_id.
@@ -81,10 +128,9 @@ def read_documents_table(spark: SparkSession, table: str,
     resume (plans/lineage.py): a rerun against the SAME snapshot sees
     the same rows regardless of concurrent appends.
     """
-    reader = spark.read.format("iceberg")
-    if snapshot_id is not None:
-        reader = reader.option("snapshot-id", str(snapshot_id))
-    return reader.load(table)
+    return (spark.read.format("iceberg")
+            .options(**snapshot_read_options(snapshot_id))
+            .load(table))
 
 
 def read_appends_between(spark: SparkSession, table: str,
@@ -93,11 +139,10 @@ def read_appends_between(spark: SparkSession, table: str,
     """Incremental read: only rows appended after ``start_snapshot_id``
     (exclusive), up to ``end_snapshot_id`` (inclusive) — the batch analog
     of the streaming commit feed in streaming/ingest.py."""
-    reader = (spark.read.format("iceberg")
-              .option("start-snapshot-id", str(start_snapshot_id)))
-    if end_snapshot_id is not None:
-        reader = reader.option("end-snapshot-id", str(end_snapshot_id))
-    return reader.load(table)
+    return (spark.read.format("iceberg")
+            .options(**incremental_read_options(start_snapshot_id,
+                                                end_snapshot_id))
+            .load(table))
 
 
 def stream_documents(spark: SparkSession, table: str) -> DataFrame:

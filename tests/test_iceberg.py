@@ -51,6 +51,37 @@ def test_roundtrip_preserves_span_sequences(iceberg_spark):
     assert a == b
 
 
+def test_catalog_conf_pairs():
+    conf = I.catalog_conf("prod", warehouse="s3a://bucket/wh",
+                          catalog_type="glue")
+    assert conf["spark.sql.catalog.prod"] == I.ICEBERG_CATALOG_IMPL
+    assert conf["spark.sql.catalog.prod.type"] == "glue"
+    assert conf["spark.sql.catalog.prod.warehouse"] == "s3a://bucket/wh"
+    assert conf["spark.sql.extensions"] == I.ICEBERG_EXTENSIONS
+
+
+def test_snapshot_and_incremental_read_options():
+    assert I.snapshot_read_options() == {}
+    assert I.snapshot_read_options(42) == {"snapshot-id": "42"}
+    assert I.incremental_read_options(7) == {"start-snapshot-id": "7"}
+    assert I.incremental_read_options(7, 9) == {
+        "start-snapshot-id": "7", "end-snapshot-id": "9"}
+
+
+def test_ddl_and_merge_parse_without_runtime(spark):
+    """The generated DDL/MERGE must be syntactically valid Spark SQL —
+    Spark's parser validates the bucket() hidden-partition transform and
+    the MERGE UPDATE/INSERT * clauses without any Iceberg jar (execution
+    would need the catalog; parsing does not)."""
+    parser = spark._jsparkSession.sessionState().sqlParser()  # noqa: SLF001
+    ddl = I.documents_table_ddl("cat.db.docs", buckets=64)
+    assert "bucket(64, doc_id)" in ddl and "USING iceberg" in ddl
+    parser.parsePlan(ddl)  # raises ParseException on bad syntax
+    merge = I.merge_upsert_sql("cat.db.docs", "updates_view")
+    assert "MERGE INTO" in merge and "t.doc_id = s.doc_id" in merge
+    parser.parsePlan(merge)
+
+
 def test_incremental_read_sees_only_appends(iceberg_spark):
     spark = iceberg_spark
     docs = _docs(spark)
