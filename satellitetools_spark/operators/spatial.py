@@ -519,6 +519,91 @@ SOBEL_GY = {(dx, dy): float(dy * (2 - abs(dx)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
 
 
+def hillshade(dem: DataFrame, cell_m: float = CELL_SIZE_M,
+              azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+              z_factor: float = 1.0) -> DataFrame:
+    """Horn-method hillshade of the DEM cell dimension: per cell,
+    terrain slope, aspect, and the illumination value [0, 255] for a
+    light source at (azimuth, altitude) — the classic terrain-analysis
+    raster operator (ESRI/GDAL semantics: Sobel-weighted 3×3 gradients,
+    ``shade = 255·(sinα·cosS + cosα·sinS·cos(az−A))`` clamped at 0).
+
+    Shape: the DEM table decodes its packed cell id to grid indices in
+    codegen, both gradients ride ONE :func:`focal_conv` pass (shared
+    explode + single hash agg at cell cardinality), and the shading is
+    a pure projection — no self-join, no per-pixel window, nothing
+    driver-side. Edge cells with partial stencils are dropped
+    (``n_neigh == 9``), standard raster edge behavior.
+    """
+    px = dem.select(
+        F.lit("dem").alias("doc_id"),
+        ((F.pmod(F.col("cell"), F.lit(2 ** 32)) + 0.5) * cell_m)
+        .alias("x"),
+        ((F.floor(F.col("cell") / F.lit(2 ** 32)) + 0.5) * cell_m)
+        .alias("y"),
+        F.col("elevation"),
+        F.lit(float(cell_m)).alias("gsd"))
+    g = focal_conv(px, "elevation", {"gx": SOBEL_GX, "gy": SOBEL_GY})
+    # single precomputed multiplier, written identically in the oracle —
+    # gx*k and (gx*z)/8c differ in the last ulp and round 6 can't always
+    # hide that at a rounding boundary
+    k = float(z_factor) / (8.0 * float(cell_m))
+    dzdx = F.col("gx") * F.lit(k)
+    dzdy = F.col("gy") * F.lit(k)
+    slope = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    az = math.radians(360.0 - float(azimuth_deg) + 90.0)
+    alt = math.radians(float(altitude_deg))
+    shade = 255.0 * (math.sin(alt) * F.cos(slope)
+                     + math.cos(alt) * F.sin(slope)
+                     * F.cos(F.lit(az) - aspect))
+    return (g.filter(F.col("n_neigh") == 9)
+            .select("ix", "iy", "elevation",
+                    F.round(F.degrees(slope), 6).alias("slope_deg"),
+                    F.round(aspect, 6).alias("aspect_rad"),
+                    F.round(F.greatest(shade, F.lit(0.0)), 6)
+                    .alias("hillshade")))
+
+
+def hillshade_sql(dem_path: str, cell_m: float = CELL_SIZE_M,
+                  azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+                  z_factor: float = 1.0) -> str:
+    """DuckDB oracle: identical cell decode, focal correlation, and
+    shading formula."""
+    pixels = (f"SELECT 'dem' AS doc_id, "
+              f"CAST(cell % 4294967296 AS BIGINT) AS ix, "
+              f"CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy, "
+              f"elevation FROM read_parquet('{dem_path}')")
+    conv = focal_conv_sql(pixels, "elevation",
+                          {"gx": SOBEL_GX, "gy": SOBEL_GY})
+    k = float(z_factor) / (8.0 * float(cell_m))
+    az = math.radians(360.0 - float(azimuth_deg) + 90.0)
+    alt = math.radians(float(altitude_deg))
+    return f"""
+WITH hs AS ({conv}),
+hg AS (
+  SELECT ix, iy,
+         atan(sqrt((gx * {k!r}) * (gx * {k!r})
+                   + (gy * {k!r}) * (gy * {k!r}))) AS slope,
+         atan2(gy * {k!r}, -(gx * {k!r})) AS aspect
+  FROM hs WHERE n_neigh = 9
+),
+hd AS (SELECT 'dem' AS doc_id,
+              CAST(cell % 4294967296 AS BIGINT) AS ix,
+              CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+              elevation
+       FROM read_parquet('{dem_path}'))
+SELECT g.ix, g.iy, d.elevation,
+       ROUND(degrees(slope), 6) AS slope_deg,
+       ROUND(aspect, 6) AS aspect_rad,
+       ROUND(GREATEST(255.0 * ({math.sin(alt)!r} * cos(slope)
+                               + {math.cos(alt)!r} * sin(slope)
+                               * cos({az!r} - aspect)), 0.0), 6)
+         AS hillshade
+FROM hg g JOIN hd d ON d.ix = g.ix AND d.iy = g.iy
+"""
+
+
 def distance_join(points: DataFrame, stations: DataFrame, radius: float,
                   cell_m: float = CELL_SIZE_M,
                   station_id_col: str = "station_id",

@@ -584,6 +584,59 @@ FROM steprows
 """
 
 
+def transition_counts(events: DataFrame, key: str = "user_id",
+                      type_col: str = "event_type",
+                      time_col: str = "ts") -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per
+    consecutive event pair within each key (time order), count
+    ``from_type → to_type`` and row-normalize to transition
+    probabilities — the session-model / next-action-prediction
+    primitive.
+
+    Shape: ONE shuffle on the key (the lag window), then a hash agg at
+    type² cardinality and a row-normalizing window over that tiny
+    matrix. Equal timestamps order by (ts, type) — deterministic, and
+    (ts, type) duplicates are interchangeable so the pair multiset is
+    stable under any residual tie order.
+    """
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    pairs = (events.select(F.col(key).alias("k"),
+                           F.col(type_col).alias("to_type"),
+                           us.alias("_us"))
+             .withColumn("from_type", F.lag("to_type").over(
+                 Window.partitionBy("k").orderBy("_us", "to_type")))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+
+
+def transition_counts_sql(table: str, key: str = "user_id",
+                          type_col: str = "event_type",
+                          time_col: str = "ts") -> str:
+    """DuckDB oracle: identical lag window and normalization."""
+    return f"""
+WITH tp AS (
+  SELECT {key} AS k, {type_col} AS to_type,
+         lag({type_col}) OVER (PARTITION BY {key}
+                               ORDER BY epoch_us({time_col}), {type_col})
+           AS from_type
+  FROM {table}
+),
+tc AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM tp WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / CAST(SUM(n) OVER (PARTITION BY from_type)
+                            AS BIGINT), 6) AS p
+FROM tc
+"""
+
+
 def retention(events: DataFrame, key: str = "user_id",
               time_col: str = "ts") -> DataFrame:
     """Weekly cohort retention matrix: users cohorted by the week of

@@ -48,16 +48,24 @@ def spread_scan(df: DataFrame, factor: int = 1,
     is an optimizer fence that pins the condition above the exchange, at
     the cost of persisting one copy of the (by construction small) input.
 
-    No-op when the scan already yields >= defaultParallelism partitions —
-    the 100 TB case, where row groups number in the millions — so wide
-    tables never pay the shuffle or the checkpoint copy. Batch-only
-    (streaming DataFrames return unchanged; ``.rdd`` would force batch
-    planning on them).
+    No-op when the source already spans >= defaultParallelism input
+    files — the 100 TB case, where files number in the millions — so
+    wide tables never pay the shuffle or the checkpoint copy. The guard
+    reads ``inputFiles()`` (a listing on the analyzed plan), not
+    ``df.rdd.getNumPartitions()``, which would force a full batch
+    physical-planning pass on every call; file count understates task
+    count for large splittable files, erring toward a harmless
+    repartition of an already-parallel input. Batch-only (streaming
+    DataFrames return unchanged).
     """
     if df.isStreaming:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (in-memory relation): spread it
+        n_files = 0
+    if n_files >= par:
         return df
     out = df.repartition(factor * par)
     return out.localCheckpoint(eager=False) if barrier else out
@@ -1315,6 +1323,16 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5,
                 .alias("token"))
             .groupBy("token").agg(F.count("*").alias("freq")))
     seq = toks.select("freq", F.split("token", "").alias("seq"))
+    merges, _ = _bpe_unroll(seq, n_merges)
+    return merges
+
+
+def _bpe_unroll(seq: DataFrame, n_merges: int):
+    """The shared BPE training unroll: ``seq`` carries a ``freq`` weight,
+    a ``seq`` symbol array, and any passenger columns (e.g. ``token`` for
+    :func:`bpe_encode`). Returns ``(merge_table, final_seq)`` — one lazy
+    plan, winners broadcast into the next fold, never a driver collect."""
+    carry = [c for c in seq.columns if c != "seq"]
     merges = None
     for rank in range(1, n_merges + 1):
         n1 = F.greatest(F.size("seq") - 1, F.lit(0))
@@ -1345,11 +1363,49 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5,
             ).otherwise(F.concat(acc, F.array(x)))
 
         seq = (seq.crossJoin(F.broadcast(top))
-               .select("freq",
+               .select(*carry,
                        F.aggregate("seq",
                                    F.array().cast("array<string>"),
                                    fold).alias("seq")))
-    return merges
+    return merges, seq
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 8,
+               text_col: str = "text") -> DataFrame:
+    """Tokenizer APPLICATION: train ``n_merges`` BPE merges on the corpus
+    (the :func:`bpe_merges` loop) and encode every document with them, in
+    one lazy plan. Returns per document ``(doc_id, n_tokens, n_symbols,
+    compression)`` — whitespace-word count, post-merge symbol count, and
+    chars-per-symbol compression ratio, the numbers a pretraining-budget
+    planner actually needs from a tokenizer sweep.
+
+    Scale shape: the merge loop runs at DISTINCT-VOCABULARY cardinality
+    (Zipf ≪ corpus; the corpus is touched once for the (doc, token)
+    counts), the trained symbol lengths broadcast back onto the per-doc
+    token counts, and one doc-cardinality agg folds the totals — the
+    corpus is never re-tokenized per merge.
+    """
+    toks_arr = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit("[a-z0-9]+"), 0)
+    per_doc = (docs.select("doc_id", F.explode(toks_arr).alias("token"))
+               .groupBy("doc_id", "token")
+               .agg(F.count("*").alias("cnt")))
+    vocab = per_doc.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    seq0 = vocab.select("token", "freq", F.split("token", "").alias("seq"))
+    _, fin = _bpe_unroll(seq0, n_merges)
+    sym = fin.select("token", F.size("seq").alias("n_sym"))
+    enc = per_doc.join(F.broadcast(sym), "token")
+    agg = (enc.groupBy("doc_id")
+           .agg(F.sum("cnt").alias("n_tokens"),
+                F.sum(F.col("cnt") * F.col("n_sym")).alias("n_symbols"),
+                F.round(F.sum(F.col("cnt") * F.length("token"))
+                        / F.sum(F.col("cnt") * F.col("n_sym")), 6)
+                .alias("compression")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
+                    "compression"))
 
 
 def bpe_merges_sql(table: str = "documents", n_merges: int = 5,
@@ -1390,3 +1446,55 @@ bs{i} AS (
                     f" a || b AS pair, cnt FROM btop{i}")
     return ("WITH " + ",".join(layers) + "\n"
             + " UNION ALL ".join(tops))
+
+
+def bpe_encode_sql(table: str = "documents", n_merges: int = 8,
+                   text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`bpe_encode`: the identical unrolled
+    training loop carrying the token string as a passenger, then the
+    identical per-doc join + fold."""
+    layers = [f"""
+qpd AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))
+      AS token FROM {table}) GROUP BY doc_id, token
+),
+qbt AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM qpd GROUP BY token),
+qbs0 AS (SELECT token, freq, str_split(token, '') AS seq FROM qbt)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"qbs{i - 1}"
+        layers.append(f"""
+qbp{i} AS (
+  SELECT seq[j] AS a, seq[j + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM {prev}, unnest(generate_series(1, len(seq) - 1)) u(j)
+  GROUP BY 1, 2
+),
+qbtop{i} AS (SELECT a, b, cnt FROM qbp{i}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+qbs{i} AS (
+  SELECT token, freq,
+         list_reduce(list_transform(seq, x -> [x]),
+                     (acc, x) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+                       THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+                       ELSE acc || x END) AS seq
+  FROM {prev} CROSS JOIN qbtop{i} t
+)""")
+    return ("WITH " + ",".join(layers) + f""",
+qenc AS (
+  SELECT p.doc_id, p.cnt, length(p.token) AS tlen, len(s.seq) AS n_sym
+  FROM qpd p JOIN qbs{n_merges} s USING (token)
+),
+qagg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * n_sym) AS BIGINT) AS n_symbols,
+         ROUND(SUM(cnt * tlen) * 1.0 / SUM(cnt * n_sym), 6)
+           AS compression
+  FROM qenc GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_symbols, 0) AS n_symbols, a.compression
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN qagg a USING (doc_id)""")

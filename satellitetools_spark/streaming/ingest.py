@@ -267,3 +267,53 @@ def streaming_kmv(doc_stream: DataFrame, k: int = 256, n_shards: int = 8,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transitions(events: DataFrame, key: str = "user_id",
+                          type_col: str = "event_type",
+                          ts_col: str = "ts") -> DataFrame:
+    """Streaming behavior-transition extraction — the stateful analog of
+    the batch ``temporal.transition_counts``: per key, the state is the
+    type of the last event seen; each arriving event emits one
+    ``(from_type, to_type)`` pair row and becomes the new state, so the
+    downstream matrix is a plain streaming (or batch, post-sink) count
+    over the pair stream.
+
+    State is ONE string per key — constant and checkpoint-friendly.
+    Matches the batch operator's pair multiset exactly when each key's
+    events arrive in timestamp order across triggers (micro-batches are
+    sorted internally on (ts, type); cross-batch reordering is the usual
+    streaming caveat and the batch operator remains the backfill path).
+    Output mode append: one row per event that has a predecessor.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sel = events.select(key, type_col, ts_col)
+    out_schema = (f"{key} long, from_type string, to_type string, "
+                  f"{ts_col} timestamp")
+
+    def update_fn(k, pdfs, state):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, type_col])
+        o_f, o_t, o_ts = [], [], []
+        for r in rows.itertuples(index=False):
+            t = getattr(r, type_col)
+            if last is not None:
+                o_f.append(last)
+                o_t.append(t)
+                o_ts.append(getattr(r, ts_col))
+            last = t
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame({key: [k[0]] * len(o_f), "from_type": o_f,
+                            "to_type": o_t, ts_col: o_ts})
+
+    return sel.groupBy(key).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

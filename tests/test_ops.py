@@ -1704,3 +1704,99 @@ def test_bpe_merges_match_local_reference(spark):
            for r in bpe_merges(docs, n_merges=5)
            .orderBy("rank").collect()]
     assert got == want
+
+
+def test_bpe_encode_matches_local_apply(spark):
+    from collections import Counter
+
+    from satellitetools_spark.operators.text import bpe_encode
+
+    corpus = ["the theme thesis", "then the other theory",
+              "there mother weather", "the the the", ""]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+
+    # local Sennrich train + apply
+    freq = Counter(w for t in corpus for w in t.split())
+    seqs = {w: list(w) for w in freq}
+    for _ in range(5):
+        counts = Counter()
+        for w, s in seqs.items():
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] += freq[w]
+        (a, b), _c = min(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, s in seqs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seqs[w] = out
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_symbols"], r["compression"])
+           for r in bpe_encode(docs, n_merges=5).collect()}
+    for i, t in enumerate(corpus):
+        words = t.split()
+        n_sym = sum(len(seqs[w]) for w in words)
+        n_chr = sum(len(w) for w in words)
+        want_c = round(n_chr / n_sym, 6) if n_sym else None
+        assert got[f"d{i}"] == (len(words), n_sym, want_c), (i, got[f"d{i}"])
+
+
+def test_transition_counts_matrix(spark):
+    import datetime as dt
+
+    from satellitetools_spark.operators.temporal import transition_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", "view", t0),
+        ("u1", "click", t0 + dt.timedelta(minutes=1)),
+        ("u1", "view", t0 + dt.timedelta(minutes=2)),
+        ("u1", "click", t0 + dt.timedelta(minutes=3)),
+        ("u2", "view", t0),
+        ("u2", "buy", t0 + dt.timedelta(minutes=5)),
+        ("u3", "view", t0),  # single event: no transition
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_counts(ev).collect()}
+    assert got == {("view", "click"): (2, round(2 / 3, 6)),
+                   ("view", "buy"): (1, round(1 / 3, 6)),
+                   ("click", "view"): (1, 1.0)}
+
+
+def test_hillshade_matches_numpy_horn(spark):
+    import math
+
+    from satellitetools_spark.operators.spatial import hillshade
+
+    # 5x5 synthetic DEM on the packed-cell grid, cell size 10 m
+    cell_m = 10.0
+    rng = np.random.RandomState(5)
+    elev = rng.uniform(100, 500, size=(5, 5)).round(3)
+    rows = [(int(iy) * 2 ** 32 + int(ix), float(elev[iy, ix]))
+            for iy in range(5) for ix in range(5)]
+    dem = spark.createDataFrame(rows, "cell long, elevation double")
+    got = {(r["ix"], r["iy"]): (r["slope_deg"], r["hillshade"])
+           for r in hillshade(dem, cell_m=cell_m).collect()}
+    # interior cells only (full 3x3 support)
+    assert set(got) == {(ix, iy) for ix in range(1, 4) for iy in range(1, 4)}
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    for (ix, iy), (s_got, h_got) in got.items():
+        win = elev[iy - 1:iy + 2, ix - 1:ix + 2]
+        gx = (win[0, 2] + 2 * win[1, 2] + win[2, 2]
+              - win[0, 0] - 2 * win[1, 0] - win[2, 0])
+        gy = (win[2, 0] + 2 * win[2, 1] + win[2, 2]
+              - win[0, 0] - 2 * win[0, 1] - win[0, 2])
+        dzdx, dzdy = gx / (8 * cell_m), gy / (8 * cell_m)
+        slope = math.atan(math.hypot(dzdx, dzdy))
+        aspect = math.atan2(dzdy, -dzdx)
+        shade = max(0.0, 255.0 * (math.sin(alt) * math.cos(slope)
+                                  + math.cos(alt) * math.sin(slope)
+                                  * math.cos(az - aspect)))
+        assert abs(s_got - math.degrees(slope)) < 1e-5, (ix, iy)
+        assert abs(h_got - shade) < 1e-4, (ix, iy)

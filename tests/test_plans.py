@@ -110,3 +110,63 @@ def test_fk_violations_anti_joins_broadcast(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_single_pass(spark):
+    """r3 funnel contract: the whole funnel reads the event stream ONCE
+    (one Scan node) — the r2 formulation re-scanned the stream per step
+    readout (O(steps²) scans)."""
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import funnel
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("u1", "view", t0), ("u1", "click", t0 + dt.timedelta(minutes=1)),
+         ("u1", "purchase", t0 + dt.timedelta(minutes=2))],
+        ["user_id", "event_type", "ts"])
+    ev.write.mode("overwrite").parquet("/tmp/_plan_funnel_ev.parquet")
+    src = spark.read.parquet("/tmp/_plan_funnel_ev.parquet")
+    plan = _plan(funnel(src, steps=["view", "click", "purchase"]))
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_quantiles_single_scan(spark):
+    """r3 quantile contract: one histogram scan feeds every quantile
+    readout (probs are a broadcast dimension + min_by) — the r2 per-prob
+    filter+limit branches each re-executed the full input scan."""
+    from satellitetools_spark.operators.checks import binned_quantiles
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    df.write.mode("overwrite").parquet("/tmp/_plan_bq.parquet")
+    src = spark.read.parquet("/tmp/_plan_bq.parquet")
+    plan = _plan(binned_quantiles(src, "v", 0.0, 1000.0, n_bins=50,
+                                  probs=(0.25, 0.5, 0.75, 0.9, 0.99)))
+    # exactly one scan of the input file among all FileScans (the probs
+    # dimension is a LocalTableScan, not a file)
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_transition_counts_one_key_shuffle(spark):
+    """Transition matrix: one window shuffle on the key, one type²
+    agg — no joins, no cartesian."""
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import transition_counts
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("u1", "a", t0), ("u1", "b", t0 + dt.timedelta(seconds=5))],
+        ["user_id", "event_type", "ts"])
+    plan = _plan(transition_counts(ev))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hillshade_no_self_join(spark):
+    """Hillshade rides focal_conv's contribute/aggregate shape: the DEM
+    scans once, no join back (center payload folds through the agg)."""
+    from satellitetools_spark.operators.spatial import hillshade
+    dem = spark.createDataFrame(
+        [(int(iy) * 2 ** 32 + int(ix), 100.0 + ix + iy)
+         for iy in range(4) for ix in range(4)],
+        "cell long, elevation double")
+    plan = _plan(hillshade(dem, cell_m=10.0))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") <= 2, plan

@@ -250,3 +250,50 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
     est = (k - 1) * 1_000_000_007.0 / merged[-1] if len(merged) == k \
         else float(len(merged))
     assert round(est, 6) == ref["est_distinct"]
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """Stateful streaming transition extraction over a 3-micro-batch
+    time-ordered replay yields the same (from, to) pair multiset —
+    hence the same transition matrix — as batch transition_counts."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.temporal import transition_counts
+    from satellitetools_spark.streaming.ingest import streaming_transitions
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(src).select("user_id", "event_type", "ts")
+    feed = tmp_path / "tr_feed"
+    feed.mkdir()
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = (ev.agg(F.expr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"))
+              .collect()[0])
+    chunks = [ev.filter(t <= lo), ev.filter((t > lo) & (t <= hi)),
+              ev.filter(t > hi)]
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"tr_chunk_{i}")
+        chunk.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_transitions(stream)
+         .writeStream.format("memory").queryName("transitions_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tr"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = (spark.sql("SELECT from_type, to_type, COUNT(*) AS n "
+                     "FROM transitions_stream GROUP BY 1, 2").toPandas()
+           .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    ref = (transition_counts(ev).select("from_type", "to_type", "n")
+           .toPandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    assert got.equals(ref.astype(got.dtypes.to_dict())), (got, ref)
