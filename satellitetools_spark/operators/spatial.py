@@ -519,6 +519,67 @@ SOBEL_GY = {(dx, dy): float(dy * (2 - abs(dx)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
 
 
+def zonal_stats(px: DataFrame, zones: DataFrame, value_col: str,
+                zone_col: str = "zone", cell_m: float = CELL_SIZE_M,
+                broadcast_zones: bool = True) -> DataFrame:
+    """Zonal statistics — the classic raster×zone cross-analysis (mean
+    NDVI per elevation band, per land-cover class, per watershed): the
+    zone raster arrives as a second cell-keyed table ``zones(cell,
+    zone)``, pixels pick their zone by ONE hash join on the cell id they
+    compute in codegen, and a single map-side-combined hash agg at zone
+    cardinality emits n/mean/min/max/std per zone.
+
+    The zone table is ~KB/km² and broadcasts to continent scale
+    (``broadcast_zones=False`` shuffle-joins a planetary zone raster on
+    the co-partitioned cell key). Pixels with no zone drop (inner join —
+    outside the zone raster means outside the analysis). Std is the
+    population form derived from (Σv, Σv²) so the oracle can reproduce
+    it bit-for-bit from the same sums.
+    """
+    p = px if "cell" in px.columns else with_cell(px, cell_m)
+    z = F.broadcast(zones) if broadcast_zones else zones
+    v = F.col(value_col)
+    agg = (p.join(z, "cell")
+           .groupBy(zone_col)
+           .agg(F.count(value_col).alias("n"),
+                F.sum(v).alias("_s"),
+                F.sum(v * v).alias("_s2"),
+                F.min(v).alias("_mn"),
+                F.max(v).alias("_mx")))
+    mean = F.col("_s") / F.col("n")
+    var = F.greatest(F.col("_s2") / F.col("n") - mean * mean, F.lit(0.0))
+    return agg.select(
+        zone_col, "n",
+        F.round(mean, 6).alias("mean_v"),
+        F.round("_mn", 6).alias("min_v"),
+        F.round("_mx", 6).alias("max_v"),
+        F.round(F.sqrt(var), 6).alias("std_v"))
+
+
+def zonal_stats_sql(pixels_sql: str, zones_sql: str, value_sql: str,
+                    zone_col: str = "zone") -> str:
+    """DuckDB oracle: identical join and moment-derived statistics.
+    ``pixels_sql`` must yield (cell, value inputs); ``zones_sql`` yields
+    (cell, zone)."""
+    return f"""
+WITH zpx AS ({pixels_sql}),
+zzn AS ({zones_sql}),
+zv AS (SELECT z.{zone_col}, {value_sql} AS v
+       FROM zpx p JOIN zzn z USING (cell)),
+za AS (
+  SELECT {zone_col}, COUNT(v) AS n, SUM(v) AS s, SUM(v * v) AS s2,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM zv GROUP BY {zone_col}
+)
+SELECT {zone_col}, n,
+       ROUND(s / n, 6) AS mean_v,
+       ROUND(mn, 6) AS min_v,
+       ROUND(mx, 6) AS max_v,
+       ROUND(sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0)), 6) AS std_v
+FROM za
+"""
+
+
 def hillshade(dem: DataFrame, cell_m: float = CELL_SIZE_M,
               azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
               z_factor: float = 1.0) -> DataFrame:
