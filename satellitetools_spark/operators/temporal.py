@@ -584,6 +584,206 @@ FROM steprows
 """
 
 
+def cusum_alarms(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
+                 ts_col: str = "ts", value_col: str = "value",
+                 k: float = 0.5, h: float = 4.0) -> DataFrame:
+    """Two-sided standardized CUSUM drift detection per key (Page's
+    sequential test): residuals standardize against the key's own
+    mean/std, the positive and negative cumulative sums
+    ``S± = max(0, S± ± z − k)`` reset on every alarm (``S± > h``), and
+    the output is one row per key: ``(…, n_obs, n_alarms)``. Catches
+    slow drifts a pointwise z-score (:func:`rolling_zscore`) never
+    flags.
+
+    Shape: one hash agg for the per-key moments, one co-partitioned
+    join back, one hash agg collecting the key's time-ordered residual
+    array (state bounded by the key's series length — the per-entity
+    series regime, same as :func:`funnel`), then the sequential scan as
+    a pure ``aggregate`` fold expression. No window, no Python, no
+    driver state.
+    """
+    keys = list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(*keys, us.alias("_us"),
+                     F.col(value_col).cast("double").alias("_v"))
+    stats = (base.groupBy(*keys)
+             .agg(F.count("_v").alias("_n"),
+                  F.sum("_v").alias("_s"),
+                  F.sum(F.col("_v") * F.col("_v")).alias("_s2")))
+    mu = F.col("_s") / F.col("_n")
+    sd = F.sqrt(F.greatest(F.col("_s2") / F.col("_n") - mu * mu,
+                           F.lit(0.0)))
+    j = base.join(stats, keys)
+    z = F.when(sd > 0, (F.col("_v") - mu) / sd).otherwise(F.lit(0.0))
+    arr = (j.select(*keys, F.struct(F.col("_us").alias("us"),
+                                    z.alias("z")).alias("_e"))
+           .groupBy(*keys)
+           .agg(F.sort_array(F.collect_list("_e")).alias("_es")))
+    zs = F.transform(F.col("_es"), lambda e: e["z"])
+    zero = F.struct(F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"),
+                    F.lit(0).cast("long").alias("na"))
+
+    def step(acc, x):
+        sp1 = F.greatest(F.lit(0.0), acc["sp"] + x - F.lit(float(k)))
+        sn1 = F.greatest(F.lit(0.0), acc["sn"] - x - F.lit(float(k)))
+        alarm = (sp1 > float(h)) | (sn1 > float(h))
+        return F.struct(
+            F.when(alarm, F.lit(0.0)).otherwise(sp1).alias("sp"),
+            F.when(alarm, F.lit(0.0)).otherwise(sn1).alias("sn"),
+            (acc["na"] + F.when(alarm, F.lit(1)).otherwise(F.lit(0)))
+            .alias("na"))
+
+    fold = F.aggregate(zs, zero, step)
+    return arr.select(*keys,
+                      F.size("_es").alias("n_obs"),
+                      fold["na"].alias("n_alarms"))
+
+
+def cusum_alarms_sql(table: str, key_cols: Sequence[str] = ("user_id",),
+                     ts_col: str = "ts", value_col: str = "value",
+                     k: float = 0.5, h: float = 4.0) -> str:
+    """DuckDB oracle: identical standardization; the inherently
+    sequential CUSUM recursion runs as a RECURSIVE CTE stepping each
+    key's row_number chain (one recursion level per observation).
+    Not ``list_reduce``: DuckDB 1.0 evaluates multi-field struct
+    lambdas with inconsistent accumulator bindings per field (verified
+    on a 3-element repro — different fields of one step saw different
+    ``a``), so a struct fold silently corrupts the state."""
+    keys = list(key_cols)
+    ks = ", ".join(keys)
+    ko = ", ".join(f"o.{c}" for c in keys)
+    join_on = " AND ".join(f"o.{c} = r.{c}" for c in keys)
+    jn = " AND ".join(f"r.{c} = n.{c}" for c in keys)
+    kf, hf = float(k), float(h)
+    sp1 = f"GREATEST(0.0, r.sp + o.z - {kf!r})"
+    sn1 = f"GREATEST(0.0, r.sn - o.z - {kf!r})"
+    alarm1 = f"({sp1} > {hf!r} OR {sn1} > {hf!r})"
+    sp0 = f"GREATEST(0.0, z - {kf!r})"
+    sn0 = f"GREATEST(0.0, -z - {kf!r})"
+    alarm0 = f"({sp0} > {hf!r} OR {sn0} > {hf!r})"
+    return f"""
+WITH RECURSIVE cb AS (
+  SELECT {ks}, epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+cst AS (
+  SELECT {ks}, COUNT(v) AS n, SUM(v) AS s, SUM(v * v) AS s2
+  FROM cb GROUP BY {ks}
+),
+cz AS (
+  SELECT cb.*, CASE WHEN sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0))
+                         > 0
+               THEN (v - s / n)
+                    / sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0))
+               ELSE 0.0 END AS z
+  FROM cb JOIN cst USING ({ks})
+),
+co AS (
+  SELECT {ks}, z,
+         ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY us, z) AS i
+  FROM cz
+),
+cn AS (SELECT {ks}, MAX(i) AS n_obs FROM co GROUP BY {ks}),
+rec AS (
+  SELECT {ks}, i,
+         CASE WHEN {alarm0} THEN 0.0 ELSE {sp0} END AS sp,
+         CASE WHEN {alarm0} THEN 0.0 ELSE {sn0} END AS sn,
+         CASE WHEN {alarm0} THEN 1 ELSE 0 END AS na
+  FROM co WHERE i = 1
+  UNION ALL
+  SELECT {ko}, o.i,
+         CASE WHEN {alarm1} THEN 0.0 ELSE {sp1} END,
+         CASE WHEN {alarm1} THEN 0.0 ELSE {sn1} END,
+         r.na + CASE WHEN {alarm1} THEN 1 ELSE 0 END
+  FROM rec r JOIN co o ON {join_on} AND o.i = r.i + 1
+)
+SELECT r.{keys[0]}{"".join(", r." + c for c in keys[1:])},
+       n.n_obs, CAST(r.na AS BIGINT) AS n_alarms
+FROM rec r JOIN cn n ON {jn} AND r.i = n.n_obs
+"""
+
+
+def savgol_coeffs(window: int = 5, order: int = 2):
+    """Savitzky–Golay FIR coefficients (symmetric window, evaluate at
+    the center): row 0 of the Vandermonde pseudo-inverse — the smoothed
+    value is the constant term of the local least-squares polynomial.
+    Deterministic Python floats, injected literally into both the
+    engine expression and the oracle SQL."""
+    import numpy as np
+    if window % 2 != 1 or window < 3:
+        raise ValueError("savgol: window must be odd and >= 3")
+    if order >= window:
+        raise ValueError("savgol: order must be < window")
+    m = window // 2
+    a = np.vander(np.arange(-m, m + 1, dtype=float), order + 1,
+                  increasing=True)
+    return [float(c) for c in np.linalg.pinv(a)[0]]
+
+
+def sg_smooth(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
+              time_col: str = "date_str", value_col: str = "mean_v",
+              window: int = 5, order: int = 2,
+              out_col: str = "v_smooth") -> DataFrame:
+    """Savitzky–Golay smoothing of a keyed time series — the standard
+    NDVI/phenology denoiser (local least-squares polynomial ≡ one fixed
+    FIR filter): per key, the smoothed value is a ``window``-tap dot
+    product of lag/lead neighbors ordered by ``time_col``. Edge rows
+    (incomplete support) yield NULL — consumers choose their own edge
+    policy rather than inheriting a silent one.
+
+    Shape: ONE shuffle (the key window); every tap is a lag/lead over
+    the same partitioning+ordering, so all taps share a single exchange
+    and sort; the dot product is pure codegen. At 10^12 rows the series
+    cardinality per key is dates-per-AOI — window state is trivially
+    bounded.
+    """
+    coeffs = savgol_coeffs(window, order)
+    m = window // 2
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    v = F.col(value_col)
+
+    def tap(j):
+        if j < 0:
+            return F.lag(v, -j).over(w)
+        if j > 0:
+            return F.lead(v, j).over(w)
+        return v
+
+    expr = None
+    for j in range(-m, m + 1):
+        term = F.lit(coeffs[j + m]) * tap(j)
+        expr = term if expr is None else expr + term
+    return df.withColumn(out_col, F.round(expr, 6))
+
+
+def sg_smooth_sql(series_sql: str, key_cols: Sequence[str] = ("aoi",),
+                  time_col: str = "date_str", value_col: str = "mean_v",
+                  window: int = 5, order: int = 2,
+                  out_col: str = "v_smooth") -> str:
+    """DuckDB oracle: identical taps, identical literal coefficients,
+    identical left-associated sum."""
+    coeffs = savgol_coeffs(window, order)
+    m = window // 2
+    keys = ", ".join(key_cols)
+
+    def tap(j):
+        if j < 0:
+            return f"lag({value_col}, {-j}) OVER sgw"
+        if j > 0:
+            return f"lead({value_col}, {j}) OVER sgw"
+        return value_col
+
+    terms = " + ".join(f"{coeffs[j + m]!r} * {tap(j)}"
+                       for j in range(-m, m + 1))
+    return f"""
+WITH sgs AS ({series_sql})
+SELECT *, ROUND({terms}, 6) AS {out_col}
+FROM sgs
+WINDOW sgw AS (PARTITION BY {keys} ORDER BY {time_col})
+"""
+
+
 def transition_counts(events: DataFrame, key: str = "user_id",
                       type_col: str = "event_type",
                       time_col: str = "ts") -> DataFrame:

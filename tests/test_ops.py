@@ -1800,3 +1800,74 @@ def test_hillshade_matches_numpy_horn(spark):
                                   * math.cos(az - aspect)))
         assert abs(s_got - math.degrees(slope)) < 1e-5, (ix, iy)
         assert abs(h_got - shade) < 1e-4, (ix, iy)
+
+
+def test_sg_smooth_matches_local_fir(spark):
+    from satellitetools_spark.operators.temporal import (savgol_coeffs,
+                                                         sg_smooth)
+
+    # classic check: a polynomial of degree <= order is reproduced
+    # exactly at full-support points
+    xs = np.arange(10, dtype=float)
+    poly = 2.0 + 0.5 * xs - 0.25 * xs ** 2
+    rng = np.random.RandomState(9)
+    noisy = poly + rng.normal(0, 0.1, size=10)
+    rows = [("a", f"2024-01-{d + 1:02d}", float(noisy[d])) for d in range(10)]
+    df = spark.createDataFrame(rows, ["aoi", "date_str", "mean_v"])
+    got = {r["date_str"]: r["v_smooth"]
+           for r in sg_smooth(df, window=5, order=2).collect()}
+    c = np.asarray(savgol_coeffs(5, 2))
+    for d in range(10):
+        key = f"2024-01-{d + 1:02d}"
+        if d < 2 or d > 7:
+            assert got[key] is None, (d, got[key])
+        else:
+            want = float(np.dot(c, noisy[d - 2:d + 3]))
+            assert abs(got[key] - want) < 1e-6, (d, got[key], want)
+    # exact-polynomial reproduction (no noise): smoothed == original
+    rows2 = [("b", f"2024-02-{d + 1:02d}", float(poly[d])) for d in range(10)]
+    df2 = spark.createDataFrame(rows2, ["aoi", "date_str", "mean_v"])
+    got2 = {r["date_str"]: r["v_smooth"]
+            for r in sg_smooth(df2, window=5, order=2).collect()}
+    for d in range(2, 8):
+        key = f"2024-02-{d + 1:02d}"
+        assert abs(got2[key] - poly[d]) < 1e-5, (d, got2[key], poly[d])
+
+
+def test_cusum_alarms_matches_local_scan(spark):
+    import datetime as dt
+
+    from satellitetools_spark.operators.temporal import cusum_alarms
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.RandomState(13)
+    # u1: stationary noise then a +2σ drift — CUSUM must alarm; u2 flat
+    vals_u1 = list(rng.normal(0, 1, 30)) + list(rng.normal(2, 1, 30))
+    vals_u2 = list(rng.normal(5, 1, 40))
+    rows = ([(1, t0 + dt.timedelta(minutes=i), float(v))
+             for i, v in enumerate(vals_u1)]
+            + [(2, t0 + dt.timedelta(minutes=i), float(v))
+               for i, v in enumerate(vals_u2)])
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["user_id"]: (r["n_obs"], r["n_alarms"])
+           for r in cusum_alarms(ev, key_cols=("user_id",),
+                                 k=0.5, h=4.0).collect()}
+
+    def local(vals, k=0.5, h=4.0):
+        a = np.asarray(vals)
+        mu, sd = a.mean(), a.std()
+        zs = (a - mu) / sd if sd > 0 else np.zeros_like(a)
+        sp = sn = 0.0
+        na = 0
+        for z in zs:
+            sp = max(0.0, sp + z - k)
+            sn = max(0.0, sn - z - k)
+            if sp > h or sn > h:
+                na += 1
+                sp = sn = 0.0
+        return len(vals), na
+
+    assert got[1] == local(vals_u1)
+    assert got[2] == local(vals_u2)
+    assert got[1][1] >= 1          # the drift is detected
+    assert got[2][1] == 0          # the flat series is not
