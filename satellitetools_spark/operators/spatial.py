@@ -519,6 +519,111 @@ SOBEL_GY = {(dx, dy): float(dy * (2 - abs(dx)))
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
 
 
+def polygon_metrics(aois: DataFrame, geom_col: str = "aoi_geometry",
+                    name_col: str = "aoi") -> DataFrame:
+    """Vector-geometry metrics of AOI polygons straight from their
+    GeoJSON (raw coordinate space, no CRS transform — deterministic
+    across engines): vertex/ring/polygon counts, shoelace area,
+    perimeter, and area centroid of the first polygon's outer ring.
+    The per-AOI numbers behind coverage accounting and tile-budget
+    planning.
+
+    Shape: pure projection — ``from_json`` parses the nested
+    coordinate array once, the shoelace/centroid/perimeter terms are
+    ``zip_with`` + ``aggregate`` folds over the ring (array exprs, no
+    explode, no shuffle beyond the caller's dedup). Holes and extra
+    polygons are counted but metrics describe the outer ring — the
+    standard headline-number convention, stated rather than implied.
+    """
+    coords = F.from_json(
+        F.get_json_object(F.col(geom_col), "$.coordinates"),
+        "array<array<array<array<double>>>>")
+    ring = F.element_at(F.element_at(coords, 1), 1)
+    n = F.size(ring)
+    a_ = F.slice(ring, 1, n - 1)
+    b_ = F.slice(ring, 2, n - 1)
+
+    def px_(p):
+        return F.element_at(p, 1)
+
+    def py_(p):
+        return F.element_at(p, 2)
+
+    cross = F.zip_with(a_, b_,
+                       lambda p, q: px_(p) * py_(q) - px_(q) * py_(p))
+    seg = F.zip_with(
+        a_, b_,
+        lambda p, q: F.sqrt((px_(q) - px_(p)) * (px_(q) - px_(p))
+                            + (py_(q) - py_(p)) * (py_(q) - py_(p))))
+    cxs = F.zip_with(a_, b_,
+                     lambda p, q: (px_(p) + px_(q))
+                     * (px_(p) * py_(q) - px_(q) * py_(p)))
+    cys = F.zip_with(a_, b_,
+                     lambda p, q: (py_(p) + py_(q))
+                     * (px_(p) * py_(q) - px_(q) * py_(p)))
+
+    def fsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    signed2 = fsum(cross)
+    return aois.select(
+        F.col(name_col),
+        F.size(coords).alias("n_polys"),
+        F.size(F.element_at(coords, 1)).alias("n_rings"),
+        (n - 1).alias("n_vertices"),
+        F.round(F.abs(signed2) / 2, 12).alias("area"),
+        F.round(fsum(seg), 9).alias("perimeter"),
+        F.round(fsum(cxs) / (3 * signed2), 9).alias("centroid_x"),
+        F.round(fsum(cys) / (3 * signed2), 9).alias("centroid_y"))
+
+
+def polygon_metrics_sql(aois_sql: str, geom_col: str = "geom",
+                        name_col: str = "aoi") -> str:
+    """DuckDB oracle: identical parse (JSON → nested DOUBLE lists),
+    identical zip terms, identical sequential folds."""
+    ring = "c[1][1]"
+    return f"""
+WITH pma AS ({aois_sql}),
+pmc AS (
+  SELECT {name_col},
+         CAST(json_extract({geom_col}, '$.coordinates')
+              AS DOUBLE[][][][]) AS c
+  FROM pma
+),
+pmr AS (
+  SELECT {name_col}, c, {ring} AS ring,
+         {ring}[1:len({ring}) - 1] AS a_,
+         {ring}[2:len({ring})] AS b_
+  FROM pmc
+),
+pmt AS (
+  SELECT {name_col}, c, ring,
+         list_aggregate(list_transform(list_zip(a_, b_),
+           p -> p[1][1] * p[2][2] - p[2][1] * p[1][2]), 'sum') AS s2,
+         list_aggregate(list_transform(list_zip(a_, b_),
+           p -> sqrt((p[2][1] - p[1][1]) * (p[2][1] - p[1][1])
+                     + (p[2][2] - p[1][2]) * (p[2][2] - p[1][2]))),
+           'sum') AS per,
+         list_aggregate(list_transform(list_zip(a_, b_),
+           p -> (p[1][1] + p[2][1])
+                * (p[1][1] * p[2][2] - p[2][1] * p[1][2])), 'sum') AS cxs,
+         list_aggregate(list_transform(list_zip(a_, b_),
+           p -> (p[1][2] + p[2][2])
+                * (p[1][1] * p[2][2] - p[2][1] * p[1][2])), 'sum') AS cys
+  FROM pmr
+)
+SELECT {name_col},
+       CAST(len(c) AS INT) AS n_polys,
+       CAST(len(c[1]) AS INT) AS n_rings,
+       CAST(len(ring) - 1 AS INT) AS n_vertices,
+       ROUND(abs(s2) / 2, 12) AS area,
+       ROUND(per, 9) AS perimeter,
+       ROUND(cxs / (3 * s2), 9) AS centroid_x,
+       ROUND(cys / (3 * s2), 9) AS centroid_y
+FROM pmt
+"""
+
+
 def zonal_stats(px: DataFrame, zones: DataFrame, value_col: str,
                 zone_col: str = "zone", cell_m: float = CELL_SIZE_M,
                 broadcast_zones: bool = True) -> DataFrame:

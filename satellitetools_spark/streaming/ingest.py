@@ -317,3 +317,59 @@ def streaming_transitions(events: DataFrame, key: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    mu0: float = 0.0, sigma0: float = 1.0,
+                    k: float = 0.5, h: float = 4.0) -> DataFrame:
+    """Streaming CUSUM drift detection — the stateful analog of the
+    batch ``temporal.cusum_alarms``, standardized against a FIXED
+    calibration reference ``(mu0, sigma0)`` (a stream cannot see its
+    own full-series moments; the batch operator is the calibration /
+    backfill path). State per key: ``(sp, sn, n_alarms)`` — three
+    numbers, constant, checkpoint-friendly. Emits one row per event
+    with the post-update state and the alarm flag; alarms reset the
+    sums (Page's rule).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sel = events.select(key, ts_col, value_col)
+    out_schema = (f"{key} long, {ts_col} timestamp, value double, "
+                  f"sp double, sn double, alarmed boolean, "
+                  f"n_alarms long")
+
+    def update_fn(kk, pdfs, state):
+        sp, sn, na = (state.get if state.exists else (0.0, 0.0, 0))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, value_col])
+        o = {"ts": [], "v": [], "sp": [], "sn": [], "al": [], "na": []}
+        for r in rows.itertuples(index=False):
+            v = float(getattr(r, value_col))
+            z = (v - mu0) / sigma0 if sigma0 > 0 else 0.0
+            sp = max(0.0, sp + z - k)
+            sn = max(0.0, sn - z - k)
+            alarmed = sp > h or sn > h
+            if alarmed:
+                na += 1
+                sp = sn = 0.0
+            o["ts"].append(getattr(r, ts_col))
+            o["v"].append(v)
+            o["sp"].append(sp)
+            o["sn"].append(sn)
+            o["al"].append(alarmed)
+            o["na"].append(na)
+        state.update((sp, sn, na))
+        yield pd.DataFrame({key: [kk[0]] * len(o["v"]), ts_col: o["ts"],
+                            "value": o["v"], "sp": o["sp"],
+                            "sn": o["sn"], "alarmed": o["al"],
+                            "n_alarms": o["na"]})
+
+    return sel.groupBy(key).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType="sp double, sn double, na long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1871,3 +1871,22 @@ def test_cusum_alarms_matches_local_scan(spark):
     assert got[2] == local(vals_u2)
     assert got[1][1] >= 1          # the drift is detected
     assert got[2][1] == 0          # the flat series is not
+
+
+def test_polygon_metrics_known_square(spark):
+    import json
+
+    from satellitetools_spark.operators.spatial import polygon_metrics
+
+    # unit square with one triangular hole; outer-ring metrics
+    geom = {"type": "MultiPolygon", "coordinates": [[
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+        [[1.0, 1.0], [2.0, 1.0], [1.5, 2.0], [1.0, 1.0]],
+    ]]}
+    df = spark.createDataFrame(
+        [("sq", json.dumps(geom))], ["aoi", "aoi_geometry"])
+    r = polygon_metrics(df).collect()[0]
+    assert (r["n_polys"], r["n_rings"], r["n_vertices"]) == (1, 2, 4)
+    assert r["area"] == 16.0
+    assert r["perimeter"] == 16.0
+    assert (r["centroid_x"], r["centroid_y"]) == (2.0, 2.0)

@@ -297,3 +297,55 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
            .toPandas().sort_values(["from_type", "to_type"])
            .reset_index(drop=True))
     assert got.equals(ref.astype(got.dtypes.to_dict())), (got, ref)
+
+
+def test_streaming_cusum_matches_batch_with_calibration(spark, tmp_path):
+    """Streaming CUSUM with a fixed calibration reference equals the
+    batch operator on a single-key series when the calibration equals
+    the key's own moments (which the batch operator computes)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.temporal import cusum_alarms
+    from satellitetools_spark.streaming.ingest import streaming_cusum
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rng = np.random.RandomState(21)
+    vals = list(rng.normal(0, 1, 40)) + list(rng.normal(2.5, 1, 40))
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame({
+        "user_id": [7] * 80,
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(80)],
+        "value": vals,
+    })
+    ev = spark.createDataFrame(pdf)
+    a = np.asarray(vals)
+    mu0, sd0 = float(a.mean()), float(a.std())
+
+    feed = tmp_path / "cu_feed"
+    feed.mkdir()
+    chunks = [pdf.iloc[:30], pdf.iloc[30:55], pdf.iloc[55:]]
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"cu_chunk_{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_cusum(stream, mu0=mu0, sigma0=sd0, k=0.5, h=4.0)
+         .writeStream.format("memory").queryName("cusum_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cu"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT MAX(n_alarms) AS na, COUNT(*) AS n FROM cusum_stream"
+    ).collect()[0]
+    ref = cusum_alarms(ev, key_cols=("user_id",), k=0.5, h=4.0).collect()[0]
+    assert got["n"] == ref["n_obs"] == 80
+    assert got["na"] == ref["n_alarms"] >= 1
