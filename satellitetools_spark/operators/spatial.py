@@ -906,3 +906,242 @@ mrank AS (
 SELECT cx, cy, v AS mode_value, n AS n_votes, n_total
 FROM mrank WHERE rnk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Global spatial autocorrelation (Moran's I, queen contiguity)
+# ---------------------------------------------------------------------------
+
+QUEEN = {(dx, dy): 1.0 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)}
+
+#: D8 neighbor table: ESRI direction codes + unit-cell distances.
+D8 = [  # (dx, dy, code, dist)
+    (1, 0, 1, 1.0), (1, -1, 2, math.sqrt(2.0)), (0, -1, 4, 1.0),
+    (-1, -1, 8, math.sqrt(2.0)), (-1, 0, 16, 1.0),
+    (-1, 1, 32, math.sqrt(2.0)), (0, 1, 64, 1.0),
+    (1, 1, 128, math.sqrt(2.0)),
+]
+
+
+def dem_pixels(dem: DataFrame, cell_m: float = CELL_SIZE_M,
+               value_col: str = "elevation") -> DataFrame:
+    """Long pixel frame (doc_id, x, y, gsd, value) from the packed-cell
+    DEM dimension — the same codegen decode :func:`hillshade` uses."""
+    return dem.select(
+        F.lit("dem").alias("doc_id"),
+        ((F.pmod(F.col("cell"), F.lit(2 ** 32)) + 0.5) * cell_m).alias("x"),
+        ((F.floor(F.col("cell") / F.lit(2 ** 32)) + 0.5) * cell_m).alias("y"),
+        F.col(value_col),
+        F.lit(float(cell_m)).alias("gsd"))
+
+
+def morans_i(px: DataFrame, value_col: str = "elevation") -> DataFrame:
+    """Global Moran's I of a cell raster under queen contiguity
+    (8-neighbor, binary weights) — THE spatial-autocorrelation summary
+    (is elevation / NDVI / land-value clustered, dispersed, or random?):
+    ``I = (n/W) · Σᵢ zᵢ·Σⱼ∈N(i) zⱼ / Σᵢ zᵢ²`` with z the mean-deviation.
+    Emits n_cells, the realized link count W, I, and E[I] = −1/(n−1).
+
+    Shape: one 1-row mean agg broadcast back (codegen z), the neighbor
+    sums ride ONE :func:`focal_conv` pass (constant 9× explode fanout +
+    a single hash agg at cell cardinality — no self-join), and the final
+    reduction is a second 1-row agg. Border cells keep their realized
+    links (standard binary-weight accounting), so W counts actual
+    neighbor pairs, not 8n.
+    """
+    mean = px.agg(F.avg(F.col(value_col).cast("double")).alias("_mu"))
+    z = (px.crossJoin(F.broadcast(mean))
+         .withColumn("_z", F.col(value_col).cast("double") - F.col("_mu"))
+         .drop("_mu"))
+    g = focal_conv(z, "_z", {"nsum": QUEEN})
+    # n_neigh counts the center too (the (0,0) offset is always in the
+    # union stencil), so realized links per cell = n_neigh - 1
+    return g.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("n_neigh") - 1).cast("long").alias("w_links"),
+        F.round((F.count("*") / F.sum(F.col("n_neigh") - 1))
+                * (F.sum(F.col("_z") * F.col("nsum"))
+                   / F.sum(F.col("_z") * F.col("_z"))), 6)
+        .alias("moran_i"),
+        F.round(F.lit(-1.0) / (F.count("*") - 1), 6).alias("e_i"))
+
+
+def morans_i_sql(cells_sql: str, value_sql: str = "elevation") -> str:
+    """DuckDB oracle: identical mean-deviation, the :func:`focal_conv_sql`
+    stencil pass, identical final reduction. ``cells_sql`` must yield
+    (doc_id, ix, iy) plus the value expression's inputs."""
+    zsql = f"""SELECT doc_id, ix, iy,
+       CAST({value_sql} AS DOUBLE)
+       - AVG(CAST({value_sql} AS DOUBLE)) OVER () AS z
+FROM ({cells_sql})"""
+    conv = focal_conv_sql(zsql, "z", {"nsum": QUEEN})
+    return f"""
+WITH mig AS ({conv}),
+miz AS ({zsql})
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(g.n_neigh - 1) AS BIGINT) AS w_links,
+       ROUND((COUNT(*) / SUM(g.n_neigh - 1))
+             * (SUM(z.z * g.nsum) / SUM(z.z * z.z)), 6) AS moran_i,
+       ROUND(-1.0 / (COUNT(*) - 1), 6) AS e_i
+FROM mig g JOIN miz z ON g.ix = z.ix AND g.iy = z.iy
+"""
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction (hydrology primitive)
+# ---------------------------------------------------------------------------
+
+def flow_direction(dem: DataFrame, cell_m: float = CELL_SIZE_M,
+                   value_col: str = "elevation") -> DataFrame:
+    """D8 steepest-descent flow direction per DEM cell — the hydrology
+    primitive under watershed delineation and flow accumulation: each
+    cell drains toward the 8-neighbor with the greatest positive
+    ``(elev_cell − elev_neighbor)/dist`` (ESRI power-of-two codes,
+    diagonal distance √2); cells with no lower neighbor code 0
+    (pit/flat). Ties break to the smallest code — deterministic, and
+    stated rather than library-dependent.
+
+    Shape: the DEM decodes its packed cell key in codegen; the sender
+    side explodes one record per D8 offset (constant 8× fanout) and
+    equi-joins back to the grid on the co-partitioned cell key — ONE
+    shuffle join, no cross product — then a hash agg at cell cardinality
+    takes the argmax via struct-max (built only for positive drops, so
+    NULL-field ordering can never enter the comparison).
+    """
+    base = dem.select(
+        F.pmod(F.col("cell"), F.lit(2 ** 32)).cast("long").alias("ix"),
+        F.floor(F.col("cell") / F.lit(2 ** 32)).cast("long").alias("iy"),
+        F.col(value_col).cast("double").alias("v"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(c).alias("code"), F.lit(d).alias("dist"))
+        for dx, dy, c, d in D8])).alias("_o")
+    contrib = (base.select("ix", "iy", F.col("v").alias("vs"), off)
+               .select((F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"),
+                       "vs", F.col("_o.code").alias("code"),
+                       F.col("_o.dist").alias("dist")))
+    j = contrib.join(base, ["ix", "iy"])
+    drop = (F.col("v") - F.col("vs")) / F.col("dist")
+    best = F.max(F.when(drop > 0,
+                        F.struct(drop.alias("d"),
+                                 (-F.col("code")).alias("nc"))))
+    out = (j.groupBy("ix", "iy", "v")
+           .agg(F.count("*").cast("int").alias("n_neigh"),
+                F.sum((drop > 0).cast("long")).alias("n_lower"),
+                best.alias("_b")))
+    return out.select(
+        "ix", "iy", F.col("v").alias(value_col), "n_neigh", "n_lower",
+        F.coalesce(-F.col("_b.nc"), F.lit(0)).cast("int")
+        .alias("flow_code"),
+        F.round(F.col("_b.d"), 6).alias("best_drop"))
+
+
+def flow_direction_sql(dem_path: str, value_col: str = "elevation") -> str:
+    """DuckDB oracle: identical decode, offset table, join, and
+    struct-max argmax (struct only built for positive drops — both
+    engines then compare fully non-null structs field-by-field)."""
+    rows = ", ".join(f"({dx}, {dy}, {c}, {d!r})" for dx, dy, c, d in D8)
+    return f"""
+WITH fdb AS (
+  SELECT CAST(cell % 4294967296 AS BIGINT) AS ix,
+         CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM read_parquet('{dem_path}')
+),
+fdo (dx, dy, code, dist) AS (VALUES {rows}),
+fdc AS (
+  SELECT ix - dx AS ix, iy - dy AS iy, v AS vs, code, dist
+  FROM fdb, fdo
+),
+fdj AS (
+  SELECT b.ix, b.iy, b.v, (b.v - c.vs) / c.dist AS drop_, c.code
+  FROM fdc c JOIN fdb b ON c.ix = b.ix AND c.iy = b.iy
+),
+fda AS (
+  SELECT ix, iy, v, CAST(COUNT(*) AS INT) AS n_neigh,
+         CAST(SUM(CASE WHEN drop_ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lower,
+         MAX(CASE WHEN drop_ > 0
+                  THEN struct_pack(d := drop_, nc := -code) END) AS b
+  FROM fdj GROUP BY ix, iy, v
+)
+SELECT ix, iy, v AS {value_col}, n_neigh, n_lower,
+       CAST(COALESCE(-(b).nc, 0) AS INT) AS flow_code,
+       ROUND((b).d, 6) AS best_drop
+FROM fda
+"""
+
+
+# ---------------------------------------------------------------------------
+# Best-pixel temporal composite
+# ---------------------------------------------------------------------------
+
+def greenest_composite(px: DataFrame, value_col: str = "ndvi",
+                       time_col: str = "date_str",
+                       tiebreak_col: str = "doc_id",
+                       payload_cols: Sequence[str] = (),
+                       x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Best-pixel (max-value) temporal composite — the classic
+    cloud-free mosaic builder (greenest-pixel Landsat/Sentinel
+    composites): per location, keep the observation with the maximum
+    index value across the whole stack, plus when it was taken and any
+    payload bands from the winning row.
+
+    Deterministic argmax: the struct orders (value, time, tiebreak) so
+    equal values resolve to the latest date, then the largest tiebreak
+    id; payload fields sit AFTER the unique tiebreak and can never
+    influence the comparison. Rows with NULL value drop first — the
+    struct is only built for non-null values, keeping both engines'
+    struct ordering away from NULL-field semantics.
+
+    Shape: ONE map-side-combinable hash agg at location cardinality.
+    No window, no join, no second scan — at 10^12 pixels this is the
+    cheapest possible reduction of a raster time stack.
+    """
+    v = F.col(value_col).cast("double")
+    fields = [F.round(v, 6).alias("v"), F.col(time_col).alias("t"),
+              F.col(tiebreak_col).alias("tb")]
+    fields += [F.col(c).alias(c) for c in payload_cols]
+    best = F.max(F.when(v.isNotNull(), F.struct(*fields)))
+    out = (px.groupBy(x_col, y_col)
+           .agg(F.count(v).cast("long").alias("n_obs"), best.alias("_b")))
+    sel = [x_col, y_col, "n_obs",
+           F.col("_b.v").alias(f"best_{value_col}"),
+           F.col("_b.t").alias("best_" + time_col),
+           F.col("_b.tb").alias("best_" + tiebreak_col)]
+    # payload passes through UNROUNDED: it is the winning row's raw
+    # column (bit-identical in any engine reading the same input), and
+    # re-rounding a raw double can land on a half-way representation
+    # that decimal (Spark) vs float (DuckDB) rounding split
+    sel += [F.col(f"_b.{c}").alias(f"best_{c}") for c in payload_cols]
+    return out.select(*sel)
+
+
+def greenest_composite_sql(pixels_sql: str, value_col: str = "ndvi",
+                           time_col: str = "date_str",
+                           tiebreak_col: str = "doc_id",
+                           payload_cols: Sequence[str] = (),
+                           x_col: str = "x", y_col: str = "y") -> str:
+    """DuckDB oracle: identical struct-max argmax and field order.
+    ``pixels_sql`` must yield (x, y, value, time, tiebreak, payload)."""
+    pf = "".join(f", {c} := {c}" for c in payload_cols)
+    pout = "".join(f",\n       (b).{c} AS best_{c}"
+                   for c in payload_cols)
+    return f"""
+WITH gcp AS ({pixels_sql}),
+gca AS (
+  SELECT {x_col}, {y_col},
+         CAST(COUNT(CAST({value_col} AS DOUBLE)) AS BIGINT) AS n_obs,
+         MAX(CASE WHEN {value_col} IS NOT NULL THEN struct_pack(
+               v := ROUND(CAST({value_col} AS DOUBLE), 6),
+               t := {time_col}, tb := {tiebreak_col}{pf}) END) AS b
+  FROM gcp GROUP BY {x_col}, {y_col}
+)
+SELECT {x_col}, {y_col}, n_obs,
+       (b).v AS best_{value_col},
+       (b).t AS best_{time_col},
+       (b).tb AS best_{tiebreak_col}{pout}
+FROM gca
+"""

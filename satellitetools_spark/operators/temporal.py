@@ -29,6 +29,7 @@ Candidate count is bounded by bin co-occupancy, not |L|x|R|.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1027,4 +1028,206 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(SUM(CASE WHEN starts_today AND delta = 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sessions_started
 FROM crun GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal harmonic regression (closed-form, one aggregation)
+# ---------------------------------------------------------------------------
+
+def _harmonic_exprs(period_days: float):
+    """Shared Spark/DuckDB SQL expression strings for the pooled seasonal
+    harmonic fit v ≈ a0 + a1·cos(ωt) + b1·sin(ωt), t = day-of-year.
+
+    One source of truth for BOTH engines: every formula is emitted once
+    as ANSI-SQL text and parsed by Spark (``F.expr``) and DuckDB alike,
+    so the floating-point evaluation order is identical and round-6
+    outputs match bit-for-bit. Cramer's rule on the 3×3 symmetric normal
+    equations — no iteration, no collect, the entire fit is ONE
+    map-side-combinable hash aggregation at key cardinality.
+    """
+    w = repr(2.0 * math.pi / float(period_days))
+    feats = {"c": f"cos(doy * {w})", "s": f"sin(doy * {w})"}
+    sums = {
+        "n_obs": "COUNT(v)",
+        "sy": "SUM(v)", "syy": "SUM(v * v)",
+        "sc": "SUM(c)", "ss": "SUM(s)",
+        "scc": "SUM(c * c)", "sss": "SUM(s * s)", "scs": "SUM(c * s)",
+        "syc": "SUM(v * c)", "sys": "SUM(v * s)",
+    }
+    det = ("n_obs * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss)"
+           " + ss * (sc * scs - scc * ss)")
+    a0 = ("(sy * (scc * sss - scs * scs) - sc * (syc * sss - scs * sys)"
+          " + ss * (syc * scs - scc * sys)) / det")
+    a1 = ("(n_obs * (syc * sss - sys * scs) - sy * (sc * sss - scs * ss)"
+          " + ss * (sc * sys - syc * ss)) / det")
+    b1 = ("(n_obs * (scc * sys - scs * syc) - sc * (sc * sys - syc * ss)"
+          " + sy * (sc * scs - scc * ss)) / det")
+    sse = "syy - (a0 * sy + a1 * syc + b1 * sys)"
+    sst = "syy - sy * sy / n_obs"
+    return w, feats, sums, det, a0, a1, b1, sse, sst
+
+
+def harmonic_fit(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
+                 time_col: str = "date_str", value_col: str = "mean_v",
+                 period_days: float = 365.25) -> DataFrame:
+    """Pooled seasonal harmonic regression per key — the standard EO
+    seasonality model (cf. HANTS / Landsat CCDC's harmonic terms): fit
+    ``v ≈ a0 + a1·cos(ωt) + b1·sin(ωt)`` with ω = 2π/period over
+    day-of-year, via the closed-form normal equations. Emits the fitted
+    coefficients, seasonal amplitude and phase, and R².
+
+    Day-of-year (not absolute day) keeps the trig argument ≤ 2π·366/P,
+    where Java's and C's libm agree to the ulp — multi-year series pool
+    into one seasonal cycle, which is the operator's stated semantics.
+
+    Shape: a feature projection (pure codegen) and ONE hash aggregation
+    at key cardinality with map-side combine — ten running sums — then
+    a pure projection solving the 3×3 system by Cramer's rule. No
+    window, no second pass, no driver math: at 10^12 rows this is a
+    single shuffle of ten doubles per key.
+    """
+    w, feats, sums, det, a0, a1, b1, sse, sst = _harmonic_exprs(period_days)
+    base = df.select(
+        *key_cols,
+        F.expr(f"CAST(dayofyear(CAST({time_col} AS DATE)) AS DOUBLE)")
+        .alias("doy"),
+        F.col(value_col).cast("double").alias("v"))
+    base = base.withColumn("c", F.expr(feats["c"])) \
+               .withColumn("s", F.expr(feats["s"]))
+    agg = base.groupBy(*key_cols).agg(
+        *[F.expr(e).alias(n) for n, e in sums.items()])
+    solved = (agg.withColumn("det", F.expr(det))
+                 .withColumn("a0", F.expr(a0))
+                 .withColumn("a1", F.expr(a1))
+                 .withColumn("b1", F.expr(b1)))
+    return solved.select(
+        *key_cols, "n_obs",
+        F.expr("ROUND(a0, 6)").alias("a0"),
+        F.expr("ROUND(a1, 6)").alias("a1"),
+        F.expr("ROUND(b1, 6)").alias("b1"),
+        F.expr("ROUND(sqrt(a1 * a1 + b1 * b1), 6)").alias("amplitude"),
+        F.expr("ROUND(atan2(b1, a1), 6)").alias("phase_rad"),
+        F.expr(f"ROUND(CASE WHEN ({sst}) > 0 THEN 1.0 - ({sse}) / ({sst})"
+               f" END, 6)").alias("r2"))
+
+
+def harmonic_fit_sql(series_sql: str, key_cols: Sequence[str] = ("aoi",),
+                     time_col: str = "date_str", value_col: str = "mean_v",
+                     period_days: float = 365.25) -> str:
+    """DuckDB oracle: the SAME expression strings :func:`harmonic_fit`
+    hands to Spark's parser — identical feature math, identical sums,
+    identical Cramer solve, identical rounding."""
+    w, feats, sums, det, a0, a1, b1, sse, sst = _harmonic_exprs(period_days)
+    keys = ", ".join(key_cols)
+    sum_sql = ", ".join(f"{e} AS {n}" for n, e in sums.items())
+    return f"""
+WITH hfs AS ({series_sql}),
+hfb AS (
+  SELECT {keys},
+         CAST(dayofyear(CAST({time_col} AS DATE)) AS DOUBLE) AS doy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM hfs
+),
+hff AS (SELECT {keys}, v, {feats['c']} AS c, {feats['s']} AS s FROM hfb),
+hfa AS (SELECT {keys}, {sum_sql} FROM hff GROUP BY {keys}),
+hfd AS (SELECT *, {det} AS det FROM hfa),
+hfsol AS (SELECT *, {a0} AS a0, {a1} AS a1, {b1} AS b1 FROM hfd)
+SELECT {keys}, n_obs,
+       ROUND(a0, 6) AS a0,
+       ROUND(a1, 6) AS a1,
+       ROUND(b1, 6) AS b1,
+       ROUND(sqrt(a1 * a1 + b1 * b1), 6) AS amplitude,
+       ROUND(atan2(b1, a1), 6) AS phase_rad,
+       ROUND(CASE WHEN ({sst}) > 0 THEN 1.0 - ({sse}) / ({sst}) END, 6)
+         AS r2
+FROM hfsol
+"""
+
+
+# ---------------------------------------------------------------------------
+# Phenology metrics (threshold method)
+# ---------------------------------------------------------------------------
+
+def phenology(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
+              time_col: str = "date_str", value_col: str = "mean_v",
+              frac: float = 0.5) -> DataFrame:
+    """Threshold-method phenology metrics per key — start / peak / end
+    of season from a (typically smoothed) vegetation-index series: the
+    season is where the series sits at or above
+    ``vmin + frac·(vmax − vmin)`` (the classic 50%-amplitude rule);
+    SOS/EOS are the first/last such dates, the peak date is the latest
+    date attaining the maximum (deterministic argmax tie-break).
+
+    Shape: one hash agg per key for (vmin, vmax, n), a key-co-partitioned
+    join back to the series (both sides shuffle once on the key — the
+    stats side is key-cardinality and AQE broadcasts it when small), and
+    one conditional agg for the crossings. No window, no per-row state;
+    at 10^12 rows the cost is two aggs and one join on the series key.
+    """
+    v = F.col(value_col).cast("double")
+    stats = (df.groupBy(*key_cols)
+             .agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"),
+                  F.count(v).alias("_n")))
+    thr = F.col("_vmin") + F.lit(float(frac)) * (F.col("_vmax")
+                                                 - F.col("_vmin"))
+    j = df.join(stats, list(key_cols)).withColumn("_thr", thr)
+    t = F.col(time_col)
+    above = v >= F.col("_thr")
+    out = (j.groupBy(*key_cols)
+           .agg(F.min("_n").alias("n_dates"),
+                F.min("_vmin").alias("_vmin"),
+                F.min("_vmax").alias("_vmax"),
+                F.min(F.when(above, t)).alias("sos_date"),
+                F.max(F.when(above, t)).alias("eos_date"),
+                F.max(F.when(v == F.col("_vmax"), t)).alias("peak_date"),
+                F.sum(above.cast("long")).alias("n_above")))
+    return out.select(
+        *key_cols, "n_dates", "n_above",
+        F.round("_vmin", 6).alias("vmin"),
+        F.round("_vmax", 6).alias("vmax"),
+        "sos_date", "peak_date", "eos_date",
+        F.datediff(F.col("eos_date").cast("date"),
+                   F.col("sos_date").cast("date")).cast("int")
+        .alias("season_days"))
+
+
+def phenology_sql(series_sql: str, key_cols: Sequence[str] = ("aoi",),
+                  time_col: str = "date_str", value_col: str = "mean_v",
+                  frac: float = 0.5) -> str:
+    """DuckDB oracle: identical two-agg + join shape, identical
+    threshold arithmetic and argmax tie-break."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH phs AS ({series_sql}),
+phst AS (
+  SELECT {keys}, MIN(CAST({value_col} AS DOUBLE)) AS vmin,
+         MAX(CAST({value_col} AS DOUBLE)) AS vmax,
+         COUNT({value_col}) AS n
+  FROM phs GROUP BY {keys}
+),
+phj AS (
+  SELECT p.*, s.vmin, s.vmax, s.n,
+         s.vmin + {float(frac)!r} * (s.vmax - s.vmin) AS thr
+  FROM phs p JOIN phst s USING ({keys})
+),
+pha AS (
+  SELECT {keys}, MIN(n) AS n_dates,
+         MIN(vmin) AS vmin_, MIN(vmax) AS vmax_,
+         MIN(CASE WHEN CAST({value_col} AS DOUBLE) >= thr
+                  THEN {time_col} END) AS sos_date,
+         MAX(CASE WHEN CAST({value_col} AS DOUBLE) >= thr
+                  THEN {time_col} END) AS eos_date,
+         MAX(CASE WHEN CAST({value_col} AS DOUBLE) = vmax
+                  THEN {time_col} END) AS peak_date,
+         CAST(SUM(CASE WHEN CAST({value_col} AS DOUBLE) >= thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+  FROM phj GROUP BY {keys}
+)
+SELECT {keys}, n_dates, n_above,
+       ROUND(vmin_, 6) AS vmin, ROUND(vmax_, 6) AS vmax,
+       sos_date, peak_date, eos_date,
+       CAST(date_diff('day', CAST(sos_date AS DATE),
+                      CAST(eos_date AS DATE)) AS INT) AS season_days
+FROM pha
 """
