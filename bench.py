@@ -116,13 +116,27 @@ def cpu_probe() -> float:
     rejected.
     """
     import numpy as np
-    x = np.arange(4_000_000, dtype=np.float64)
-    np.sqrt(x[:1000])  # touch pages / import costs outside the timed region
-    t0 = time.perf_counter()
-    for _ in range(6):
-        x = np.sqrt(x * 1.000001 + 0.5)
-        x += float(x[::4096].sum()) * 1e-9
-    return time.perf_counter() - t0
+
+    def once() -> float:
+        x = np.arange(4_000_000, dtype=np.float64)
+        np.sqrt(x[:1000])  # touch pages / import costs before timing
+        t0 = time.perf_counter()
+        for _ in range(6):
+            x = np.sqrt(x * 1.000001 + 0.5)
+            x += float(x[::4096].sum()) * 1e-9
+        return time.perf_counter() - t0
+
+    # MIN of two consecutive calls. The FIRST call after any memory-state
+    # transition (numpy import, JVM start, a just-finished Spark job
+    # releasing heap) pays a one-off fresh-page-fault penalty that has
+    # nothing to do with the rep's own weather — measured 2026-08-19 on a
+    # quiet host: first call 0.7-3.2 s, the immediately following call
+    # 0.07-0.16 s, while flagship rep times stayed within +/-10 % across
+    # 22 campaigns (i.e. the reps were fine; the single-call probe was
+    # reading its own allocator state). A REAL host episode degrades every
+    # consecutive call (r1 evidence: >= 2 s sustained), so min-of-two keeps
+    # full episode detection and stops flagging recycled-allocator noise.
+    return min(once(), once())
 
 
 # Absolute clean-probe ceiling. The relative gate (tol x best-seen probe)
@@ -307,7 +321,15 @@ def main() -> None:
         reps = int(os.environ.get("BENCH_REPS", "12"))
         budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1500"))
         clean_target = int(os.environ.get("BENCH_CLEAN_REPS", "2"))
-        tol = float(os.environ.get("BENCH_PROBE_TOL", "1.5"))
+        # Scaling reps probe from INSIDE a taskset-bound subprocess with a
+        # live JVM sharing the cores: steady-state reads 1.2-2.4x the
+        # unbound parent's calibration floor (measured 0.08-0.16 s vs
+        # 0.066 s on a quiet host) — an environment offset, not weather.
+        # Genuine episodes read >= 2 s (30x), so 3x keeps an order of
+        # magnitude of detection margin while not flagging the offset;
+        # ABS_CLEAN stays the hard ceiling either way. The per-query phase
+        # compares like-for-like in one process and keeps the tighter 1.5.
+        tol = float(os.environ.get("BENCH_SCALING_PROBE_TOL", "3.0"))
         log(f"scaling run: flagship on {sdir}, CPU-bound {LO_CORES} vs "
             f"{HI_CORES} cores, up to {reps} proc pairs, probe-gated "
             f"(tol {tol}x), budget {budget:.0f}s")
@@ -329,15 +351,52 @@ def main() -> None:
         probes_cal = [cpu_probe() for _ in range(3)]
         t_start = time.perf_counter()
         his, los = [], []
+        # A rep is "clean" only if BOTH its probe brackets pass AND its
+        # own timing sits within rep_tol of the best evidence for the
+        # uncontended time at its level (the cross-campaign pooled minimum
+        # joined with this run's own minimum). The probe brackets cannot
+        # see a burst that starts and ends INSIDE a 10-30 s rep; but the
+        # engine is deterministic and contention noise strictly additive,
+        # so a rep far above the established minimum is contaminated no
+        # matter what its probes say. Without this, a "clean" pair can
+        # persist mid-burst timings to the ledger (observed 2026-08-19:
+        # probes 0.08-0.10 s, hi reps 13.1/13.7 s vs pooled 8.54 s).
+        rep_tol = float(os.environ.get("BENCH_CLEAN_REP_TOL", "1.2"))
+        pool_floor = {"lo": None, "hi": None}
+        pool_path0 = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SCALING_REPS.json")
+
+        def load_pool_floor():
+            src = his or los
+            if not src or pool_floor["lo"] is not None \
+                    or pool_floor["hi"] is not None:
+                return
+            key = (f"{stag}:{LO_CORES}v{HI_CORES}:docs{src[0]['docs']}"
+                   f":code{flagship_code_rev()}")
+            try:
+                with open(pool_path0) as f:
+                    p = json.load(f).get(key)
+            except (OSError, ValueError):
+                p = None
+            if p:
+                pool_floor["lo"] = min(p["reps_lo"]) if p["reps_lo"] else None
+                pool_floor["hi"] = min(p["reps_hi"]) if p["reps_hi"] else None
 
         def cal() -> float:
             return min(probes_cal
                        + [r["probe"] for r in his + los if r.get("probe")])
 
-        def clean(rs):
+        def clean(rs, lvl):
             c = cal()
+            secs = [r["sec"] for r in rs]
+            if not secs:
+                return []
+            floor = min(([pool_floor[lvl]] if pool_floor[lvl] else [])
+                        + secs)
             return [r for r in rs if r.get("probe")
-                    and r["probe"] <= tol * c and r["probe"] <= ABS_CLEAN]
+                    and r["probe"] <= tol * c and r["probe"] <= ABS_CLEAN
+                    and r["sec"] <= rep_tol * floor]
 
         for i in range(reps):
             pair_t0 = time.perf_counter()
@@ -348,7 +407,9 @@ def main() -> None:
             for cores, sink in order:
                 sink.append(run_scaling_proc(cores, sdir))
             probes_cal.append(cpu_probe())
-            if len(clean(his)) >= clean_target and len(clean(los)) >= clean_target:
+            load_pool_floor()
+            if len(clean(his, "hi")) >= clean_target \
+                    and len(clean(los, "lo")) >= clean_target:
                 break
             pair_cost = time.perf_counter() - pair_t0
             if time.perf_counter() - t_start + pair_cost > budget:
@@ -360,7 +421,8 @@ def main() -> None:
             if min(last_probes) > ABS_CLEAN:
                 remaining = budget - (time.perf_counter() - t_start)
                 wait_for_clean(min(300.0, max(0.0, remaining - pair_cost)))
-        his_ok, los_ok = clean(his), clean(los)
+        load_pool_floor()
+        his_ok, los_ok = clean(his, "hi"), clean(los, "lo")
         contended = not (his_ok and los_ok)
         # Estimator: MIN over ALL reps at each level. Contention noise is
         # strictly additive (a rep can only be slowed, never sped up), so
@@ -375,7 +437,7 @@ def main() -> None:
         log(f"hi reps: {[r['sec'] for r in his]}  lo reps: {[r['sec'] for r in los]}")
         log(f"probes: cal={cal():.3f}s hi={[round(r.get('probe') or -1, 3) for r in his]} "
             f"lo={[round(r.get('probe') or -1, 3) for r in los]} "
-            f"clean: {len(clean(his))}/{len(his)} hi, {len(clean(los))}/{len(los)} lo")
+            f"clean: {len(his_ok)}/{len(his)} hi, {len(los_ok)}/{len(los)} lo")
         n_docs = hi["docs"]
         sec_hi, sec_lo = hi["sec"], lo["sec"]
         ratio = HI_CORES / LO_CORES
@@ -458,6 +520,20 @@ def main() -> None:
             "probes_hi": probes_hi,
             "contended": contended,
         }
+        if his_ok and los_ok:
+            # efficiency over the CLEAN pair only — probes passed AND both
+            # timings within rep_tol of the pooled floor; the number a
+            # single uncontaminated 2-vs-8 experiment would have produced
+            sec_hi_c = min(r["sec"] for r in his_ok)
+            sec_lo_c = min(r["sec"] for r in los_ok)
+            result["scaling"].update({
+                "sec_lo_clean": sec_lo_c,
+                "sec_hi_clean": sec_hi_c,
+                "n_clean_lo": len(los_ok),
+                "n_clean_hi": len(his_ok),
+                "rep_tol": rep_tol,
+                "efficiency_clean": round((sec_lo_c / sec_hi_c) / ratio, 3),
+            })
         log(f"scaling: this run lo={sec_lo:.2f}s hi={sec_hi:.2f}s "
             f"eff={eff:.3f}; pooled over {ent['runs']} runs "
             f"({len(ent['reps_lo'])}+{len(ent['reps_hi'])} reps) "
@@ -473,8 +549,8 @@ def main() -> None:
         # when it was captured.
         ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_SCALING_CLEAN.json")
-        if not contended and len(clean(his)) >= clean_target \
-                and len(clean(los)) >= clean_target:
+        if not contended and len(his_ok) >= clean_target \
+                and len(los_ok) >= clean_target:
             import datetime
             entry = dict(result["scaling"])
             entry["captured_utc"] = datetime.datetime.now(
@@ -514,13 +590,18 @@ def main() -> None:
                               ("cores_lo", "cores_hi", "cpu_bound",
                                "sec_lo", "sec_hi", "docs_per_sec_lo",
                                "docs_per_sec_hi", "efficiency",
-                               "efficiency_this_run", "contended", "pool")
+                               "efficiency_this_run", "efficiency_clean",
+                               "n_clean_lo", "n_clean_hi",
+                               "contended", "pool")
                               if k in s}
         if "last_clean" in s:
             lc = s["last_clean"]
             compact["scaling"]["last_clean"] = {
                 k: lc[k] for k in ("captured_utc", "efficiency",
-                                   "efficiency_this_run", "sec_lo",
+                                   "efficiency_this_run",
+                                   "efficiency_clean", "sec_lo_clean",
+                                   "sec_hi_clean", "n_clean_lo",
+                                   "n_clean_hi", "sec_lo",
                                    "sec_hi", "contended") if k in lc}
     print(json.dumps(compact), flush=True)
 
