@@ -1145,3 +1145,87 @@ SELECT {x_col}, {y_col}, n_obs,
        (b).tb AS best_{tiebreak_col}{pout}
 FROM gca
 """
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot detection (local spatial statistic)
+# ---------------------------------------------------------------------------
+
+#: Gi* stencil: queen contiguity PLUS the focal cell itself (the "*" in
+#: Gi* — self-inclusion is what distinguishes it from plain Gi).
+GSTAR = {(dx, dy): 1.0 for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+
+
+def getis_ord_gstar(px: DataFrame, value_col: str = "elevation"
+                    ) -> DataFrame:
+    """Getis-Ord Gi* z-score per cell — THE local hotspot statistic
+    (where are the statistically high/low clusters?), complementing the
+    single global number :func:`morans_i` gives. Binary weights over the
+    9-cell self-inclusive queen stencil:
+
+    ``Gi* = (Σⱼ wᵢⱼ·xⱼ − x̄·Wᵢ) / (S·√[(n·Wᵢ − Wᵢ²)/(n−1)])``
+
+    with ``Wᵢ`` the realized stencil support (border cells keep their
+    actual link count), ``x̄``/``S`` the global mean / population std.
+    |z| ≳ 1.96 marks a 95 % hot (positive) or cold (negative) spot.
+
+    Shape: the local sums ride ONE :func:`focal_conv` stencil pass
+    (constant 9× explode fanout, one hash agg at cell cardinality — no
+    self-join); the global moments are a 1-row agg broadcast back; the
+    z-score itself is a pure codegen projection. Two shuffles total,
+    both at cell cardinality, independent of stencil size.
+    """
+    g = focal_conv(px, value_col, {"gsum": GSTAR})
+    stats = px.agg(
+        F.count(F.col(value_col).cast("double")).alias("_n"),
+        F.avg(F.col(value_col).cast("double")).alias("_mu"),
+        F.avg(F.col(value_col).cast("double")
+              * F.col(value_col).cast("double")).alias("_msq"))
+    j = g.crossJoin(F.broadcast(stats))
+    wi = F.col("n_neigh").cast("double")
+    s = F.sqrt(F.col("_msq") - F.col("_mu") * F.col("_mu"))
+    num = F.col("gsum") - F.col("_mu") * wi
+    den = s * F.sqrt((F.col("_n") * wi - wi * wi) / (F.col("_n") - 1))
+    # degenerate denominators (constant raster: s = 0; a raster small
+    # enough that one stencil covers it: Wi = n) yield NULL, not an
+    # ANSI divide-by-zero — mirrored via NULLIF in the oracle
+    den = F.when(den != 0, den)
+    return (j.select("ix", "iy",
+                     F.col(value_col).cast("double").alias(value_col),
+                     F.col("n_neigh").alias("w_i"),
+                     F.round(num / den, 6).alias("gi_z"))
+             .withColumn("spot",
+                         F.when(F.col("gi_z") > 1.96, F.lit("hot"))
+                          .when(F.col("gi_z") < -1.96, F.lit("cold"))
+                          .otherwise(F.lit("ns"))))
+
+
+def getis_ord_gstar_sql(cells_sql: str, value_sql: str = "elevation"
+                        ) -> str:
+    """DuckDB oracle: identical :func:`focal_conv_sql` stencil pass,
+    window-function global moments, identical z projection.
+    ``cells_sql`` must yield (doc_id, ix, iy) plus the value inputs."""
+    vsql = (f"SELECT doc_id, ix, iy, CAST({value_sql} AS DOUBLE) AS v "
+            f"FROM ({cells_sql})")
+    conv = focal_conv_sql(vsql, "v", {"gsum": GSTAR})
+    return f"""
+WITH ggc AS ({conv}),
+ggv AS ({vsql}),
+ggs AS (SELECT COUNT(v) AS n, AVG(v) AS mu, AVG(v * v) AS msq FROM ggv),
+ggz AS (
+  SELECT g.ix, g.iy, z.v, g.n_neigh,
+         ROUND((g.gsum - s.mu * CAST(g.n_neigh AS DOUBLE))
+               / NULLIF(SQRT(s.msq - s.mu * s.mu)
+                        * SQRT((s.n * CAST(g.n_neigh AS DOUBLE)
+                                - CAST(g.n_neigh AS DOUBLE)
+                                  * CAST(g.n_neigh AS DOUBLE))
+                               / (s.n - 1)), 0), 6) AS gi_z
+  FROM ggc g JOIN ggv z ON g.ix = z.ix AND g.iy = z.iy
+  CROSS JOIN ggs s
+)
+SELECT ix, iy, v AS {value_sql}, n_neigh AS w_i, gi_z,
+       CASE WHEN gi_z > 1.96 THEN 'hot'
+            WHEN gi_z < -1.96 THEN 'cold'
+            ELSE 'ns' END AS spot
+FROM ggz
+"""

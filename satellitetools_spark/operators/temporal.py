@@ -1231,3 +1231,116 @@ SELECT {keys}, n_dates, n_above,
                       CAST(eos_date AS DATE)) AS INT) AS season_days
 FROM pha
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Sen's slope (monotonic-trend detection)
+# ---------------------------------------------------------------------------
+
+#: Shared Spark/DuckDB formula strings over the per-key reduction columns
+#: (n, s_raw, tie_sum) — one source of truth so both engines evaluate the
+#: variance and z-score with identical floating-point expression trees.
+_MK_VAR = "(n * (n - 1.0) * (2.0 * n + 5.0) - tie_sum) / 18.0"
+_MK_Z = ("CASE WHEN var_s <= 0 THEN CAST(NULL AS DOUBLE) "
+         "WHEN s_raw > 0 THEN (s_raw - 1.0) / sqrt(var_s) "
+         "WHEN s_raw < 0 THEN (s_raw + 1.0) / sqrt(var_s) "
+         "ELSE 0.0 END")
+
+
+def mann_kendall(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
+                 time_col: str = "date_str", value_col: str = "mean_v"
+                 ) -> DataFrame:
+    """Mann-Kendall monotonic-trend test with tie correction plus Sen's
+    slope per key — the standard nonparametric greening/browning trend
+    detector for EO time series (is NDVI going up, down, or neither,
+    without assuming linear-Gaussian errors?):
+
+    ``S = Σᵢ<ⱼ sign(vⱼ − vᵢ)``,
+    ``Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18`` (t_g = tie
+    group sizes), ``Z = (S∓1)/√Var(S)``, and Sen's slope = the exact
+    median of all pairwise slopes ``(vⱼ−vᵢ)/(tⱼ−tᵢ)`` in units/day.
+
+    Shape: the pair enumeration is a key-co-partitioned self-join — the
+    quadratic blowup is per-SERIES-length (bounded: #observation dates
+    per key, ≤ a few hundred for any satellite record), never per-table;
+    all three reductions (pair stats, tie groups, counts) are hash aggs
+    shuffling only on the key, then two key-cardinality joins. At 10⁹
+    keys × 10² dates this moves ~10¹³ pair rows through map-side
+    combine but only ~10⁹ aggregated rows across the wire.
+    """
+    t = (f"CAST(datediff(CAST({time_col} AS DATE), DATE '1970-01-01')"
+         " AS DOUBLE)")
+    base = df.select(*key_cols, F.expr(t).alias("t"),
+                     F.col(value_col).cast("double").alias("v"))
+    a = base.select(*key_cols, F.col("t").alias("ta"),
+                    F.col("v").alias("va"))
+    b = base.select(*key_cols, F.col("t").alias("tb"),
+                    F.col("v").alias("vb"))
+    pairs = a.join(b, on=list(key_cols)).filter(F.col("ta") < F.col("tb"))
+    pagg = pairs.groupBy(*key_cols).agg(
+        F.expr("SUM(SIGN(vb - va))").alias("s_raw"),
+        F.expr("percentile((vb - va) / (tb - ta), 0.5)").alias("sen"))
+    nagg = base.groupBy(*key_cols).agg(
+        F.expr("CAST(COUNT(v) AS DOUBLE)").alias("n"))
+    ties = (base.groupBy(*key_cols, "v")
+            .agg(F.expr("CAST(COUNT(*) AS DOUBLE)").alias("c"))
+            .groupBy(*key_cols)
+            .agg(F.expr("SUM(c * (c - 1.0) * (2.0 * c + 5.0))")
+                 .alias("tie_sum")))
+    j = (nagg.join(ties, on=list(key_cols))
+         .join(pagg, on=list(key_cols))
+         .withColumn("var_s", F.expr(_MK_VAR)))
+    return j.select(
+        *key_cols,
+        F.expr("CAST(n AS BIGINT)").alias("n_obs"),
+        F.expr("CAST(s_raw AS BIGINT)").alias("s_stat"),
+        F.expr("ROUND(var_s, 6)").alias("var_s"),
+        F.expr(f"ROUND({_MK_Z}, 6)").alias("mk_z"),
+        F.expr("ROUND(sen, 6)").alias("sen_slope"))
+
+
+def mann_kendall_sql(series_sql: str, key_cols: Sequence[str] = ("aoi",),
+                     time_col: str = "date_str", value_col: str = "mean_v"
+                     ) -> str:
+    """DuckDB oracle: identical pair join, sign sum, tie correction,
+    shared variance/z formula strings, and quantile_cont median (same
+    linear-interpolation definition as Spark's exact percentile)."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+WITH mks AS ({series_sql}),
+mkb AS (
+  SELECT {keys},
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST({time_col} AS DATE)) AS DOUBLE) AS t,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM mks
+),
+mkp AS (
+  SELECT {akeys}, SUM(SIGN(b.v - a.v)) AS s_raw,
+         quantile_cont((b.v - a.v) / (b.t - a.t), 0.5) AS sen
+  FROM mkb a JOIN mkb b ON {on} AND a.t < b.t
+  GROUP BY {agg_keys}
+),
+mkn AS (SELECT {keys}, CAST(COUNT(v) AS DOUBLE) AS n
+        FROM mkb GROUP BY {keys}),
+mkt AS (
+  SELECT {keys}, SUM(c * (c - 1.0) * (2.0 * c + 5.0)) AS tie_sum
+  FROM (SELECT {keys}, v, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM mkb GROUP BY {keys}, v) tg
+  GROUP BY {keys}
+),
+mkj AS (
+  SELECT mkn.*, mkt.tie_sum, mkp.s_raw, mkp.sen, {_MK_VAR} AS var_s
+  FROM mkn JOIN mkt USING ({keys}) JOIN mkp USING ({keys})
+)
+SELECT {keys},
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(s_raw AS BIGINT) AS s_stat,
+       ROUND(var_s, 6) AS var_s,
+       ROUND({_MK_Z}, 6) AS mk_z,
+       ROUND(sen, 6) AS sen_slope
+FROM mkj
+"""

@@ -1,0 +1,121 @@
+"""Round-3c operators: Getis-Ord Gi* hotspots, Mann-Kendall trend +
+Sen's slope.
+
+Each test checks SEMANTICS against a planted ground truth (a spiked
+block must light up hot, a monotone ramp must trend with the hand-computed
+z) — oracle-twin equality is the gate's job (scripts/check_correctness.py)."""
+
+import math
+
+import pytest
+
+from satellitetools_spark.operators import spatial as SP
+from satellitetools_spark.operators import temporal as TP
+
+
+def _dem(spark, cells):
+    rows = [(iy * 2 ** 32 + ix, float(v)) for ix, iy, v in cells]
+    return spark.createDataFrame(rows, "cell long, elevation double")
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "aoi string, date_str string, v double")
+
+
+def test_gstar_spiked_block_is_hot(spark):
+    # flat 7x7 plain with a 2x2 block of 10s: every block cell's 3x3
+    # stencil holds all four spikes -> strongly positive z; a far corner
+    # sees none -> mildly negative, not significant
+    cells = [(x, y, 10.0 if (2 <= x <= 3 and 2 <= y <= 3) else 0.0)
+             for x in range(7) for y in range(7)]
+    out = {(r["ix"], r["iy"]): r
+           for r in SP.getis_ord_gstar(SP.dem_pixels(_dem(spark, cells)))
+           .collect()}
+    assert len(out) == 49
+    for bx, by in [(2, 2), (2, 3), (3, 2), (3, 3)]:
+        assert out[(bx, by)]["gi_z"] > 1.96
+        assert out[(bx, by)]["spot"] == "hot"
+    assert out[(0, 0)]["spot"] == "ns"
+    assert out[(0, 0)]["gi_z"] < 0
+    # hand check of the interior block cell: n=49, mu=40/49,
+    # s=sqrt(400/49 - mu^2), Wi=9, gsum=40
+    mu = 40.0 / 49
+    s = math.sqrt(400.0 / 49 - mu * mu)
+    z = (40.0 - mu * 9) / (s * math.sqrt((49 * 9.0 - 81) / 48))
+    assert out[(2, 2)]["gi_z"] == pytest.approx(z, abs=1e-5)
+    assert out[(2, 2)]["w_i"] == 9
+
+
+def test_gstar_border_support_counts_realized_links(spark):
+    cells = [(x, y, float(x + y)) for x in range(3) for y in range(3)]
+    out = {(r["ix"], r["iy"]): r["w_i"]
+           for r in SP.getis_ord_gstar(SP.dem_pixels(_dem(spark, cells)))
+           .collect()}
+    assert out[(1, 1)] == 9     # interior: full stencil
+    assert out[(0, 0)] == 4     # corner: self + 3 neighbors
+    assert out[(1, 0)] == 6     # edge: self + 5 neighbors
+
+
+def test_mann_kendall_monotone_ramp(spark):
+    # strictly increasing daily series: S = C(10,2) = 45, no ties,
+    # Var = 10*9*25/18 = 125, z = 44/sqrt(125); every pairwise slope
+    # is exactly 0.1/day so Sen's slope is exact
+    rows = [("a", f"2024-01-{d:02d}", 0.1 * d) for d in range(1, 11)]
+    out = TP.mann_kendall(_series(spark, rows), key_cols=("aoi",),
+                          time_col="date_str", value_col="v").collect()[0]
+    assert out["n_obs"] == 10
+    assert out["s_stat"] == 45
+    assert out["var_s"] == pytest.approx(125.0)
+    assert out["mk_z"] == pytest.approx(44.0 / math.sqrt(125.0), abs=1e-6)
+    assert out["sen_slope"] == pytest.approx(0.1, abs=1e-9)
+
+
+def test_mann_kendall_decreasing_mirrors_sign(spark):
+    rows = [("a", f"2024-01-{d:02d}", -0.1 * d) for d in range(1, 11)]
+    out = TP.mann_kendall(_series(spark, rows), value_col="v").collect()[0]
+    assert out["s_stat"] == -45
+    assert out["mk_z"] == pytest.approx(-44.0 / math.sqrt(125.0), abs=1e-6)
+    assert out["sen_slope"] == pytest.approx(-0.1, abs=1e-9)
+
+
+def test_mann_kendall_tie_correction_and_median_slope(spark):
+    # [1, 1, 2] daily: S = 0+1+1 = 2; ties: one group of 2 ->
+    # Var = (3*2*11 - 2*1*9)/18 = 48/18; z = 1/sqrt(48/18);
+    # slopes {0, 0.5, 1} -> Sen = 0.5
+    rows = [("a", "2024-01-01", 1.0), ("a", "2024-01-02", 1.0),
+            ("a", "2024-01-03", 2.0)]
+    out = TP.mann_kendall(_series(spark, rows), value_col="v").collect()[0]
+    assert out["s_stat"] == 2
+    assert out["var_s"] == pytest.approx(48.0 / 18.0, abs=1e-6)
+    assert out["mk_z"] == pytest.approx(1.0 / math.sqrt(48.0 / 18.0),
+                                        abs=1e-6)
+    assert out["sen_slope"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_mann_kendall_constant_series_has_null_z(spark):
+    # all tied: S = 0 and the tie correction zeroes the variance ->
+    # z must be NULL (0/0 guarded), never NaN
+    rows = [("a", f"2024-01-{d:02d}", 0.5) for d in range(1, 6)]
+    out = TP.mann_kendall(_series(spark, rows), value_col="v").collect()[0]
+    assert out["s_stat"] == 0
+    assert out["var_s"] == pytest.approx(0.0)
+    assert out["mk_z"] is None
+    assert out["sen_slope"] == pytest.approx(0.0)
+
+
+def test_mann_kendall_per_key_independence(spark):
+    rows = ([("up", f"2024-01-{d:02d}", 0.1 * d) for d in range(1, 6)]
+            + [("dn", f"2024-01-{d:02d}", -0.2 * d) for d in range(1, 6)])
+    out = {r["aoi"]: r for r in
+           TP.mann_kendall(_series(spark, rows), value_col="v").collect()}
+    assert out["up"]["s_stat"] == 10
+    assert out["dn"]["s_stat"] == -10
+    assert out["up"]["sen_slope"] == pytest.approx(0.1, abs=1e-9)
+    assert out["dn"]["sen_slope"] == pytest.approx(-0.2, abs=1e-9)
+
+
+def test_mann_kendall_plan_no_cartesian(spark):
+    rows = [("a", f"2024-01-{d:02d}", 0.1 * d) for d in range(1, 6)]
+    plan = TP.mann_kendall(_series(spark, rows), value_col="v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan   # pair join must stay key-equi
