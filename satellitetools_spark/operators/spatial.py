@@ -1229,3 +1229,51 @@ SELECT ix, iy, v AS {value_sql}, n_neigh AS w_i, gi_z,
             ELSE 'ns' END AS spot
 FROM ggz
 """
+
+
+def gstar_by_doc(px: DataFrame, value_col: str = "v") -> DataFrame:
+    """Gi* z-score per (doc, cell) with PER-DOC global moments — the
+    per-time-slice stage of emerging-hotspot analysis (doc_id = the time
+    bin). Same two-shuffle shape as :func:`getis_ord_gstar`; the moments
+    frame is per-doc (time-bin cardinality) and broadcast into the join.
+    Input must be unique per (doc_id, cell) — pre-aggregate first.
+    """
+    g = focal_conv(px, value_col, {"gsum": GSTAR})
+    v = F.col(value_col).cast("double")
+    stats = px.groupBy("doc_id").agg(
+        F.count(v).alias("_n"), F.avg(v).alias("_mu"),
+        F.avg(v * v).alias("_msq"))
+    j = g.join(F.broadcast(stats), "doc_id")
+    wi = F.col("n_neigh").cast("double")
+    s = F.sqrt(F.col("_msq") - F.col("_mu") * F.col("_mu"))
+    num = F.col("gsum") - F.col("_mu") * wi
+    den = s * F.sqrt((F.col("_n") * wi - wi * wi) / (F.col("_n") - 1))
+    den = F.when(den != 0, den)
+    return j.select("doc_id", "ix", "iy",
+                    F.col(value_col).cast("double").alias(value_col),
+                    F.col("n_neigh").alias("w_i"),
+                    F.round(num / den, 6).alias("gi_z"))
+
+
+def gstar_by_doc_sql(cells_sql: str, value_sql: str = "v") -> str:
+    """DuckDB oracle for :func:`gstar_by_doc`. ``cells_sql`` must yield
+    unique (doc_id, ix, iy) rows plus the value expression's inputs."""
+    vsql = (f"SELECT doc_id, ix, iy, CAST({value_sql} AS DOUBLE) AS v "
+            f"FROM ({cells_sql})")
+    conv = focal_conv_sql(vsql, "v", {"gsum": GSTAR})
+    return f"""
+WITH gdc AS ({conv}),
+gdv AS ({vsql}),
+gds AS (SELECT doc_id, COUNT(v) AS n, AVG(v) AS mu, AVG(v * v) AS msq
+        FROM gdv GROUP BY doc_id)
+SELECT g.doc_id, g.ix, g.iy, z.v AS {value_sql}, g.n_neigh AS w_i,
+       ROUND((g.gsum - s.mu * CAST(g.n_neigh AS DOUBLE))
+             / NULLIF(SQRT(s.msq - s.mu * s.mu)
+                      * SQRT((s.n * CAST(g.n_neigh AS DOUBLE)
+                              - CAST(g.n_neigh AS DOUBLE)
+                                * CAST(g.n_neigh AS DOUBLE))
+                             / (s.n - 1)), 0), 6) AS gi_z
+FROM gdc g
+JOIN gdv z ON g.doc_id = z.doc_id AND g.ix = z.ix AND g.iy = z.iy
+JOIN gds s ON g.doc_id = s.doc_id
+"""

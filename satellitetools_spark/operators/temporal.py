@@ -1272,6 +1272,12 @@ def mann_kendall(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
          " AS DOUBLE)")
     base = df.select(*key_cols, F.expr(t).alias("t"),
                      F.col(value_col).cast("double").alias("v"))
+    # four downstream branches (pair join a/b, counts, tie groups) would
+    # each re-execute the upstream series pipeline — a full re-scan per
+    # branch when the series is derived from raw pixels. One lazy
+    # checkpoint materializes the (tiny, key x dates cardinality) series
+    # once; every branch reads the materialized copy.
+    base = base.localCheckpoint(eager=False)
     a = base.select(*key_cols, F.col("t").alias("ta"),
                     F.col("v").alias("va"))
     b = base.select(*key_cols, F.col("t").alias("tb"),

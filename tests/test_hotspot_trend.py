@@ -119,3 +119,48 @@ def test_mann_kendall_plan_no_cartesian(spark):
     plan = TP.mann_kendall(_series(spark, rows), value_col="v") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan   # pair join must stay key-equi
+
+
+def test_emerging_hotspot_migrating_spike(spark):
+    # two spikes trading intensity across 5 dates on a flat 5x5 plain:
+    # (0,0) ramps up, (4,4) ramps down. Gi* is scale-relative, so the
+    # rising spike's z trend is positive, the fading one's negative.
+    rows = []
+    for t in range(1, 6):
+        date = f"2024-01-{t:02d}"
+        for x in range(5):
+            for y in range(5):
+                v = float(t) if (x, y) == (0, 0) else (
+                    float(6 - t) if (x, y) == (4, 4) else 0.0)
+                rows.append((date, (x + 0.5) * 10.0, (y + 0.5) * 10.0,
+                             v, 10.0))
+    px = spark.createDataFrame(
+        rows, "doc_id string, x double, y double, v double, gsd double")
+    gz = SP.gstar_by_doc(px, value_col="v")
+    out = {(r["ix"], r["iy"]): r for r in TP.mann_kendall(
+        gz.select("doc_id", "ix", "iy", "gi_z"),
+        key_cols=("ix", "iy"), time_col="doc_id",
+        value_col="gi_z").collect()}
+    assert out[(0, 0)]["s_stat"] == 10     # strictly rising z: C(5,2)
+    assert out[(0, 0)]["sen_slope"] > 0
+    assert out[(4, 4)]["s_stat"] == -10
+    assert out[(4, 4)]["sen_slope"] < 0
+
+
+def test_gstar_by_doc_moments_are_per_doc(spark):
+    # same cell pattern under two docs with different backgrounds must
+    # get identical z (moments computed within each doc, not pooled)
+    rows = []
+    for doc, bg in (("d1", 0.0), ("d2", 100.0)):
+        for x in range(3):
+            for y in range(3):
+                v = bg + (5.0 if (x, y) == (1, 1) else 0.0)
+                rows.append((doc, (x + 0.5) * 10.0, (y + 0.5) * 10.0,
+                             v, 10.0))
+    px = spark.createDataFrame(
+        rows, "doc_id string, x double, y double, v double, gsd double")
+    out = {(r["doc_id"], r["ix"], r["iy"]): r["gi_z"]
+           for r in SP.gstar_by_doc(px, value_col="v").collect()}
+    for cell in [(0, 0), (1, 1), (2, 0)]:
+        assert out[("d1", *cell)] == pytest.approx(
+            out[("d2", *cell)], abs=2e-6)
