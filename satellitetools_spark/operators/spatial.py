@@ -1277,3 +1277,87 @@ FROM gdc g
 JOIN gdv z ON g.doc_id = z.doc_id AND g.ix = z.ix AND g.iy = z.iy
 JOIN gds s ON g.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Empirical variogram (geostatistics spatial-structure summary)
+# ---------------------------------------------------------------------------
+
+def _variogram_offsets(max_d2: int):
+    """Unordered half-plane offset classes up to squared distance
+    ``max_d2`` — each cell pair counted exactly once."""
+    r = int(math.isqrt(max_d2)) + 1
+    return [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+            if (dx > 0 or (dx == 0 and dy > 0))
+            and 0 < dx * dx + dy * dy <= max_d2]
+
+
+def variogram(dem: DataFrame, max_d2: int = 8,
+              value_col: str = "elevation") -> DataFrame:
+    """Empirical semivariogram of a cell raster — the geostatistics
+    spatial-structure summary (nugget/sill/range read-off, kriging
+    input): ``γ(h) = Σ(vᵢ−vⱼ)² / (2·N(h))`` over all unordered cell
+    pairs whose offset has squared length h ≤ ``max_d2``, one row per
+    distinct lag class.
+
+    Shape: same machinery as :func:`flow_direction` — a constant
+    |offsets|× sender explode, ONE co-partitioned grid equi-join (never
+    an all-pairs distance join: lags are bounded offsets, so candidate
+    pairs are bounded by grid adjacency), and a hash agg at lag-class
+    cardinality (≤ a dozen rows). At 10¹² cells this moves
+    |offsets|·cells rows through one local join, nothing quadratic.
+    """
+    offs = _variogram_offsets(max_d2)
+    base = dem.select(
+        F.pmod(F.col("cell"), F.lit(2 ** 32)).cast("long").alias("ix"),
+        F.floor(F.col("cell") / F.lit(2 ** 32)).cast("long").alias("iy"),
+        F.col(value_col).cast("double").alias("v"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx * dx + dy * dy).alias("d2"))
+        for dx, dy in offs])).alias("_o")
+    contrib = (base.select("ix", "iy", F.col("v").alias("vs"), off)
+               .select((F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"),
+                       "vs", F.col("_o.d2").alias("d2")))
+    j = contrib.join(base, ["ix", "iy"])
+    dd = F.col("v") - F.col("vs")
+    return (j.groupBy("d2")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum(dd * dd) / (2.0 * F.count("*")), 6)
+                 .alias("gamma"))
+            .select(F.col("d2").cast("int").alias("d2"),
+                    F.round(F.sqrt(F.col("d2").cast("double")), 6)
+                    .alias("lag"),
+                    "n_pairs", "gamma"))
+
+
+def variogram_sql(dem_path: str, max_d2: int = 8,
+                  value_col: str = "elevation") -> str:
+    """DuckDB oracle: identical decode, half-plane offset table, join,
+    and per-lag reduction."""
+    offs = _variogram_offsets(max_d2)
+    rows = ", ".join(f"({dx}, {dy}, {dx * dx + dy * dy})"
+                     for dx, dy in offs)
+    return f"""
+WITH vgb AS (
+  SELECT CAST(cell % 4294967296 AS BIGINT) AS ix,
+         CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM read_parquet('{dem_path}')
+),
+vgo (dx, dy, d2) AS (VALUES {rows}),
+vgc AS (
+  SELECT ix - dx AS ix, iy - dy AS iy, v AS vs, d2
+  FROM vgb, vgo
+),
+vgj AS (
+  SELECT c.d2, b.v, c.vs
+  FROM vgc c JOIN vgb b ON c.ix = b.ix AND c.iy = b.iy
+)
+SELECT CAST(d2 AS INT) AS d2,
+       ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((v - vs) * (v - vs)) / (2.0 * COUNT(*)), 6) AS gamma
+FROM vgj GROUP BY d2
+"""

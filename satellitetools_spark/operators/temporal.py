@@ -1350,3 +1350,95 @@ SELECT {keys},
        ROUND(sen, 6) AS sen_slope
 FROM mkj
 """
+
+
+def harmonic_anomaly(df: DataFrame, key_cols: Sequence[str] = ("aoi",),
+                     time_col: str = "date_str", value_col: str = "mean_v",
+                     period_days: float = 365.25,
+                     threshold: float = 2.0) -> DataFrame:
+    """Seasonal-anomaly detection — score every observation against the
+    key's own :func:`harmonic_fit` curve: residual, per-key residual
+    RMSE, and an ``is_anomaly`` flag at ``|resid| > threshold·rmse``
+    (drought / disturbance / sensor-glitch detection against the
+    expected phenology, the CCDC change-detection core loop).
+
+    Shape: the closed-form fit is ONE hash agg at key cardinality
+    (ten sums, as harmonic_fit), broadcast-joined back onto the rows;
+    the per-key RMSE is a second key-cardinality agg joined the same
+    way; the residual/flag math is pure codegen. A lazy localCheckpoint
+    fences the featurized rows so the three consumers read one
+    materialization. Same shared-expression-string discipline as the
+    fit itself — both engines parse identical formula text.
+    """
+    w, feats, sums, det, a0, a1, b1, _, _ = _harmonic_exprs(period_days)
+    base = df.select(
+        *key_cols, F.col(time_col).alias("t_str"),
+        F.expr(f"CAST(dayofyear(CAST({time_col} AS DATE)) AS DOUBLE)")
+        .alias("doy"),
+        F.col(value_col).cast("double").alias("v"))
+    base = (base.withColumn("c", F.expr(feats["c"]))
+                .withColumn("s", F.expr(feats["s"]))
+                .localCheckpoint(eager=False))
+    fit = (base.groupBy(*key_cols)
+           .agg(*[F.expr(e).alias(n) for n, e in sums.items()])
+           .withColumn("det", F.expr(det))
+           .withColumn("a0", F.expr(a0))
+           .withColumn("a1", F.expr(a1))
+           .withColumn("b1", F.expr(b1))
+           .select(*key_cols, "a0", "a1", "b1"))
+    scored = (base.join(F.broadcast(fit), on=list(key_cols))
+              .withColumn("pred", F.expr("a0 + a1 * c + b1 * s"))
+              .withColumn("resid", F.expr("v - pred")))
+    rmse = (scored.groupBy(*key_cols)
+            .agg(F.expr("SQRT(AVG(resid * resid))").alias("rmse")))
+    out = scored.join(F.broadcast(rmse), on=list(key_cols))
+    return out.select(
+        *key_cols, F.col("t_str").alias(time_col),
+        F.expr("ROUND(v, 6)").alias("v"),
+        F.expr("ROUND(pred, 6)").alias("pred"),
+        F.expr("ROUND(resid, 6)").alias("resid"),
+        F.expr("ROUND(rmse, 6)").alias("rmse"),
+        F.expr(f"CASE WHEN ABS(resid) > {threshold!r} * rmse"
+               " THEN 1 ELSE 0 END").cast("int").alias("is_anomaly"))
+
+
+def harmonic_anomaly_sql(series_sql: str,
+                         key_cols: Sequence[str] = ("aoi",),
+                         time_col: str = "date_str",
+                         value_col: str = "mean_v",
+                         period_days: float = 365.25,
+                         threshold: float = 2.0) -> str:
+    """DuckDB oracle: the same expression strings, identical fit-join,
+    RMSE, and flag."""
+    w, feats, sums, det, a0, a1, b1, _, _ = _harmonic_exprs(period_days)
+    keys = ", ".join(key_cols)
+    hkeys = ", ".join(f"h.{k}" for k in key_cols)
+    sum_sql = ", ".join(f"{e} AS {n}" for n, e in sums.items())
+    return f"""
+WITH has_ AS ({series_sql}),
+hab AS (
+  SELECT {keys}, {time_col} AS t_str,
+         CAST(dayofyear(CAST({time_col} AS DATE)) AS DOUBLE) AS doy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM has_
+),
+haf AS (SELECT *, {feats['c']} AS c, {feats['s']} AS s FROM hab),
+haa AS (SELECT {keys}, {sum_sql} FROM haf GROUP BY {keys}),
+had AS (SELECT *, {det} AS det FROM haa),
+hacoef AS (SELECT {keys}, {a0} AS a0, {a1} AS a1, {b1} AS b1 FROM had),
+hasc AS (
+  SELECT f.*, q.a0 + q.a1 * f.c + q.b1 * f.s AS pred,
+         f.v - (q.a0 + q.a1 * f.c + q.b1 * f.s) AS resid
+  FROM haf f JOIN hacoef q USING ({keys})
+),
+harm AS (SELECT {keys}, SQRT(AVG(resid * resid)) AS rmse
+         FROM hasc GROUP BY {keys})
+SELECT {hkeys}, h.t_str AS {time_col},
+       ROUND(h.v, 6) AS v,
+       ROUND(h.pred, 6) AS pred,
+       ROUND(h.resid, 6) AS resid,
+       ROUND(m.rmse, 6) AS rmse,
+       CAST(CASE WHEN ABS(h.resid) > {threshold!r} * m.rmse
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM hasc h JOIN harm m USING ({keys})
+"""

@@ -164,3 +164,52 @@ def test_gstar_by_doc_moments_are_per_doc(spark):
     for cell in [(0, 0), (1, 1), (2, 0)]:
         assert out[("d1", *cell)] == pytest.approx(
             out[("d2", *cell)], abs=2e-6)
+
+
+def test_variogram_linear_gradient(spark):
+    # v = x on a 6x6 grid: gamma((1,0)) mixes with (0,1)/(1,-1)(1,1)
+    # classes by d2. d2=1 class = offsets (1,0)+(0,1): (1,0) pairs have
+    # diff^2=1, (0,1) pairs diff^2=0 -> gamma = n10/(2*(n10+n01))... use
+    # exact counts: 6x6 grid, (1,0): 30 pairs diff 1; (0,1): 30 pairs
+    # diff 0 -> gamma(d2=1) = 30/(2*60) = 0.25
+    cells = [(x, y, float(x)) for x in range(6) for y in range(6)]
+    out = {r["d2"]: r for r in SP.variogram(
+        _dem(spark, cells), max_d2=2).collect()}
+    assert out[1]["n_pairs"] == 60
+    assert out[1]["gamma"] == pytest.approx(0.25)
+    # d2=2: offsets (1,1) and (1,-1), 25 pairs each, diff^2=1 each
+    assert out[2]["n_pairs"] == 50
+    assert out[2]["gamma"] == pytest.approx(0.5)
+    assert out[2]["lag"] == pytest.approx(math.sqrt(2.0), abs=1e-6)
+
+
+def test_variogram_counts_each_pair_once(spark):
+    # two cells side by side: exactly one (1,0) pair
+    cells = [(0, 0, 1.0), (1, 0, 3.0)]
+    out = SP.variogram(_dem(spark, cells), max_d2=1).collect()
+    assert len(out) == 1
+    assert out[0]["n_pairs"] == 1
+    assert out[0]["gamma"] == pytest.approx(2.0)   # (3-1)^2 / 2
+
+
+def test_harmonic_anomaly_flags_planted_outlier(spark):
+    # clean sinusoid + one corrupted observation: only that row flags
+    import datetime
+    w = 2.0 * math.pi / 365.25
+    rows = []
+    for d in range(1, 366, 5):
+        date = (datetime.date(2024, 1, 1)
+                + datetime.timedelta(days=d - 1)).isoformat()
+        v = 0.4 + 0.25 * math.cos(w * d)
+        if d == 101:
+            v -= 0.5          # disturbance
+        rows.append(("a", date, v))
+    out = TP.harmonic_anomaly(_series(spark, rows), key_cols=("aoi",),
+                              time_col="date_str", value_col="v").collect()
+    flagged = [r for r in out if r["is_anomaly"] == 1]
+    assert len(flagged) == 1
+    assert flagged[0]["date_str"] == "2024-04-10"   # day 101
+    assert flagged[0]["resid"] < -0.3
+    clean = [r for r in out if r["is_anomaly"] == 0]
+    assert len(clean) == len(out) - 1
+    assert all(abs(r["resid"]) <= 2.0 * r["rmse"] for r in clean)
