@@ -1442,3 +1442,63 @@ SELECT {hkeys}, h.t_str AS {time_col},
             THEN 1 ELSE 0 END AS INT) AS is_anomaly
 FROM hasc h JOIN harm m USING ({keys})
 """
+
+
+def acf(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
+        time_col: str = "ts", value_col: str = "value",
+        max_lag: int = 3) -> DataFrame:
+    """Sample autocorrelation function per key at lags 1..``max_lag`` —
+    the periodicity/persistence detector for per-entity series (is the
+    signal mean-reverting, trending, seasonal?): the standard estimator
+    ``r_k = Σₜ(vₜ−v̄)(vₜ₋ₖ−v̄) / Σₜ(vₜ−v̄)²`` with the key's own mean.
+
+    Shape: one mean agg broadcast back, ALL lags from a single key
+    window (one exchange + sort shared by every lag column), ONE final
+    hash agg at key cardinality. NULL lags at the series head drop out
+    of the numerator sums by NULL propagation — no explicit filters.
+    """
+    base = df.select(*key_cols, F.col(time_col).alias("t"),
+                     F.col(value_col).cast("double").alias("v"))
+    mu = base.groupBy(*key_cols).agg(F.avg("v").alias("mu"))
+    j = base.join(F.broadcast(mu), on=list(key_cols))
+    w = Window.partitionBy(*key_cols).orderBy("t")
+    for k in range(1, max_lag + 1):
+        j = j.withColumn(f"_l{k}", F.lag("v", k).over(w))
+    z = F.col("v") - F.col("mu")
+    aggs = [F.count("v").cast("long").alias("n_obs")]
+    den = F.sum(z * z)
+    for k in range(1, max_lag + 1):
+        num = F.sum(z * (F.col(f"_l{k}") - F.col("mu")))
+        aggs.append(F.round(num / F.when(den != 0, den), 6)
+                    .alias(f"acf_{k}"))
+    return j.groupBy(*key_cols).agg(*aggs)
+
+
+def acf_sql(table: str, key_cols: Sequence[str] = ("user_id",),
+            time_col: str = "ts", value_col: str = "value",
+            max_lag: int = 3) -> str:
+    """DuckDB oracle: identical mean join, shared window lags, and
+    per-lag reduction with NULLIF-guarded denominator."""
+    keys = ", ".join(key_cols)
+    lags = ",\n         ".join(
+        f"LAG(v, {k}) OVER (PARTITION BY {keys} ORDER BY t) AS l{k}"
+        for k in range(1, max_lag + 1))
+    outs = ",\n       ".join(
+        f"ROUND(SUM((v - mu) * (l{k} - mu))"
+        f" / NULLIF(SUM((v - mu) * (v - mu)), 0), 6) AS acf_{k}"
+        for k in range(1, max_lag + 1))
+    return f"""
+WITH acb AS (
+  SELECT {keys}, {time_col} AS t, CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+acm AS (SELECT {keys}, AVG(v) AS mu FROM acb GROUP BY {keys}),
+acl AS (
+  SELECT b.*, m.mu,
+         {lags}
+  FROM acb b JOIN acm m USING ({keys})
+)
+SELECT {keys}, CAST(COUNT(v) AS BIGINT) AS n_obs,
+       {outs}
+FROM acl GROUP BY {keys}
+"""

@@ -1498,3 +1498,67 @@ SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
        COALESCE(a.n_symbols, 0) AS n_symbols, a.compression
 FROM (SELECT DISTINCT doc_id FROM {table}) d
 LEFT JOIN qagg a USING (doc_id)""")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    window: int = 64, overlap: int = 16) -> DataFrame:
+    """Split every document into overlapping token windows — the RAG /
+    embedding-prep chunker (and the packing front-end for long-document
+    training): whitespace tokens, ``window`` tokens per chunk, stride
+    ``window − overlap``; the final chunk keeps its natural short tail.
+    ``chunk_idx = start / stride`` so the id is a pure function of the
+    offset, not of any explode ordering.
+
+    Shape: split → `sequence` of starts → ONE explode at chunk
+    cardinality (bounded fanout ``⌈n_tokens/stride⌉``) → `slice` +
+    `array_join`, all codegen array expressions; a map-only operator —
+    zero shuffles, zero Python — that pipelines straight into the
+    embedding or dedup stage downstream.
+    """
+    if overlap >= window:
+        raise ValueError("chunk_documents: overlap must be < window")
+    stride = window - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    e = (docs.select("doc_id", toks.alias("_toks"),
+                     F.explode(starts).alias("start")))
+    piece = F.slice(F.col("_toks"), F.col("start") + 1, window)
+    return e.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
+def chunk_documents_sql(table: str = "documents", text_col: str = "text",
+                        window: int = 64, overlap: int = 16) -> str:
+    """DuckDB oracle: identical split, start grid (``range`` excludes
+    the end exactly where ``sequence`` tops out at n−1), slice, join."""
+    stride = window - overlap
+    return f"""
+WITH ct AS (
+  SELECT doc_id, str_split({text_col}, ' ') AS toks
+  FROM {table}
+),
+cs AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(len(toks) - 1, 0) + 1, {stride}))
+           AS start
+  FROM ct
+)
+SELECT doc_id,
+       CAST(start // {stride} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start,
+       CAST(len(list_slice(toks, start + 1, start + {window})) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {window}), ' ')
+         AS chunk_text
+FROM cs
+"""

@@ -213,3 +213,48 @@ def test_harmonic_anomaly_flags_planted_outlier(spark):
     clean = [r for r in out if r["is_anomaly"] == 0]
     assert len(clean) == len(out) - 1
     assert all(abs(r["resid"]) <= 2.0 * r["rmse"] for r in clean)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from satellitetools_spark.operators import text as TX
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([("d1", words), ("d2", "solo")],
+                               "doc_id string, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in
+           TX.chunk_documents(df, window=4, overlap=1).collect()}
+    # stride 3 over 10 tokens: starts 0,3,6,9
+    assert {(k[1]) for k in out if k[0] == "d1"} == {0, 1, 2, 3}
+    assert out[("d1", 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[("d1", 1)]["chunk_text"] == "w3 w4 w5 w6"   # 1-token overlap
+    assert out[("d1", 3)]["chunk_text"] == "w9"            # natural tail
+    assert out[("d1", 3)]["n_tokens"] == 1
+    assert out[("d2", 0)]["chunk_text"] == "solo"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from satellitetools_spark.operators import text as TX
+    df = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, window=4, overlap=4)
+
+
+def test_acf_alternating_series_lag_structure(spark):
+    # +1,-1,+1,... : acf_1 = -1 (lag-1 n-1 pairs all opposite),
+    # acf_2 = +(n-2)/n-ish under the standard estimator
+    rows = [("u", float(t), 1.0 if t % 2 == 0 else -1.0)
+            for t in range(10)]
+    df = spark.createDataFrame(rows, "user_id string, ts double, v double")
+    out = TP.acf(df, key_cols=("user_id",), time_col="ts",
+                 value_col="v", max_lag=2).collect()[0]
+    assert out["n_obs"] == 10
+    # mean = 0, den = 10; num_1 = -9, num_2 = +8
+    assert out["acf_1"] == pytest.approx(-0.9)
+    assert out["acf_2"] == pytest.approx(0.8)
+
+
+def test_acf_constant_series_is_null(spark):
+    rows = [("u", float(t), 5.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "user_id string, ts double, v double")
+    out = TP.acf(df, key_cols=("user_id",), time_col="ts",
+                 value_col="v", max_lag=1).collect()[0]
+    assert out["acf_1"] is None   # zero variance -> NULL, not NaN
