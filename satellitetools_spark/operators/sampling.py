@@ -405,3 +405,64 @@ WHERE CAST({weight_col} AS DOUBLE) > 0
 ORDER BY wrs_key DESC, {key_col} ASC
 LIMIT {n}
 """
+
+
+def mixture_weights(df: DataFrame, group_col: str = "lang",
+                    alpha: float = 0.7,
+                    size_col: str = "n_chars") -> DataFrame:
+    """Temperature-based source-mixing weights — the multilingual /
+    multi-source α-sampling rule (cf. the mBERT/XLM-R exponential
+    smoothing): group share ``pᵢ = nᵢ/Σn`` is flattened to
+    ``qᵢ ∝ pᵢ^α`` (α < 1 upsamples the tail, α = 1 keeps natural
+    proportions), and each group's per-document sampling boost is
+    ``qᵢ/pᵢ``. Emits docs, size, natural share, smoothed share, and
+    the boost every downstream sampler needs.
+
+    Shape: ONE hash agg at group cardinality, a 1-row total agg
+    broadcast back, pure codegen arithmetic — the output is a tiny
+    dimension meant to broadcast-join onto the corpus.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(size_col).cast("double")).alias("size_sum"))
+    tot = g.agg(F.sum("n_docs").cast("double").alias("_t"))
+    p = F.col("n_docs") / F.col("_t")
+    # fence: both the normalizer agg and the output read j — one
+    # materialization of the (group-cardinality) frame, not two corpus
+    # scans
+    j = (g.crossJoin(F.broadcast(tot)).withColumn("_p", p)
+         .localCheckpoint(eager=False))
+    q_unn = F.pow(F.col("_p"), float(alpha))
+    z = j.agg(F.sum(q_unn).alias("_z"))
+    out = j.crossJoin(F.broadcast(z))
+    q = q_unn / F.col("_z")
+    return (out.select(group_col, "n_docs",
+                       F.round(F.col("size_sum"), 6).alias("size_sum"),
+                       F.round(F.col("_p"), 6).alias("p_natural"),
+                       F.round(q, 6).alias("p_smoothed"),
+                       F.round(q / F.col("_p"), 6).alias("boost"))
+            .orderBy(group_col))
+
+
+def mixture_weights_sql(table: str = "documents", group_col: str = "lang",
+                        alpha: float = 0.7,
+                        size_col: str = "n_chars") -> str:
+    """DuckDB oracle: identical group agg, total, power smoothing, and
+    normalization."""
+    return f"""
+WITH mwg AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST({size_col} AS DOUBLE)) AS size_sum
+  FROM {table} GROUP BY {group_col}
+),
+mwt AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS t FROM mwg),
+mwp AS (SELECT g.*, g.n_docs / s.t AS p FROM mwg g CROSS JOIN mwt s),
+mwz AS (SELECT SUM(POW(p, {alpha!r})) AS z FROM mwp)
+SELECT {group_col}, n_docs,
+       ROUND(size_sum, 6) AS size_sum,
+       ROUND(p, 6) AS p_natural,
+       ROUND(POW(p, {alpha!r}) / z.z, 6) AS p_smoothed,
+       ROUND(POW(p, {alpha!r}) / z.z / p, 6) AS boost
+FROM mwp CROSS JOIN mwz z
+ORDER BY {group_col}
+"""

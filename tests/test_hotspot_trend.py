@@ -258,3 +258,35 @@ def test_acf_constant_series_is_null(spark):
     out = TP.acf(df, key_cols=("user_id",), time_col="ts",
                  value_col="v", max_lag=1).collect()[0]
     assert out["acf_1"] is None   # zero variance -> NULL, not NaN
+
+
+def test_mixture_weights_flattens_toward_tail(spark):
+    from satellitetools_spark.operators import sampling as SA
+    # 90/10 split at alpha=0.5: q_i ~ sqrt(p_i); the tail group's boost
+    # must exceed 1 and the head's fall below 1; shares sum to 1
+    rows = [("en", 100)] * 90 + [("fi", 100)] * 10
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    out = {r["lang"]: r for r in SA.mixture_weights(
+        df, group_col="lang", alpha=0.5).collect()}
+    p_en, p_fi = 0.9, 0.1
+    z = math.sqrt(p_en) + math.sqrt(p_fi)
+    assert out["en"]["p_natural"] == pytest.approx(0.9)
+    assert out["en"]["p_smoothed"] == pytest.approx(math.sqrt(p_en) / z,
+                                                    abs=1e-6)
+    assert out["fi"]["p_smoothed"] == pytest.approx(math.sqrt(p_fi) / z,
+                                                    abs=1e-6)
+    assert out["fi"]["boost"] > 1.0 > out["en"]["boost"]
+    assert (out["en"]["p_smoothed"] + out["fi"]["p_smoothed"]
+            == pytest.approx(1.0, abs=2e-6))
+
+
+def test_mixture_weights_alpha_one_is_identity(spark):
+    from satellitetools_spark.operators import sampling as SA
+    rows = [("a", 10)] * 3 + [("b", 10)] * 7
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    out = {r["lang"]: r for r in SA.mixture_weights(
+        df, group_col="lang", alpha=1.0).collect()}
+    for k in ("a", "b"):
+        assert out[k]["p_smoothed"] == pytest.approx(
+            out[k]["p_natural"], abs=1e-6)
+        assert out[k]["boost"] == pytest.approx(1.0, abs=1e-6)
