@@ -1361,3 +1361,90 @@ SELECT CAST(d2 AS INT) AS d2,
        ROUND(SUM((v - vs) * (v - vs)) / (2.0 * COUNT(*)), 6) AS gamma
 FROM vgj GROUP BY d2
 """
+
+
+def flow_accumulation(dem: DataFrame, cell_m: float = CELL_SIZE_M,
+                      value_col: str = "elevation",
+                      max_iters: int = 64) -> DataFrame:
+    """D8 flow accumulation — upstream contributing-cell count per cell
+    (the watershed/catchment-area primitive under stream extraction and
+    the topographic wetness index): ``acc(v) = 1 + Σ acc(u)`` over all
+    cells u whose steepest-descent path drains through v.
+
+    Shape: the drainage graph from :func:`flow_direction` is a forest
+    (≤ 1 out-edge per cell), so the fixpoint iteration
+    ``accₖ₊₁(v) = 1 + Σ_{u→v} accₖ(u)`` is one key-co-partitioned join +
+    one hash agg per round, converging after longest-drainage-path
+    rounds (bounded by the DEM diameter, not cell count — the classic
+    Pregel shape, same as the repo's connected components). Early-stop:
+    Σacc strictly increases until the fixpoint, so one 1-row agg per
+    round detects convergence; each round's frame is lazily
+    checkpointed to keep lineage flat.
+    """
+    fd = flow_direction(dem, cell_m=cell_m, value_col=value_col)
+    # decode the target cell from the power-of-two code via a literal map
+    dx_expr = None
+    dy_expr = None
+    for dxv, dyv, c, _ in D8:
+        cond = F.col("flow_code") == c
+        dx_expr = F.when(cond, dxv) if dx_expr is None \
+            else dx_expr.when(cond, dxv)
+        dy_expr = F.when(cond, dyv) if dy_expr is None \
+            else dy_expr.when(cond, dyv)
+    edges = (fd.filter(F.col("flow_code") > 0)
+             .select("ix", "iy",
+                     (F.col("ix") + dx_expr).alias("tix"),
+                     (F.col("iy") + dy_expr).alias("tiy"))
+             .localCheckpoint(eager=False))
+    cells = fd.select("ix", "iy").localCheckpoint(eager=False)
+    acc = cells.withColumn("acc", F.lit(1).cast("long"))
+    prev_total = acc.agg(F.sum("acc")).collect()[0][0]
+    for _ in range(max_iters):
+        inflow = (edges.join(acc, ["ix", "iy"])
+                  .groupBy(F.col("tix").alias("ix"),
+                           F.col("tiy").alias("iy"))
+                  .agg(F.sum("acc").alias("_in")))
+        acc = (cells.join(inflow, ["ix", "iy"], "left")
+               .select("ix", "iy",
+                       (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+                       .cast("long").alias("acc"))
+               .localCheckpoint(eager=False))
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return acc.select("ix", "iy", F.col("acc").alias("n_upstream_plus_self"))
+
+
+def flow_accumulation_sql(dem_path: str, value_col: str = "elevation"
+                          ) -> str:
+    """DuckDB oracle: the drainage forest from :func:`flow_direction_sql`,
+    then a recursive closure (each node has ≤1 out-edge, so the closure
+    is linear in total path length) counted per destination."""
+    rows = ", ".join(f"({dx}, {dy}, {c})" for dx, dy, c, _ in D8)
+    fd = flow_direction_sql(dem_path, value_col=value_col)
+    return f"""
+WITH fdall AS ({fd}),
+fedge AS (
+  SELECT f.ix, f.iy, f.ix + m.dx AS tix, f.iy + m.dy AS tiy
+  FROM fdall f JOIN (VALUES {rows}) m(dx, dy, code)
+    ON f.flow_code = m.code
+  WHERE f.flow_code > 0
+),
+fpaths AS (
+  WITH RECURSIVE r(six, siy, ix, iy) AS (
+    SELECT ix, iy, tix, tiy FROM fedge
+    UNION ALL
+    SELECT r.six, r.siy, e.tix, e.tiy
+    FROM r JOIN fedge e ON r.ix = e.ix AND r.iy = e.iy
+  )
+  SELECT * FROM r
+),
+fcnt AS (
+  SELECT ix, iy, COUNT(*) AS n_up FROM fpaths GROUP BY ix, iy
+)
+SELECT c.ix, c.iy,
+       CAST(1 + COALESCE(n.n_up, 0) AS BIGINT) AS n_upstream_plus_self
+FROM (SELECT ix, iy FROM fdall) c
+LEFT JOIN fcnt n ON c.ix = n.ix AND c.iy = n.iy
+"""

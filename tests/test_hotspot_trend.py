@@ -290,3 +290,27 @@ def test_mixture_weights_alpha_one_is_identity(spark):
         assert out[k]["p_smoothed"] == pytest.approx(
             out[k]["p_natural"], abs=1e-6)
         assert out[k]["boost"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_flow_accumulation_tilted_plane(spark):
+    # v decreasing with x: each row drains east in a chain, so
+    # accumulation grows 1,2,3,4 along the row (per-row independent)
+    cells = [(x, y, 100.0 - 10.0 * x) for x in range(4) for y in range(4)]
+    out = {(r["ix"], r["iy"]): r["n_upstream_plus_self"]
+           for r in SP.flow_accumulation(_dem(spark, cells)).collect()}
+    assert len(out) == 16
+    for y in range(4):
+        for x in range(4):
+            assert out[(x, y)] == x + 1, (x, y)
+
+
+def test_flow_accumulation_bowl_collects_everything(spark):
+    # single pit in a 3x3 bowl: all 8 ring cells drain into it directly
+    cells = [(x, y, 0.0 if (x, y) == (1, 1) else 10.0)
+             for x in range(3) for y in range(3)]
+    out = {(r["ix"], r["iy"]): r["n_upstream_plus_self"]
+           for r in SP.flow_accumulation(_dem(spark, cells)).collect()}
+    assert out[(1, 1)] == 9
+    for cell, acc in out.items():
+        if cell != (1, 1):
+            assert acc == 1
