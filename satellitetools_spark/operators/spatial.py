@@ -1448,3 +1448,77 @@ SELECT c.ix, c.iy,
 FROM (SELECT ix, iy FROM fdall) c
 LEFT JOIN fcnt n ON c.ix = n.ix AND c.iy = n.iy
 """
+
+
+def wetness_index(dem: DataFrame, cell_m: float = CELL_SIZE_M,
+                  value_col: str = "elevation",
+                  z_factor: float = 1.0) -> DataFrame:
+    """Topographic wetness index — ``TWI = ln(a / tan β)`` with
+    ``a = acc·cell`` the specific catchment area (upstream cells ×
+    cell size per unit contour width) and β the Horn slope: THE
+    composite soil-moisture/runoff predictor, and the canonical
+    CONSUMER of both :func:`flow_accumulation` and the Horn gradients.
+
+    Shape: gradients ride one :func:`focal_conv` pass, the catchment
+    area is the Pregel fixpoint, and the two meet in ONE
+    co-partitioned (ix, iy) equi-join; the index itself is codegen.
+    Flat cells (tan β = 0) yield NULL — standard practice is a slope
+    floor; NULL keeps the operator assumption-free and lets callers
+    pick their floor. Border cells (partial stencil) are dropped as in
+    hillshade.
+    """
+    px = dem.select(
+        F.lit("dem").alias("doc_id"),
+        ((F.pmod(F.col("cell"), F.lit(2 ** 32)) + 0.5) * cell_m)
+        .alias("x"),
+        ((F.floor(F.col("cell") / F.lit(2 ** 32)) + 0.5) * cell_m)
+        .alias("y"),
+        F.col(value_col),
+        F.lit(float(cell_m)).alias("gsd"))
+    g = (focal_conv(px, value_col, {"gx": SOBEL_GX, "gy": SOBEL_GY})
+         .filter(F.col("n_neigh") == 9))
+    k = float(z_factor) / (8.0 * float(cell_m))
+    dzdx = F.col("gx") * F.lit(k)
+    dzdy = F.col("gy") * F.lit(k)
+    tanb = F.sqrt(dzdx * dzdx + dzdy * dzdy)
+    acc = flow_accumulation(dem, cell_m=cell_m, value_col=value_col)
+    j = g.join(acc, ["ix", "iy"])
+    a = F.col("n_upstream_plus_self").cast("double") * float(cell_m)
+    twi = F.log(a / F.when(tanb != 0, tanb))
+    return j.select("ix", "iy", F.col(value_col),
+                    "n_upstream_plus_self",
+                    F.round(F.degrees(F.atan(tanb)), 6).alias("slope_deg"),
+                    F.round(twi, 6).alias("twi"))
+
+
+def wetness_index_sql(dem_path: str, cell_m: float = CELL_SIZE_M,
+                      value_col: str = "elevation",
+                      z_factor: float = 1.0) -> str:
+    """DuckDB oracle: the recursive-closure accumulation joined to the
+    identical focal-gradient slope, same guard and formula."""
+    pixels = (f"SELECT 'dem' AS doc_id, "
+              f"CAST(cell % 4294967296 AS BIGINT) AS ix, "
+              f"CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy, "
+              f"{value_col} FROM read_parquet('{dem_path}')")
+    conv = focal_conv_sql(pixels, value_col,
+                          {"gx": SOBEL_GX, "gy": SOBEL_GY})
+    acc = flow_accumulation_sql(dem_path, value_col=value_col)
+    k = float(z_factor) / (8.0 * float(cell_m))
+    return f"""
+WITH wconv AS ({conv}),
+wg AS (
+  SELECT ix, iy,
+         sqrt((gx * {k!r}) * (gx * {k!r})
+              + (gy * {k!r}) * (gy * {k!r})) AS tanb
+  FROM wconv WHERE n_neigh = 9
+),
+wacc AS ({acc}),
+wpx AS ({pixels})
+SELECT g.ix, g.iy, p.{value_col}, a.n_upstream_plus_self,
+       ROUND(degrees(atan(g.tanb)), 6) AS slope_deg,
+       ROUND(ln(CAST(a.n_upstream_plus_self AS DOUBLE) * {float(cell_m)!r}
+                / NULLIF(g.tanb, 0)), 6) AS twi
+FROM wg g
+JOIN wacc a ON g.ix = a.ix AND g.iy = a.iy
+JOIN wpx p ON g.ix = p.ix AND g.iy = p.iy
+"""

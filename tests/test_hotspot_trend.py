@@ -314,3 +314,25 @@ def test_flow_accumulation_bowl_collects_everything(spark):
     for cell, acc in out.items():
         if cell != (1, 1):
             assert acc == 1
+
+
+def test_wetness_index_tilted_plane(spark):
+    # uniform 45-degree plane (10 m drop per 10 m cell): tan(beta) = 1,
+    # so TWI = ln(acc * 10). Interior cells only (Horn support).
+    cells = [(x, y, 100.0 - 10.0 * x) for x in range(5) for y in range(5)]
+    out = {(r["ix"], r["iy"]): r
+           for r in SP.wetness_index(_dem(spark, cells), cell_m=10.0)
+           .collect()}
+    assert set(out) == {(x, y) for x in range(1, 4) for y in range(1, 4)}
+    for (x, y), r in out.items():
+        assert r["slope_deg"] == pytest.approx(45.0, abs=1e-4)
+        assert r["twi"] == pytest.approx(math.log((x + 1) * 10.0),
+                                         abs=1e-5), (x, y)
+
+
+def test_wetness_index_flat_ground_is_null(spark):
+    cells = [(x, y, 7.0) for x in range(3) for y in range(3)]
+    out = SP.wetness_index(_dem(spark, cells), cell_m=10.0).collect()
+    assert len(out) == 1                  # only the interior cell
+    assert out[0]["twi"] is None          # tan(0) guarded to NULL
+    assert out[0]["slope_deg"] == pytest.approx(0.0)
