@@ -1522,3 +1522,88 @@ FROM wg g
 JOIN wacc a ON g.ix = a.ix AND g.iy = a.iy
 JOIN wpx p ON g.ix = p.ix AND g.iy = p.iy
 """
+
+
+def local_morans_i(px: DataFrame, value_col: str = "elevation"
+                   ) -> DataFrame:
+    """Local Moran's I (LISA) per cell with cluster typing — where the
+    global :func:`morans_i` number actually comes from, and the classic
+    cluster/outlier map: ``Iᵢ = (zᵢ/m₂)·lagᵢ`` with m₂ = Σz²/n and the
+    row-standardized spatial lag (mean neighbor z, queen contiguity);
+    quadrant HH/LL = cluster, HL/LH = spatial outlier, classified on
+    the ROUNDED z and lag so both engines quantize identically.
+
+    Shape: identical to :func:`getis_ord_gstar` — one broadcast 1-row
+    moments agg, ONE focal_conv stencil pass, codegen projection; two
+    cell-cardinality shuffles total. Isolated cells (no realized
+    neighbor) yield NULL lag/I.
+    """
+    v = F.col(value_col).cast("double")
+    stats = px.agg(F.count(v).alias("_n"), F.avg(v).alias("_mu"),
+                   F.avg(v * v).alias("_msq"))
+    # only _z rides through the stencil pass (the stats columns would
+    # collide with focal_conv's internal aliases); m2 re-joins after
+    z = (px.crossJoin(F.broadcast(stats))
+         .withColumn("_z", v - F.col("_mu"))
+         .drop("_n", "_mu", "_msq"))
+    g = (focal_conv(z, "_z", {"nsum": QUEEN})
+         .crossJoin(F.broadcast(stats)))
+    links = F.col("n_neigh") - 1          # stencil counts the center
+    lag = F.col("nsum") / F.when(links > 0, links.cast("double"))
+    m2 = F.col("_msq") - F.col("_mu") * F.col("_mu")
+    li = (F.col("_z") / m2) * lag
+    zr = F.round(F.col("_z"), 6)
+    lagr = F.round(lag, 6)
+    quad = (F.when(lagr.isNull(), F.lit("isolated"))
+             .when((zr > 0) & (lagr > 0), F.lit("HH"))
+             .when((zr < 0) & (lagr < 0), F.lit("LL"))
+             .when((zr > 0) & (lagr <= 0), F.lit("HL"))
+             .when((zr < 0) & (lagr >= 0), F.lit("LH"))
+             .otherwise(F.lit("zero")))
+    return g.select("ix", "iy", F.col(value_col).cast("double")
+                    .alias(value_col),
+                    links.cast("int").alias("n_links"),
+                    zr.alias("z"), lagr.alias("lag_z"),
+                    F.round(li, 6).alias("local_i"),
+                    quad.alias("quadrant"))
+
+
+def local_morans_i_sql(cells_sql: str, value_sql: str = "elevation"
+                       ) -> str:
+    """DuckDB oracle: identical moments, stencil pass, lag guard, and
+    rounded-quadrant classification. ``cells_sql`` must yield unique
+    (doc_id, ix, iy) rows plus the value expression's inputs."""
+    zsql = f"""SELECT doc_id, ix, iy,
+       CAST({value_sql} AS DOUBLE) AS v,
+       CAST({value_sql} AS DOUBLE)
+       - AVG(CAST({value_sql} AS DOUBLE)) OVER () AS z,
+       AVG(CAST({value_sql} AS DOUBLE) * CAST({value_sql} AS DOUBLE))
+         OVER ()
+       - AVG(CAST({value_sql} AS DOUBLE)) OVER ()
+         * AVG(CAST({value_sql} AS DOUBLE)) OVER () AS m2
+FROM ({cells_sql})"""
+    conv = focal_conv_sql(zsql, "z", {"nsum": QUEEN})
+    return f"""
+WITH lmc AS ({conv}),
+lmz AS ({zsql}),
+lmj AS (
+  SELECT g.ix, g.iy, z.v, z.z, z.m2, g.n_neigh - 1 AS n_links,
+         g.nsum / CASE WHEN g.n_neigh - 1 > 0
+                       THEN CAST(g.n_neigh - 1 AS DOUBLE) END AS lag
+  FROM lmc g JOIN lmz z ON g.ix = z.ix AND g.iy = z.iy
+),
+lmr AS (
+  SELECT ix, iy, v, CAST(n_links AS INT) AS n_links,
+         ROUND(z, 6) AS z, ROUND(lag, 6) AS lag_z,
+         ROUND((z / m2) * lag, 6) AS local_i
+  FROM lmj
+)
+SELECT ix, iy, v AS {value_sql}, n_links, z, lag_z, local_i,
+       CASE WHEN lag_z IS NULL THEN 'isolated'
+            WHEN z > 0 AND lag_z > 0 THEN 'HH'
+            WHEN z < 0 AND lag_z < 0 THEN 'LL'
+            WHEN z > 0 AND lag_z <= 0 THEN 'HL'
+            WHEN z < 0 AND lag_z >= 0 THEN 'LH'
+            ELSE 'zero' END AS quadrant
+FROM lmr
+"""

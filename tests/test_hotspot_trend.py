@@ -336,3 +336,39 @@ def test_wetness_index_flat_ground_is_null(spark):
     assert len(out) == 1                  # only the interior cell
     assert out[0]["twi"] is None          # tan(0) guarded to NULL
     assert out[0]["slope_deg"] == pytest.approx(0.0)
+
+
+def test_lisa_quadrants_split_plain_and_outliers(spark):
+    # left half high, right half low: deep cells cluster (HH / LL, both
+    # with POSITIVE local I); every seam cell stays on its own side's
+    # cluster (the 8-neighbor mean never crosses the global mean there)
+    cells = [(x, y, 10.0 if x < 3 else 0.0)
+             for x in range(6) for y in range(6)]
+    out = {(r["ix"], r["iy"]): r
+           for r in SP.local_morans_i(SP.dem_pixels(_dem(spark, cells)))
+           .collect()}
+    assert out[(0, 2)]["quadrant"] == "HH"
+    assert out[(0, 2)]["local_i"] > 0
+    assert out[(5, 2)]["quadrant"] == "LL"
+    assert out[(5, 2)]["local_i"] > 0      # LL is still positive I
+    assert out[(3, 2)]["quadrant"] == "LL"
+    # a single dip inside a high plain: the dip is a LOW-in-HIGH (LH)
+    # outlier, its neighbors HIGH-next-to-low (HL), both negative I
+    dip = [(x, y, 0.0 if (x, y) == (2, 2) else 10.0)
+           for x in range(5) for y in range(5)]
+    o2 = {(r["ix"], r["iy"]): r
+          for r in SP.local_morans_i(SP.dem_pixels(_dem(spark, dip)))
+          .collect()}
+    assert o2[(2, 2)]["quadrant"] == "LH"
+    assert o2[(2, 2)]["local_i"] < 0
+    assert o2[(1, 1)]["quadrant"] == "HL"
+    assert o2[(1, 1)]["local_i"] < 0
+
+
+def test_lisa_isolated_cell(spark):
+    cells = [(0, 0, 5.0), (10, 10, 1.0)]   # no queen adjacency
+    out = SP.local_morans_i(SP.dem_pixels(_dem(spark, cells))).collect()
+    for r in out:
+        assert r["quadrant"] == "isolated"
+        assert r["local_i"] is None
+        assert r["n_links"] == 0
