@@ -170,3 +170,58 @@ def test_hillshade_no_self_join(spark):
     plan = _plan(hillshade(dem, cell_m=10.0))
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_mann_kendall_equi_join_only(spark):
+    """MK pair enumeration must stay a key-equi join (quadratic only in
+    per-key series length) — never a cartesian or nested loop over the
+    table."""
+    from satellitetools_spark.operators.temporal import mann_kendall
+    df = spark.createDataFrame(
+        [("a", f"2024-01-{d:02d}", 0.1 * d) for d in range(1, 8)],
+        "aoi string, date_str string, v double")
+    plan = _plan(mann_kendall(df, value_col="v"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_variogram_single_grid_join(spark):
+    """Variogram: offset explode + ONE grid equi-join + lag agg — no
+    window, no cartesian, nothing quadratic in cells."""
+    from satellitetools_spark.operators.spatial import variogram
+    dem = spark.createDataFrame(
+        [(int(iy) * 2 ** 32 + int(ix), float(ix + iy))
+         for iy in range(4) for ix in range(4)],
+        "cell long, elevation double")
+    plan = _plan(variogram(dem))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_gstar_one_stencil_pass(spark):
+    """Gi*: the stencil must be focal_conv's explode/agg (no self-join
+    of the grid); the moments join is a 1-row broadcast."""
+    from satellitetools_spark.operators.spatial import (dem_pixels,
+                                                        getis_ord_gstar)
+    dem = spark.createDataFrame(
+        [(int(iy) * 2 ** 32 + int(ix), float(ix * iy))
+         for iy in range(4) for ix in range(4)],
+        "cell long, elevation double")
+    plan = _plan(getis_ord_gstar(dem_pixels(dem)))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") <= 4, plan
+
+
+def test_chunk_documents_map_only(spark):
+    """Chunking is a map-only operator: zero exchanges, zero joins,
+    zero Python."""
+    from satellitetools_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [("d", " ".join(f"w{i}" for i in range(100)))],
+        "doc_id string, text string")
+    plan = _plan(chunk_documents(df))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Python" not in plan
