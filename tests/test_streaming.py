@@ -349,3 +349,37 @@ def test_streaming_cusum_matches_batch_with_calibration(spark, tmp_path):
     ref = cusum_alarms(ev, key_cols=("user_id",), k=0.5, h=4.0).collect()[0]
     assert got["n"] == ref["n_obs"] == 80
     assert got["na"] == ref["n_alarms"] >= 1
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is map-only, so lifting it to a file stream must
+    give the batch result exactly — chunk ids are offset-derived, never
+    explode/trigger-order-dependent."""
+    from satellitetools_spark.operators.text import chunk_documents
+
+    feed = tmp_path / "chunk_feed"
+    feed.mkdir()
+    rows = [(f"d{i}", " ".join(f"t{i}_{j}" for j in range(25)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # two files so the stream takes two triggers
+    df.limit(3).write.parquet(str(feed / "a.parquet"))
+    df.subtract(df.limit(3)).write.parquet(str(feed / "b.parquet"))
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(feed) + "/*"))
+    q = (chunk_documents(stream, window=8, overlap=2).writeStream
+         .format("memory").queryName("chunk_stream")
+         .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+
+    got = (spark.sql("SELECT * FROM chunk_stream").toPandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    batch = (chunk_documents(spark.read.parquet(str(feed) + "/*"),
+                             window=8, overlap=2).toPandas()
+             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    assert got.equals(batch)
+    assert len(got) == 6 * 5   # 25 tokens, stride 6 -> starts 0,6,12,18,24
