@@ -1607,3 +1607,144 @@ SELECT ix, iy, v AS {value_sql}, n_links, z, lag_z, local_i,
             ELSE 'zero' END AS quadrant
 FROM lmr
 """
+
+
+# ---------------------------------------------------------------------------
+# Contour extraction (marching squares)
+# ---------------------------------------------------------------------------
+
+def _ms_exprs(threshold: float):
+    """Shared Spark/DuckDB SQL expression strings for marching squares:
+    case index (BL + 2·BR + 4·TR + 8·TL above-threshold bits), the four
+    linearly-interpolated edge-crossing points (grid units; NULLIF
+    guards — an edge is only SELECTED when its endpoints straddle T, so
+    the guarded division is never consumed as NULL), and the per-case
+    edge-pair selection with the center-mean saddle rule. One source of
+    truth parsed by both engines."""
+    t = repr(float(threshold))
+    bit = {c: f"(CASE WHEN {c} >= {t} THEN 1 ELSE 0 END)"
+           for c in ("v00", "v10", "v11", "v01")}
+    idx = (f"({bit['v00']} + 2 * {bit['v10']} + 4 * {bit['v11']}"
+           f" + 8 * {bit['v01']})")
+    center = f"((v00 + v10 + v11 + v01) / 4.0 >= {t})"
+    pts = {
+        "B": (f"ix + ({t} - v00) / NULLIF(v10 - v00, 0)", "CAST(iy AS DOUBLE)"),
+        "T": (f"ix + ({t} - v01) / NULLIF(v11 - v01, 0)", "iy + 1.0"),
+        "L": ("CAST(ix AS DOUBLE)", f"iy + ({t} - v00) / NULLIF(v01 - v00, 0)"),
+        "R": ("ix + 1.0", f"iy + ({t} - v10) / NULLIF(v11 - v10, 0)"),
+    }
+    s1a = f"""CASE {idx}
+ WHEN 1 THEN 'L' WHEN 2 THEN 'B' WHEN 3 THEN 'L' WHEN 4 THEN 'T'
+ WHEN 5 THEN 'L' WHEN 6 THEN 'B' WHEN 7 THEN 'L' WHEN 8 THEN 'L'
+ WHEN 9 THEN 'B' WHEN 10 THEN 'L' WHEN 11 THEN 'T' WHEN 12 THEN 'L'
+ WHEN 13 THEN 'B' WHEN 14 THEN 'L' END"""
+    s1b = f"""CASE {idx}
+ WHEN 1 THEN 'B' WHEN 2 THEN 'R' WHEN 3 THEN 'R' WHEN 4 THEN 'R'
+ WHEN 5 THEN CASE WHEN {center} THEN 'T' ELSE 'B' END
+ WHEN 6 THEN 'T' WHEN 7 THEN 'T' WHEN 8 THEN 'T' WHEN 9 THEN 'T'
+ WHEN 10 THEN CASE WHEN {center} THEN 'B' ELSE 'T' END
+ WHEN 11 THEN 'R' WHEN 12 THEN 'R' WHEN 13 THEN 'R' WHEN 14 THEN 'B'
+ END"""
+    s2a = f"""CASE {idx}
+ WHEN 5 THEN CASE WHEN {center} THEN 'B' ELSE 'T' END
+ WHEN 10 THEN CASE WHEN {center} THEN 'T' ELSE 'B' END END"""
+    s2b = f"CASE WHEN {idx} IN (5, 10) THEN 'R' END"
+    def coord(which, axis):
+        arms = " ".join(f"WHEN '{e}' THEN ({pts[e][axis]})" for e in pts)
+        return f"CASE {which} {arms} END"
+    return idx, s1a, s1b, s2a, s2b, coord
+
+
+def contour_segments(dem: DataFrame, threshold: float,
+                     value_col: str = "elevation") -> DataFrame:
+    """Marching-squares contour extraction at one iso-level — the
+    vectorization step that turns a raster into GIS line work (elevation
+    contours, NDVI iso-lines, plume boundaries): per 2×2 node block,
+    emit 0–2 line segments whose endpoints are linear interpolations of
+    the threshold crossing along block edges (grid units; saddles
+    resolved by the center-mean rule — deterministic, stated).
+
+    Shape: the 4-corner gather is ONE constant 4× offset explode + hash
+    agg at block cardinality (the same no-self-join stencil shape as
+    focal_conv); the case table, interpolation, and segment selection
+    are pure codegen (shared expression strings, both engines); segment
+    slots 1 and 2 are a 2-arm union of the same frame, lazily
+    checkpointed so the gather runs once.
+    """
+    base = dem.select(
+        F.pmod(F.col("cell"), F.lit(2 ** 32)).cast("long").alias("ix"),
+        F.floor(F.col("cell") / F.lit(2 ** 32)).cast("long").alias("iy"),
+        F.col(value_col).cast("double").alias("v"))
+    corners = [("v00", 0, 0), ("v10", 1, 0), ("v01", 0, 1), ("v11", 1, 1)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(n).alias("tag")) for n, dx, dy in corners])).alias("_o")
+    contrib = (base.select("ix", "iy", "v", off)
+               .select((F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"),
+                       "v", F.col("_o.tag").alias("tag")))
+    blocks = (contrib.groupBy("ix", "iy")
+              .agg(F.count("*").alias("_nc"),
+                   *[F.max(F.when(F.col("tag") == n, F.col("v")))
+                     .alias(n) for n, _, _ in corners])
+              .filter(F.col("_nc") == 4))
+    idx, s1a, s1b, s2a, s2b, coord = _ms_exprs(threshold)
+    blocks = (blocks.withColumn("case_idx", F.expr(idx))
+              .filter("case_idx > 0 AND case_idx < 15")
+              .withColumn("s1a", F.expr(s1a))
+              .withColumn("s1b", F.expr(s1b))
+              .withColumn("s2a", F.expr(s2a))
+              .withColumn("s2b", F.expr(s2b))
+              .localCheckpoint(eager=False))
+    def emit(seg, a, b):
+        return (blocks.filter(F.col(a).isNotNull())
+                .select("ix", "iy", F.lit(seg).alias("seg"),
+                        F.col(a).alias("edge_a"), F.col(b).alias("edge_b"),
+                        F.round(F.expr(coord(a, 0)), 6).alias("x1"),
+                        F.round(F.expr(coord(a, 1)), 6).alias("y1"),
+                        F.round(F.expr(coord(b, 0)), 6).alias("x2"),
+                        F.round(F.expr(coord(b, 1)), 6).alias("y2")))
+    return emit(1, "s1a", "s1b").unionByName(emit(2, "s2a", "s2b"))
+
+
+def contour_segments_sql(dem_path: str, threshold: float,
+                         value_col: str = "elevation") -> str:
+    """DuckDB oracle: identical gather, shared case/interpolation
+    strings, identical 2-slot union."""
+    idx, s1a, s1b, s2a, s2b, coord = _ms_exprs(threshold)
+    corners = [("v00", 0, 0), ("v10", 1, 0), ("v01", 0, 1), ("v11", 1, 1)]
+    rows = ", ".join(f"({dx}, {dy}, '{n}')" for n, dx, dy in corners)
+    maxes = ", ".join(
+        f"MAX(CASE WHEN tag = '{n}' THEN v END) AS {n}"
+        for n, _, _ in corners)
+    def arm(seg, a, b):
+        return f"""SELECT ix, iy, {seg} AS seg, {a} AS edge_a, {b} AS edge_b,
+       ROUND({coord(a, 0)}, 6) AS x1, ROUND({coord(a, 1)}, 6) AS y1,
+       ROUND({coord(b, 0)}, 6) AS x2, ROUND({coord(b, 1)}, 6) AS y2
+FROM msc WHERE {a} IS NOT NULL"""
+    return f"""
+WITH msb AS (
+  SELECT CAST(cell % 4294967296 AS BIGINT) AS ix,
+         CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM read_parquet('{dem_path}')
+),
+mso (dx, dy, tag) AS (VALUES {rows}),
+msg AS (
+  SELECT b.ix - o.dx AS ix, b.iy - o.dy AS iy, b.v, o.tag
+  FROM msb b, mso o
+),
+msa AS (
+  SELECT ix, iy, COUNT(*) AS nc, {maxes}
+  FROM msg GROUP BY ix, iy
+),
+msc AS (
+  SELECT *, {idx} AS case_idx,
+         {s1a} AS s1a, {s1b} AS s1b, {s2a} AS s2a, {s2b} AS s2b
+  FROM msa
+  WHERE nc = 4 AND {idx} > 0 AND {idx} < 15
+)
+{arm(1, 's1a', 's1b')}
+UNION ALL
+{arm(2, 's2a', 's2b')}
+"""

@@ -372,3 +372,43 @@ def test_lisa_isolated_cell(spark):
         assert r["quadrant"] == "isolated"
         assert r["local_i"] is None
         assert r["n_links"] == 0
+
+
+def test_contour_ring_around_single_peak(spark):
+    # lone peak (10) at node (1,1) in a 3x3 grid of zeros, iso-level 5:
+    # each of the 4 blocks cuts one segment; together a closed diamond
+    # with vertices at the 0.5-interpolated edge midpoints
+    cells = [(x, y, 10.0 if (x, y) == (1, 1) else 0.0)
+             for x in range(3) for y in range(3)]
+    segs = SP.contour_segments(_dem(spark, cells), threshold=5.0).collect()
+    assert len(segs) == 4
+    pts = set()
+    for r in segs:
+        pts.add((r["x1"], r["y1"]))
+        pts.add((r["x2"], r["y2"]))
+    assert pts == {(0.5, 1.0), (1.0, 0.5), (1.5, 1.0), (1.0, 1.5)}
+    # every diamond vertex is shared by exactly two segments (closed ring)
+    from collections import Counter
+    deg = Counter()
+    for r in segs:
+        deg[(r["x1"], r["y1"])] += 1
+        deg[(r["x2"], r["y2"])] += 1
+    assert all(v == 2 for v in deg.values())
+
+
+def test_contour_interpolation_is_linear(spark):
+    # ramp 0,15 across one block edge with T=5: crossing at 1/3
+    cells = [(0, 0, 0.0), (1, 0, 15.0), (0, 1, 0.0), (1, 1, 15.0)]
+    segs = SP.contour_segments(_dem(spark, cells), threshold=5.0).collect()
+    assert len(segs) == 1
+    r = segs[0]
+    # vertical iso-line at x = 1/3 crossing bottom and top edges
+    assert sorted([(r["x1"], r["y1"]), (r["x2"], r["y2"])]) == [
+        (pytest.approx(1.0 / 3.0, abs=1e-6), 0.0),
+        (pytest.approx(1.0 / 3.0, abs=1e-6), 1.0)]
+
+
+def test_contour_flat_raster_is_empty(spark):
+    cells = [(x, y, 1.0) for x in range(3) for y in range(3)]
+    assert SP.contour_segments(_dem(spark, cells),
+                               threshold=5.0).count() == 0
