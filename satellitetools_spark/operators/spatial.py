@@ -1539,8 +1539,11 @@ def local_morans_i(px: DataFrame, value_col: str = "elevation"
     neighbor) yield NULL lag/I.
     """
     v = F.col(value_col).cast("double")
-    stats = px.agg(F.count(v).alias("_n"), F.avg(v).alias("_mu"),
-                   F.avg(v * v).alias("_msq"))
+    # the 1-row moments frame feeds TWO broadcasts (z projection and the
+    # m2 re-join) — checkpoint it so the raster scans once for moments
+    stats = (px.agg(F.count(v).alias("_n"), F.avg(v).alias("_mu"),
+                    F.avg(v * v).alias("_msq"))
+             .localCheckpoint(eager=False))
     # only _z rides through the stencil pass (the stats columns would
     # collide with focal_conv's internal aliases); m2 re-joins after
     z = (px.crossJoin(F.broadcast(stats))
