@@ -1502,3 +1502,66 @@ SELECT {keys}, CAST(COUNT(v) AS BIGINT) AS n_obs,
        {outs}
 FROM acl GROUP BY {keys}
 """
+
+
+def interarrival_stats(df: DataFrame,
+                       key_cols: Sequence[str] = ("user_id",),
+                       time_col: str = "ts") -> DataFrame:
+    """Inter-arrival timing statistics per key — the behavioral
+    burstiness profile (bot vs human cadence, sensor regularity,
+    retry storms): per-key gaps between consecutive events, their
+    mean / std (moment form for engine parity) / coefficient of
+    variation, and the Goh-Barabási burstiness
+    ``B = (σ−μ)/(σ+μ)`` ∈ [−1, 1] (−1 periodic, 0 Poisson, →1 bursty).
+
+    Shape: ONE key window (single exchange + sort) for the lag, one
+    hash agg at key cardinality. Keys with <2 events drop (no gaps);
+    zero-mean guards yield NULL, never a divide error.
+    """
+    base = df.select(*key_cols, _epoch(F.col(time_col)).alias("t"))
+    w = Window.partitionBy(*key_cols).orderBy("t")
+    g = (base.withColumn("gap", F.col("t") - F.lag("t", 1).over(w))
+         .filter(F.col("gap").isNotNull()))
+    agg = g.groupBy(*key_cols).agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.avg("gap").alias("_m"),
+        F.avg(F.col("gap") * F.col("gap")).alias("_m2"))
+    std = F.sqrt(F.col("_m2") - F.col("_m") * F.col("_m"))
+    mean = F.col("_m")
+    return agg.select(
+        *key_cols, "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(std, 6).alias("std_gap_s"),
+        F.round(std / F.when(mean != 0, mean), 6).alias("cv"),
+        F.round((std - mean) / F.when((std + mean) != 0, std + mean), 6)
+        .alias("burstiness"))
+
+
+def interarrival_stats_sql(table: str,
+                           key_cols: Sequence[str] = ("user_id",),
+                           time_col: str = "ts") -> str:
+    """DuckDB oracle: identical window lag, moment-form std, and
+    NULLIF-guarded ratios."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH iab AS (
+  SELECT {keys}, epoch({time_col}) AS t FROM {table}
+),
+iag AS (
+  SELECT {keys},
+         t - LAG(t, 1) OVER (PARTITION BY {keys} ORDER BY t) AS gap
+  FROM iab
+),
+iaa AS (
+  SELECT {keys}, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         AVG(gap) AS m, AVG(gap * gap) AS m2
+  FROM iag WHERE gap IS NOT NULL GROUP BY {keys}
+)
+SELECT {keys}, n_gaps,
+       ROUND(m, 6) AS mean_gap_s,
+       ROUND(SQRT(m2 - m * m), 6) AS std_gap_s,
+       ROUND(SQRT(m2 - m * m) / NULLIF(m, 0), 6) AS cv,
+       ROUND((SQRT(m2 - m * m) - m) / NULLIF(SQRT(m2 - m * m) + m, 0), 6)
+         AS burstiness
+FROM iaa
+"""

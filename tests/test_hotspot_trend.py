@@ -412,3 +412,37 @@ def test_contour_flat_raster_is_empty(spark):
     cells = [(x, y, 1.0) for x in range(3) for y in range(3)]
     assert SP.contour_segments(_dem(spark, cells),
                                threshold=5.0).count() == 0
+
+
+def test_interarrival_periodic_vs_bursty(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # perfectly periodic user: gaps all 60 s -> std 0, B = -1
+    for i in range(10):
+        rows.append(("periodic", t0 + dt.timedelta(seconds=60 * i)))
+    # bursty user: 9 gaps of 1 s, one gap of 991 s
+    ts = 0
+    for i in range(11):
+        rows.append(("bursty", t0 + dt.timedelta(seconds=ts)))
+        ts += 1 if i != 4 else 991
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["user_id"]: r for r in TP.interarrival_stats(
+        df, key_cols=("user_id",)).collect()}
+    p = out["periodic"]
+    assert p["n_gaps"] == 9
+    assert p["mean_gap_s"] == pytest.approx(60.0)
+    assert p["std_gap_s"] == pytest.approx(0.0, abs=1e-6)
+    assert p["burstiness"] == pytest.approx(-1.0, abs=1e-6)
+    b = out["bursty"]
+    assert b["n_gaps"] == 10
+    assert b["cv"] > 2.0
+    # gaps 9x1s + 991s: mu=100, sigma~297 -> B = 197/397 ~ 0.496
+    assert b["burstiness"] == pytest.approx(0.496222, abs=1e-4)
+
+
+def test_interarrival_single_event_user_drops(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("solo", dt.datetime(2024, 1, 1))], "user_id string, ts timestamp")
+    assert TP.interarrival_stats(df).count() == 0
