@@ -1565,3 +1565,47 @@ SELECT {keys}, n_gaps,
          AS burstiness
 FROM iaa
 """
+
+
+def event_entropy(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
+                  type_col: str = "event_type") -> DataFrame:
+    """Behavioral diversity per key: Shannon entropy of the event-type
+    distribution (nats), the distinct-type count, and the top type's
+    share — the bot/monoculture detector that pairs with
+    :func:`interarrival_stats` (cadence) for an activity profile.
+
+    Shape: one hash agg at (key × type) cardinality, one at key
+    cardinality — both map-side combinable; entropy is a codegen fold
+    over per-type counts. Single-type keys get H = 0 exactly (p·ln p
+    with p = 1), never a guard artifact.
+    """
+    kt = (df.groupBy(*key_cols, type_col)
+          .agg(F.count("*").cast("double").alias("c")))
+    tot = F.sum("c")
+    p = F.col("c") / tot
+    return (kt.groupBy(*key_cols)
+            .agg(F.sum("c").cast("long").alias("n_events"),
+                 F.count("*").cast("int").alias("n_types"),
+                 F.round(-F.sum(F.col("c") * F.log(F.col("c")))
+                         / tot + F.log(tot), 6).alias("entropy_nats"),
+                 F.round(F.max("c") / tot, 6).alias("top_share")))
+
+
+def event_entropy_sql(table: str, key_cols: Sequence[str] = ("user_id",),
+                      type_col: str = "event_type") -> str:
+    """DuckDB oracle: identical two-level agg and the same algebraic
+    entropy form ``ln N − Σ c·ln c / N`` (one pass over type counts,
+    no per-row p recompute — the exact expression Spark evaluates)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH eet AS (
+  SELECT {keys}, {type_col}, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table} GROUP BY {keys}, {type_col}
+)
+SELECT {keys},
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS INT) AS n_types,
+       ROUND(-SUM(c * LN(c)) / SUM(c) + LN(SUM(c)), 6) AS entropy_nats,
+       ROUND(MAX(c) / SUM(c), 6) AS top_share
+FROM eet GROUP BY {keys}
+"""

@@ -446,3 +446,21 @@ def test_interarrival_single_event_user_drops(spark):
     df = spark.createDataFrame(
         [("solo", dt.datetime(2024, 1, 1))], "user_id string, ts timestamp")
     assert TP.interarrival_stats(df).count() == 0
+
+
+def test_event_entropy_uniform_and_monoculture(spark):
+    rows = ([("uni", t) for t in ("a", "b", "c", "d")] * 5
+            + [("mono", "a")] * 8
+            + [("skew", "a")] * 9 + [("skew", "b")])
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    out = {r["user_id"]: r for r in TP.event_entropy(
+        df, key_cols=("user_id",)).collect()}
+    assert out["uni"]["entropy_nats"] == pytest.approx(math.log(4),
+                                                       abs=1e-6)
+    assert out["uni"]["top_share"] == pytest.approx(0.25)
+    assert out["mono"]["entropy_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert out["mono"]["n_types"] == 1
+    assert out["mono"]["top_share"] == pytest.approx(1.0)
+    h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert out["skew"]["entropy_nats"] == pytest.approx(h, abs=1e-6)
+    assert out["skew"]["top_share"] == pytest.approx(0.9)
