@@ -1751,3 +1751,202 @@ msc AS (
 UNION ALL
 {arm(2, 's2a', 's2b')}
 """
+
+
+_NEIGH8 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+           if (dx, dy) != (0, 0)]
+
+
+def terrain_indices(dem: DataFrame, value_col: str = "elevation"
+                    ) -> DataFrame:
+    """Terrain position / ruggedness indices per DEM cell — the
+    morphometry trio every terrain stack derives right after slope:
+    TPI = v − mean(8 neighbors) (ridge + / valley −), TRI = mean
+    |v − neighbor| (Riley's ruggedness, Wilson's mean-absolute form),
+    and roughness = max − min over the full 3×3 window. Edge cells use
+    the neighbors that exist (``n_neighbors`` says how many).
+
+    Shape: the same constant-8× sender explode + ONE co-partitioned
+    grid equi-join as :func:`variogram`/:func:`flow_direction`, then a
+    hash agg back at cell cardinality — never a self-join over the
+    raster, no window over cell order. At 10¹² cells: 8×cells rows
+    through one equi-join, all map-side combinable.
+    """
+    base = dem.select(
+        F.pmod(F.col("cell"), F.lit(2 ** 32)).cast("long").alias("ix"),
+        F.floor(F.col("cell") / F.lit(2 ** 32)).cast("long").alias("iy"),
+        F.col(value_col).cast("double").alias("v"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _NEIGH8])).alias("_o")
+    # each cell SENDS its value to the 8 surrounding cells; the
+    # receiver aggregates what arrives
+    sent = (base.select("ix", "iy", F.col("v").alias("vs"), off)
+            .select((F.col("ix") + F.col("_o.dx")).alias("ix"),
+                    (F.col("iy") + F.col("_o.dy")).alias("iy"), "vs"))
+    cj = (sent.join(base, ["ix", "iy"])
+          .groupBy("ix", "iy")
+          .agg(F.count("*").cast("int").alias("n_neighbors"),
+               F.avg("vs").alias("nb_mean"),
+               F.max("vs").alias("nb_max"), F.min("vs").alias("nb_min"),
+               F.avg(F.abs(F.col("v") - F.col("vs"))).alias("tri"),
+               F.first("v").alias("v")))
+    return cj.select(
+        (F.col("iy") * F.lit(2 ** 32) + F.col("ix")).alias("cell"),
+        F.round("v", 6).alias("elevation"),
+        "n_neighbors",
+        F.round(F.col("v") - F.col("nb_mean"), 6).alias("tpi"),
+        F.round("tri", 6).alias("tri"),
+        F.round(F.greatest("nb_max", "v") - F.least("nb_min", "v"), 6)
+        .alias("roughness"))
+
+
+def terrain_indices_sql(dem_path: str, value_col: str = "elevation"
+                        ) -> str:
+    """DuckDB oracle: identical decode, 8-neighbor send, and per-cell
+    reductions."""
+    rows = ", ".join(f"({dx}, {dy})" for dx, dy in _NEIGH8)
+    return f"""
+WITH tib AS (
+  SELECT CAST(cell % 4294967296 AS BIGINT) AS ix,
+         CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM read_parquet('{dem_path}')
+),
+tio (dx, dy) AS (VALUES {rows}),
+tis AS (
+  SELECT ix + dx AS ix, iy + dy AS iy, v AS vs
+  FROM tib, tio
+),
+tij AS (
+  SELECT b.ix, b.iy, b.v, s.vs
+  FROM tis s JOIN tib b ON s.ix = b.ix AND s.iy = b.iy
+)
+SELECT CAST(iy * 4294967296 + ix AS BIGINT) AS cell,
+       ROUND(ANY_VALUE(v), 6) AS elevation,
+       CAST(COUNT(*) AS INT) AS n_neighbors,
+       ROUND(ANY_VALUE(v) - AVG(vs), 6) AS tpi,
+       ROUND(AVG(ABS(v - vs)), 6) AS tri,
+       ROUND(GREATEST(MAX(vs), ANY_VALUE(v))
+             - LEAST(MIN(vs), ANY_VALUE(v)), 6) AS roughness
+FROM tij GROUP BY ix, iy
+"""
+
+
+def ripley_k(points: DataFrame, key_cols: Tuple[str, ...] = ("doc_id",),
+             x_col: str = "x", y_col: str = "y",
+             radii: Tuple[float, ...] = (30.0, 60.0, 90.0),
+             gsd: float = 20.0) -> DataFrame:
+    """Ripley's K point-pattern statistic per key — the
+    clustered-vs-dispersed test for spatial point sets (are the
+    high-NDVI pixels / fire detections / settlements clumped beyond
+    chance?): ``K̂(r) = A·2·pairs(≤r) / (n(n−1))`` with the variance-
+    stabilized ``L(r) = √(K/π)`` (L ≈ r under complete spatial
+    randomness, L > r clustered, L < r dispersed). No edge correction
+    (naive estimator); A is the bounding-box window padded by one
+    ``gsd`` so a single pixel has area gsd².
+
+    Shape: NEVER an all-pairs join — each point probes a 3×3 block of
+    ``max(radii)``-sized buckets (constant 9× fan-out), candidates meet
+    in ONE (key, bucket) equi-join, the lexicographic (x, y) order
+    counts every unordered pair once, and all radii reduce in a single
+    hash agg at key cardinality. At 10¹² points candidate volume is
+    bounded by local density × 9 buckets, not n².
+    """
+    rmax = float(max(radii))
+    base = points.select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col) / rmax).cast("long").alias("bx"),
+        F.floor(F.col(y_col) / rmax).cast("long").alias("by"))
+    base = base.localCheckpoint(eager=False)
+    stats = base.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_points"),
+        ((F.max("x") - F.min("x") + gsd)
+         * (F.max("y") - F.min("y") + gsd)).alias("area"))
+    probe = (base.select(
+        *key_cols, F.col("x").alias("ax"), F.col("y").alias("ay"),
+        "bx", "by",
+        F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                     F.lit(dy).alias("dy"))
+                            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+        .alias("_o"))
+        .select(*key_cols, "ax", "ay",
+                (F.col("bx") + F.col("_o.dx")).alias("bx"),
+                (F.col("by") + F.col("_o.dy")).alias("by")))
+    cand = (probe.join(base, [*key_cols, "bx", "by"])
+            .filter((F.col("ax") < F.col("x"))
+                    | ((F.col("ax") == F.col("x"))
+                       & (F.col("ay") < F.col("y"))))
+            .withColumn("d2", (F.col("x") - F.col("ax")) ** 2
+                        + (F.col("y") - F.col("ay")) ** 2)
+            .filter(F.col("d2") <= rmax * rmax))
+    paggs = [F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0))
+             .cast("long").alias(f"_p{i}") for i, r in enumerate(radii)]
+    pairs = cand.groupBy(*key_cols).agg(*paggs)
+    out = stats.join(pairs, on=list(key_cols), how="left")
+    cols = [*key_cols, F.col("n_points"),
+            F.round("area", 6).alias("area")]
+    for i, r in enumerate(radii):
+        p = F.coalesce(F.col(f"_p{i}"), F.lit(0))
+        nn = F.col("n_points") * (F.col("n_points") - 1)
+        k = F.col("area") * 2.0 * p / F.when(nn != 0, nn.cast("double"))
+        tag = str(int(r)) if float(r).is_integer() else str(r).replace(".", "_")
+        cols.append(p.cast("long").alias(f"pairs_{tag}"))
+        cols.append(F.round(k, 6).alias(f"k_{tag}"))
+        cols.append(F.round(F.sqrt(k / math.pi), 6).alias(f"l_{tag}"))
+    return out.select(*cols)
+
+
+def ripley_k_sql(points_sql: str, key_cols: Tuple[str, ...] = ("doc_id",),
+                 x_col: str = "x", y_col: str = "y",
+                 radii: Tuple[float, ...] = (30.0, 60.0, 90.0),
+                 gsd: float = 20.0) -> str:
+    """DuckDB oracle: brute-force per-key self-join (an INDEPENDENT
+    algorithm — no buckets, so it also pins the bucketing's
+    completeness), identical lexicographic dedup and reductions."""
+    rmax = float(max(radii))
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    outs = []
+    for r in radii:
+        tag = str(int(r)) if float(r).is_integer() else str(r).replace(".", "_")
+        outs.append(
+            f"CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r!r} THEN 1 END), 0)"
+            f" AS BIGINT) AS pairs_{tag},\n"
+            f"       ROUND(ANY_VALUE(area) * 2.0 *"
+            f" COALESCE(SUM(CASE WHEN d2 <= {r * r!r} THEN 1 END), 0)"
+            f" / NULLIF(ANY_VALUE(n_points) * (ANY_VALUE(n_points) - 1),"
+            f" 0), 6) AS k_{tag},\n"
+            f"       ROUND(SQRT(ANY_VALUE(area) * 2.0 *"
+            f" COALESCE(SUM(CASE WHEN d2 <= {r * r!r} THEN 1 END), 0)"
+            f" / NULLIF(ANY_VALUE(n_points) * (ANY_VALUE(n_points) - 1),"
+            f" 0) / PI()), 6) AS l_{tag}")
+    outs_sql = ",\n       ".join(outs)
+    return f"""
+WITH rksrc AS ({points_sql}),
+rkb AS (
+  SELECT {keys}, CAST({x_col} AS DOUBLE) AS x,
+         CAST({y_col} AS DOUBLE) AS y
+  FROM rksrc
+),
+rks AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_points,
+         (MAX(x) - MIN(x) + {gsd!r}) * (MAX(y) - MIN(y) + {gsd!r}) AS area
+  FROM rkb GROUP BY {keys}
+),
+rkp AS (
+  SELECT a.{key_cols[0]} AS _k0{"".join(f", a.{k} AS _k{i}" for i, k in enumerate(key_cols) if i > 0)},
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM rkb a JOIN rkb b ON {on}
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+         <= {rmax * rmax!r}
+)
+SELECT s.{key_cols[0]}{"".join(f", s.{k}" for k in key_cols[1:])}, s.n_points,
+       ROUND(ANY_VALUE(s.area), 6) AS area,
+       {outs_sql}
+FROM rks s LEFT JOIN rkp p ON {" AND ".join(f"s.{k} = p._k{i}" for i, k in enumerate(key_cols))}
+GROUP BY s.{key_cols[0]}{"".join(f", s.{k}" for k in key_cols[1:])}, s.n_points
+"""

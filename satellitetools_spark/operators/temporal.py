@@ -1609,3 +1609,341 @@ SELECT {keys},
        ROUND(MAX(c) / SUM(c), 6) AS top_share
 FROM eet GROUP BY {keys}
 """
+
+
+# Pettitt's p-value approximation, shared verbatim by both engines:
+# p ≈ 2·exp(−6K² / (n³ + n²)), capped at 1 for tiny K.
+_PETTITT_P = ("LEAST(1.0, 2.0 * EXP(-6.0 * k_stat * k_stat"
+              " / (n * n * n + n * n)))")
+
+
+def pettitt(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
+            time_col: str = "ts", value_col: str = "value"
+            ) -> DataFrame:
+    """Pettitt's nonparametric change-point test per key — the standard
+    homogeneity break detector for environmental series (did this
+    sensor/field/user shift regime, and when?): locates the single most
+    likely break as the argmax of ``|U_t|`` where
+    ``U_t = Σ_{i≤t} Σ_{j>t} sign(v_j − v_i)``, with the classic
+    significance approximation ``p ≈ 2·exp(−6K²/(n³+n²))``, K = max|U|.
+
+    Instead of materializing U_t's O(n²)-per-candidate double sum, the
+    recursion ``U_t = Σ_{s≤t} W_s`` with ``W_s = Σ_{j≠s} sign(v_j − v_s)``
+    (telescoping the two index windows) reduces it to ONE pair
+    enumeration + a per-key running sum. Shape: the pair join is
+    key-co-partitioned (quadratic per SERIES length only, map-side
+    combined to one W row per observation), then one key window for the
+    prefix sum and two key-cardinality aggs (K, then earliest argmax —
+    |U| is an integer so the equality join is exact). Requires unique
+    ``time_col`` per key (true for event streams and daily composites).
+    """
+    base = df.select(*key_cols, _epoch(F.col(time_col)).alias("t"),
+                     F.col(value_col).cast("double").alias("v"))
+    base = base.localCheckpoint(eager=False)
+    a = base.select(*key_cols, F.col("t").alias("ta"),
+                    F.col("v").alias("va"))
+    b = base.select(*key_cols, F.col("t").alias("tb"),
+                    F.col("v").alias("vb"))
+    w_s = (a.join(b, on=list(key_cols))
+           .filter(F.col("ta") != F.col("tb"))
+           .groupBy(*key_cols, "ta")
+           .agg(F.expr("SUM(SIGN(vb - va))").alias("w")))
+    win = Window.partitionBy(*key_cols).orderBy("ta")
+    u = w_s.withColumn("u", F.sum("w").over(win)) \
+           .withColumn("abs_u", F.abs(F.col("u")))
+    # W_s exists for every observation (any key with >=2 rows), so the
+    # W row count IS n; the prefix sum U_n over the full key is 0 by
+    # antisymmetry, so the argmax always lands strictly before the end.
+    kagg = u.groupBy(*key_cols).agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.max("abs_u").alias("k_stat"))
+    out = (u.join(kagg, on=list(key_cols))
+           .filter(F.col("abs_u") == F.col("k_stat"))
+           .groupBy(*key_cols)
+           .agg(F.first("n").alias("n"),
+                F.first("k_stat").alias("k_stat"),
+                F.min("ta").alias("t_break")))
+    return out.select(
+        *key_cols,
+        F.expr("CAST(n AS BIGINT)").alias("n_obs"),
+        F.expr("CAST(k_stat AS BIGINT)").alias("k_stat"),
+        F.col("t_break"),
+        F.expr(f"ROUND({_PETTITT_P}, 6)").alias("p_value"))
+
+
+def pettitt_sql(table: str, key_cols: Sequence[str] = ("user_id",),
+                time_col: str = "ts", value_col: str = "value") -> str:
+    """DuckDB oracle: identical pair enumeration, telescoped running
+    sum, and the shared p-value expression string."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+WITH ptb AS (
+  SELECT {keys}, epoch({time_col}) AS t,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+ptw AS (
+  SELECT {akeys}, a.t AS ta, SUM(SIGN(b.v - a.v)) AS w
+  FROM ptb a JOIN ptb b ON {on} AND a.t <> b.t
+  GROUP BY {agg_keys}, a.t
+),
+ptu AS (
+  SELECT {keys}, ta,
+         ABS(SUM(w) OVER (PARTITION BY {keys} ORDER BY ta)) AS abs_u
+  FROM ptw
+),
+ptk AS (
+  SELECT {keys}, CAST(COUNT(*) AS DOUBLE) AS n,
+         MAX(abs_u) AS k_stat
+  FROM ptu GROUP BY {keys}
+)
+SELECT {keys},
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(k_stat AS BIGINT) AS k_stat,
+       MIN(ta) AS t_break,
+       ROUND({_PETTITT_P}, 6) AS p_value
+FROM ptu JOIN ptk USING ({keys})
+WHERE abs_u = k_stat
+GROUP BY {keys}, n, k_stat
+"""
+
+
+def seasonal_decompose(df: DataFrame,
+                       key_cols: Sequence[str] = ("event_type",),
+                       time_col: str = "day", value_col: str = "v",
+                       period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition per key
+    (``v = trend + seasonal + resid``) — the moving-average STL
+    precursor that splits a regular daily series into a centered-MA
+    trend, a phase-mean seasonal profile, and the residual that anomaly
+    detectors should score instead of the raw value.
+
+    ``period`` must be odd (the centered MA is symmetric); the phase is
+    the calendar position ``datediff(day, epoch) mod period`` — a pure
+    function of the date, not of row order, so both engines and any
+    partitioning agree. Trend is NULL at the series edges (incomplete
+    window), seasonal means average the detrended rows per (key, phase)
+    and are re-centered to sum to zero per key.
+
+    Shape: ONE key window (count + avg share the frame/exchange), one
+    hash agg at key × period cardinality, one window over that tiny
+    table for the centering mean, one broadcastable join back. No
+    row-cardinality shuffle beyond the single window sort.
+    """
+    if period % 2 != 1:
+        raise ValueError("period must be odd for a centered MA")
+    h = (period - 1) // 2
+    base = df.select(
+        *key_cols, F.col(time_col).cast("date").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+        F.expr(f"pmod(datediff(CAST({time_col} AS DATE),"
+               f" DATE '1970-01-01'), {period})").alias("phase"))
+    w = (Window.partitionBy(*key_cols).orderBy("t")
+         .rowsBetween(-h, h))
+    trended = base.withColumn(
+        "trend",
+        F.when(F.count("v").over(w) == period, F.avg("v").over(w)))
+    trended = trended.localCheckpoint(eager=False)
+    ph = (trended.groupBy(*key_cols, "phase")
+          .agg(F.avg(F.col("v") - F.col("trend")).alias("sbar")))
+    ph = ph.withColumn(
+        "seasonal",
+        F.col("sbar") - F.avg("sbar").over(Window.partitionBy(*key_cols)))
+    out = trended.join(F.broadcast(ph.select(*key_cols, "phase",
+                                             "seasonal")),
+                       on=[*key_cols, "phase"], how="left")
+    # the date goes out as an ISO string: pandas/Arrow render Spark DATE
+    # as `date` objects but DuckDB DATE as datetime64, so a raw date
+    # column would string-hash differently in the driver's canonicalizer
+    return out.select(
+        *key_cols, F.date_format("t", "yyyy-MM-dd").alias("day"),
+        F.round("v", 6).alias("v"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6)
+        .alias("resid"))
+
+
+def seasonal_decompose_sql(series_sql: str,
+                           key_cols: Sequence[str] = ("event_type",),
+                           time_col: str = "day", value_col: str = "v",
+                           period: int = 7) -> str:
+    """DuckDB oracle: identical centered-MA frame, phase means, zero-sum
+    centering, and join-back."""
+    h = (period - 1) // 2
+    keys = ", ".join(key_cols)
+    return f"""
+WITH sdsrc AS ({series_sql}),
+sdb AS (
+  SELECT {keys}, CAST({time_col} AS DATE) AS t,
+         CAST({value_col} AS DOUBLE) AS v,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST({time_col} AS DATE)) % {period} AS BIGINT)
+           AS phase
+  FROM sdsrc
+),
+sdt AS (
+  SELECT *,
+         CASE WHEN COUNT(v) OVER frm = {period}
+              THEN AVG(v) OVER frm END AS trend
+  FROM sdb
+  WINDOW frm AS (PARTITION BY {keys} ORDER BY t
+                 ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+),
+sdp AS (
+  SELECT {keys}, phase, AVG(v - trend) AS sbar
+  FROM sdt GROUP BY {keys}, phase
+),
+sdc AS (
+  SELECT {keys}, phase,
+         sbar - AVG(sbar) OVER (PARTITION BY {keys}) AS seasonal
+  FROM sdp
+)
+SELECT {keys}, strftime(t, '%Y-%m-%d') AS day,
+       ROUND(v, 6) AS v,
+       ROUND(trend, 6) AS trend,
+       ROUND(seasonal, 6) AS seasonal,
+       ROUND(v - trend - seasonal, 6) AS resid
+FROM sdt LEFT JOIN sdc USING ({keys}, phase)
+"""
+
+
+def ccf(df: DataFrame, key_cols: Sequence[str] = ("k",),
+        time_col: str = "t", a_col: str = "va", b_col: str = "vb",
+        max_lag: int = 3) -> DataFrame:
+    """Sample cross-correlation function between two aligned series per
+    key at lags −L..L — the lead/lag detector (do purchases follow
+    clicks, does soil moisture lag rainfall, and by how much?):
+    ``r_k = Σₜ(aₜ−ā)(bₜ₋ₖ−b̄) / √(Σ(a−ā)²·Σ(b−b̄)²)`` — positive k
+    means *b leads a* by k steps.
+
+    Shape: one mean/variance agg broadcast back, every lag AND lead
+    column from a single key window (one exchange + sort), one final
+    hash agg at key cardinality. Edge rows where the shifted b does not
+    exist drop out of each numerator by NULL propagation.
+    """
+    base = df.select(*key_cols, F.col(time_col).alias("t"),
+                     F.col(a_col).cast("double").alias("a"),
+                     F.col(b_col).cast("double").alias("b"))
+    mu = base.groupBy(*key_cols).agg(F.avg("a").alias("ma"),
+                                     F.avg("b").alias("mb"))
+    j = base.join(F.broadcast(mu), on=list(key_cols))
+    w = Window.partitionBy(*key_cols).orderBy("t")
+    cols = {}
+    for k in range(1, max_lag + 1):
+        j = j.withColumn(f"_bl{k}", F.lag("b", k).over(w))
+        j = j.withColumn(f"_bf{k}", F.lead("b", k).over(w))
+        cols[k] = f"_bl{k}"
+        cols[-k] = f"_bf{k}"
+    za = F.col("a") - F.col("ma")
+    den = F.sqrt(F.sum(za * za)
+                 * F.sum((F.col("b") - F.col("mb")) ** 2))
+    aggs = [F.count("a").cast("long").alias("n_obs")]
+    for k in range(-max_lag, max_lag + 1):
+        shifted = F.col("b") if k == 0 else F.col(cols[k])
+        num = F.sum(za * (shifted - F.col("mb")))
+        name = f"ccf_{k}" if k >= 0 else f"ccf_m{-k}"
+        aggs.append(F.round(num / F.when(den != 0, den), 6).alias(name))
+    return j.groupBy(*key_cols).agg(*aggs)
+
+
+def ccf_sql(series_sql: str, key_cols: Sequence[str] = ("k",),
+            time_col: str = "t", a_col: str = "va", b_col: str = "vb",
+            max_lag: int = 3) -> str:
+    """DuckDB oracle: identical mean join, shared window shifts, and
+    per-lag reductions over the same denominator."""
+    keys = ", ".join(key_cols)
+    shifts = []
+    outs = []
+    den = ("SQRT(SUM((a - ma) * (a - ma))"
+           " * SUM((b - mb) * (b - mb)))")
+    for k in range(-max_lag, max_lag + 1):
+        if k == 0:
+            expr = "b"
+        elif k > 0:
+            expr = f"bl{k}"
+            shifts.append(f"LAG(b, {k}) OVER win AS bl{k}")
+        else:
+            expr = f"bf{-k}"
+            shifts.append(f"LEAD(b, {-k}) OVER win AS bf{-k}")
+        name = f"ccf_{k}" if k >= 0 else f"ccf_m{-k}"
+        outs.append(f"ROUND(SUM((a - ma) * ({expr} - mb))"
+                    f" / NULLIF({den}, 0), 6) AS {name}")
+    shifts_sql = ",\n         ".join(shifts)
+    outs_sql = ",\n       ".join(outs)
+    return f"""
+WITH ccsrc AS ({series_sql}),
+ccb AS (
+  SELECT {keys}, {time_col} AS t, CAST({a_col} AS DOUBLE) AS a,
+         CAST({b_col} AS DOUBLE) AS b
+  FROM ccsrc
+),
+ccm AS (SELECT {keys}, AVG(a) AS ma, AVG(b) AS mb
+        FROM ccb GROUP BY {keys}),
+ccl AS (
+  SELECT b0.*, m.ma, m.mb,
+         {shifts_sql}
+  FROM ccb b0 JOIN ccm m USING ({keys})
+  WINDOW win AS (PARTITION BY {keys} ORDER BY t)
+)
+SELECT {keys}, CAST(COUNT(a) AS BIGINT) AS n_obs,
+       {outs_sql}
+FROM ccl GROUP BY {keys}
+"""
+
+
+def event_trigrams(events: DataFrame, key: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   top_k: int = 10) -> DataFrame:
+    """Top event-type trigrams across all journeys — third-order path
+    mining (which 3-step behavior sequences dominate: view>click>buy vs
+    error>error>error retry storms). Complements
+    :func:`transition_counts` (first-order) with enough context to see
+    funnels and loops.
+
+    Shape: ONE key window (two lag columns share the exchange + sort),
+    a hash agg at distinct-trigram cardinality (≤ |types|³ — tiny),
+    and a top-k rank over that aggregated table only. Deterministic
+    tie-break: count DESC then trigram ASC.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    tri = (events
+           .withColumn("_t1", F.lag(type_col, 2).over(w))
+           .withColumn("_t2", F.lag(type_col, 1).over(w))
+           .filter(F.col("_t1").isNotNull())
+           .select(F.concat_ws(">", "_t1", "_t2", type_col)
+                   .alias("trigram")))
+    agg = tri.groupBy("trigram").agg(F.count("*").cast("long").alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), F.col("trigram"))
+    return (agg.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= top_k)
+            .select("trigram", "n", F.col("rank").cast("int").alias("rank")))
+
+
+def event_trigrams_sql(table: str, key: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       top_k: int = 10) -> str:
+    """DuckDB oracle: identical lags, concat, count, and tie order."""
+    return f"""
+WITH trw AS (
+  SELECT LAG({type_col}, 2) OVER w AS t1,
+         LAG({type_col}, 1) OVER w AS t2,
+         {type_col} AS t3
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col})
+),
+trg AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM trw WHERE t1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT trigram, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS INT) AS rank
+FROM trg
+QUALIFY rank <= {top_k}
+ORDER BY rank
+"""

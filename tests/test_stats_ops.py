@@ -1,0 +1,260 @@
+"""Round-3d operators: Pettitt change-point, classical seasonal
+decomposition, cross-correlation, event trigrams, terrain indices
+(TPI/TRI/roughness), Ripley's K, Benford audit, Spearman correlation.
+
+Each test checks SEMANTICS against a planted ground truth — oracle-twin
+equality is the gate's job (scripts/check_correctness.py)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from satellitetools_spark.operators import checks as CHK
+from satellitetools_spark.operators import spatial as SP
+from satellitetools_spark.operators import temporal as TP
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# ---------------------------------------------------------------- Pettitt
+
+def test_pettitt_clean_step_break(spark):
+    # 10 low values then 10 high values: U_t = t * (n - t) maximizes at
+    # the last low index -> K = 10 * 10 = 100, break at t_10
+    rows = [(1, f"2024-01-{d:02d} 00:00:00", 1.0 if d <= 10 else 5.0)
+            for d in range(1, 21)]
+    out = TP.pettitt(_events(spark, rows)).collect()[0]
+    assert out["n_obs"] == 20
+    assert out["k_stat"] == 100
+    # t_break is the epoch of 2024-01-10 (last pre-break observation)
+    import datetime as dt
+    want = dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc).timestamp()
+    assert out["t_break"] == pytest.approx(want)
+    p = min(1.0, 2.0 * math.exp(-6.0 * 100 * 100 / (20.0 ** 3 + 400)))
+    assert out["p_value"] == pytest.approx(p, abs=1e-6)
+
+
+def test_pettitt_constant_series_no_signal(spark):
+    rows = [(1, f"2024-01-{d:02d} 00:00:00", 3.0) for d in range(1, 11)]
+    out = TP.pettitt(_events(spark, rows)).collect()[0]
+    assert out["k_stat"] == 0
+    assert out["p_value"] == 1.0
+    # argmax of all-zero |U| tie-breaks to the EARLIEST time
+    import datetime as dt
+    want = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert out["t_break"] == pytest.approx(want)
+
+
+def test_pettitt_singleton_key_drops(spark):
+    rows = [(1, "2024-01-01 00:00:00", 1.0),
+            (2, "2024-01-01 00:00:00", 1.0),
+            (2, "2024-01-02 00:00:00", 2.0)]
+    out = TP.pettitt(_events(spark, rows)).collect()
+    assert sorted(r["user_id"] for r in out) == [2]
+
+
+# ----------------------------------------------------- seasonal decompose
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    # v = 10 + 0.5*day_index + s[dow] with s summing to 0 over the
+    # period: the centered 7-point MA of (linear + zero-mean periodic)
+    # is the linear part EXACTLY, so trend/seasonal/resid all recover
+    s = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0]  # sums to 0
+    rows = []
+    import datetime as dt
+    for i in range(21):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        rows.append(("a", day.isoformat(), 10.0 + 0.5 * i + s[i % 7]))
+    df = spark.createDataFrame(rows, "event_type string, day string, v double")
+    out = {r["day"]: r for r in
+           TP.seasonal_decompose(df, key_cols=("event_type",)).collect()}
+    assert len(out) == 21
+    # edges: first/last 3 rows have no full window -> NULL trend
+    for d in ["2024-01-01", "2024-01-02", "2024-01-03",
+              "2024-01-19", "2024-01-20", "2024-01-21"]:
+        assert out[d]["trend"] is None
+    # interior: trend = linear part, seasonal = planted s, resid = 0
+    # phase anchors to datediff-from-epoch mod 7, so recover s by date
+    for i in range(3, 18):
+        day = (dt.date(2024, 1, 1) + dt.timedelta(days=i)).isoformat()
+        r = out[day]
+        assert r["trend"] == pytest.approx(10.0 + 0.5 * i, abs=1e-6)
+        assert r["seasonal"] == pytest.approx(s[i % 7], abs=1e-6)
+        assert r["resid"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    df = spark.createDataFrame([("a", "2024-01-01", 1.0)],
+                               "event_type string, day string, v double")
+    with pytest.raises(ValueError):
+        TP.seasonal_decompose(df, period=4)
+
+
+# -------------------------------------------------------------------- CCF
+
+def test_ccf_detects_planted_lag(spark):
+    # b is a copy of a delayed by 2 steps (b_t = a_{t-2}): the match is
+    # at NEGATIVE k (r_k pairs a_t with b_{t-k}; b_{t+2} = a_t)
+    import datetime as dt
+    a = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 1.0, 7.0, 4.0, 6.0,
+         2.0, 8.0, 5.0, 3.0, 9.0, 2.0]
+    rows = []
+    for t in range(2, len(a)):
+        ts = (dt.datetime(2024, 1, 1) + dt.timedelta(hours=t)).isoformat(" ")
+        rows.append(("all", ts, a[t], a[t - 2]))
+    df = (spark.createDataFrame(rows, "k string, t string, va double, vb double")
+          .withColumn("t", F.col("t").cast("timestamp")))
+    out = TP.ccf(df, key_cols=("k",)).collect()[0]
+    # at k=-2 the aligned pairs are (a_t, a_t) on the overlap — strong
+    # positive and the max across lags; exactly 1.0 only if the overlap
+    # means/vars match the full-series ones, so assert dominance
+    vals = {k: out[f"ccf_m{-k}" if k < 0 else f"ccf_{k}"]
+            for k in range(-3, 4)}
+    assert vals[-2] > 0.7
+    assert vals[-2] == max(v for v in vals.values() if v is not None)
+
+
+# --------------------------------------------------------------- trigrams
+
+def test_event_trigrams_counts_and_ties(spark):
+    rows = [
+        # user 1: A B C D -> ABC, BCD
+        (1, "2024-01-01 00:00:01", "A"), (1, "2024-01-01 00:00:02", "B"),
+        (1, "2024-01-01 00:00:03", "C"), (1, "2024-01-01 00:00:04", "D"),
+        # user 2: A B C -> ABC  (no cross-user window leakage)
+        (2, "2024-01-01 00:00:01", "A"), (2, "2024-01-01 00:00:02", "B"),
+        (2, "2024-01-01 00:00:03", "C"),
+        # user 3: too short for any trigram
+        (3, "2024-01-01 00:00:01", "Z"), (3, "2024-01-01 00:00:02", "Z"),
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = TP.event_trigrams(df, top_k=10).collect()
+    got = {r["trigram"]: (r["n"], r["rank"]) for r in out}
+    assert got == {"A>B>C": (2, 1), "B>C>D": (1, 2)}
+
+
+# --------------------------------------------------------------- terrain
+
+def _dem(spark, cells):
+    rows = [(iy * 2 ** 32 + ix, float(v)) for ix, iy, v in cells]
+    return spark.createDataFrame(rows, "cell long, elevation double")
+
+
+def test_terrain_indices_flat_plane_is_zero(spark):
+    cells = [(x, y, 7.0) for x in range(4) for y in range(4)]
+    for r in SP.terrain_indices(_dem(spark, cells)).collect():
+        assert r["tpi"] == 0.0
+        assert r["tri"] == 0.0
+        assert r["roughness"] == 0.0
+
+
+def test_terrain_indices_lone_peak(spark):
+    # 3x3 flat 0 with center 9: center tpi = 9 - 0 = 9, tri = 9,
+    # roughness = 9; corners see the peak among 3 neighbors
+    cells = [(x, y, 9.0 if (x, y) == (1, 1) else 0.0)
+             for x in range(3) for y in range(3)]
+    out = {(int(r["cell"] % 2 ** 32), int(r["cell"] // 2 ** 32)): r
+           for r in SP.terrain_indices(_dem(spark, cells)).collect()}
+    c = out[(1, 1)]
+    assert c["n_neighbors"] == 8
+    assert c["tpi"] == 9.0 and c["tri"] == 9.0 and c["roughness"] == 9.0
+    corner = out[(0, 0)]
+    assert corner["n_neighbors"] == 3
+    assert corner["tpi"] == pytest.approx(-3.0)  # 0 - mean(0,0,9)
+    assert corner["tri"] == pytest.approx(3.0)
+    assert corner["roughness"] == 9.0
+    edge = out[(1, 0)]  # sees the peak among 5 neighbors
+    assert edge["n_neighbors"] == 5
+    assert edge["tpi"] == pytest.approx(-9.0 / 5)
+
+
+# --------------------------------------------------------------- Ripley K
+
+def test_ripley_k_cluster_vs_sparse(spark):
+    # key "c": 3 points within 10 m + 1 far point; radii (30, 60, 90)
+    # catch (3 pairs, 3 pairs, all 6 pairs)
+    pts = [("c", 0.0, 0.0), ("c", 10.0, 0.0), ("c", 0.0, 10.0),
+           ("c", 80.0, 0.0)]
+    df = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    out = SP.ripley_k(df).collect()[0]
+    assert out["n_points"] == 4
+    area = (80.0 + 20.0) * (10.0 + 20.0)
+    assert out["area"] == pytest.approx(area)
+    assert out["pairs_30"] == 3
+    assert out["pairs_60"] == 3
+    assert out["pairs_90"] == 6
+    k30 = area * 2.0 * 3 / (4 * 3)
+    assert out["k_30"] == pytest.approx(k30, abs=1e-6)
+    assert out["l_30"] == pytest.approx(math.sqrt(k30 / math.pi), abs=1e-6)
+
+
+def test_ripley_k_bucket_boundary_completeness(spark):
+    # two points 2 m apart straddling the rmax=90 bucket boundary at
+    # x=90: the 3x3 probe must still pair them
+    pts = [("b", 89.0, 5.0), ("b", 91.0, 5.0)]
+    df = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    out = SP.ripley_k(df).collect()[0]
+    assert out["pairs_30"] == 1
+
+
+def test_ripley_k_singleton_null_k(spark):
+    df = spark.createDataFrame([("s", 1.0, 1.0)],
+                               "doc_id string, x double, y double")
+    out = SP.ripley_k(df).collect()[0]
+    assert out["n_points"] == 1 and out["pairs_30"] == 0
+    assert out["k_30"] is None
+
+
+# ---------------------------------------------------------------- Benford
+
+def test_benford_known_digit_mix(spark):
+    # 6 values starting with 1, 3 with 2, 1 with 9; zero/negative drop
+    vals = [1.0, 10.5, 199.0, 0.15, 0.0012, 1500.0,
+            2.0, 25.0, 0.029, 900.0, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["digit"]: r for r in CHK.benford(df, "x").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 6 and out[2]["n"] == 3 and out[9]["n"] == 1
+    assert out[1]["observed"] == pytest.approx(0.6)
+    assert out[1]["expected"] == pytest.approx(math.log10(2), abs=1e-6)
+    # chi-square identical on every row and hand-computed
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    obs = {1: 0.6, 2: 0.3, 9: 0.1}
+    chi = sum((obs.get(d, 0.0) - exp[d]) ** 2 / exp[d] * 10
+              for d in obs)  # absent digits contribute via obs=0 rows?
+    # only digits PRESENT in the data appear (documented); their terms:
+    chi = sum((obs[d] - exp[d]) ** 2 / exp[d] * 10 for d in obs)
+    assert out[1]["chi2"] == out[2]["chi2"] == out[9]["chi2"]
+    assert out[1]["chi2"] == pytest.approx(chi, abs=1e-5)
+
+
+# --------------------------------------------------------------- Spearman
+
+def test_spearman_monotone_and_ties(spark):
+    rows = [
+        # group m: perfectly monotone (nonlinear is fine) -> 1.0
+        ("m", 1.0, 10.0), ("m", 2.0, 100.0), ("m", 3.0, 1000.0),
+        # group a: anti-monotone -> -1.0
+        ("a", 1.0, 3.0), ("a", 2.0, 2.0), ("a", 3.0, 1.0),
+        # group t: ties in a -> midranks; hand-computed
+        ("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    out = {r["g"]: r["spearman"]
+           for r in CHK.spearman_corr(df, ("g",), "a", "b").collect()}
+    assert out["m"] == 1.0
+    assert out["a"] == -1.0
+    # group t: ra = (1.5, 1.5, 3), rb = (1, 2, 3) -> r = cov/sd product
+    ra, rb = [1.5, 1.5, 3.0], [1.0, 2.0, 3.0]
+    ma, mb = sum(ra) / 3, sum(rb) / 3
+    cov = sum(x * y for x, y in zip(ra, rb)) / 3 - ma * mb
+    den = math.sqrt((sum(x * x for x in ra) / 3 - ma * ma)
+                    * (sum(y * y for y in rb) / 3 - mb * mb))
+    assert out["t"] == pytest.approx(cov / den, abs=1e-6)
