@@ -1950,3 +1950,232 @@ SELECT s.{key_cols[0]}{"".join(f", s.{k}" for k in key_cols[1:])}, s.n_points,
 FROM rks s LEFT JOIN rkp p ON {" AND ".join(f"s.{k} = p._k{i}" for i, k in enumerate(key_cols))}
 GROUP BY s.{key_cols[0]}{"".join(f", s.{k}" for k in key_cols[1:])}, s.n_points
 """
+
+
+def clark_evans(points: DataFrame,
+                key_cols: Tuple[str, ...] = ("doc_id",),
+                x_col: str = "x", y_col: str = "y",
+                radius: float = 90.0, gsd: float = 20.0) -> DataFrame:
+    """Clark-Evans nearest-neighbor index per key — the one-number
+    companion of :func:`ripley_k` (R = observed mean NN distance /
+    expected under CSR; R < 1 clustered, R ≈ 1 random, R > 1 dispersed)
+    with the normal z-score ``(d̄−E)/SE``, ``E = 0.5/√(n/A)``,
+    ``SE = 0.26136/√(n²/A)``. Naive estimator (no edge correction);
+    the NN search is truncated at ``radius`` and ``n_matched`` reports
+    how many points found a neighbor there — interpret R only when
+    n_matched = n_points.
+
+    Shape: the same constant 9× bucket probe + ONE (key, bucket)
+    equi-join as :func:`ripley_k`, a min-d² hash agg at point
+    cardinality, and a key-cardinality agg. Never an all-pairs join.
+    """
+    base = points.select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col) / radius).cast("long").alias("bx"),
+        F.floor(F.col(y_col) / radius).cast("long").alias("by"))
+    base = base.localCheckpoint(eager=False)
+    stats = base.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_points"),
+        ((F.max("x") - F.min("x") + gsd)
+         * (F.max("y") - F.min("y") + gsd)).alias("area"))
+    probe = (base.select(
+        *key_cols, F.col("x").alias("ax"), F.col("y").alias("ay"),
+        "bx", "by",
+        F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                     F.lit(dy).alias("dy"))
+                            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+        .alias("_o"))
+        .select(*key_cols, "ax", "ay",
+                (F.col("bx") + F.col("_o.dx")).alias("bx"),
+                (F.col("by") + F.col("_o.dy")).alias("by")))
+    nn = (probe.join(base, [*key_cols, "bx", "by"])
+          .filter((F.col("ax") != F.col("x"))
+                  | (F.col("ay") != F.col("y")))
+          .withColumn("d2", (F.col("x") - F.col("ax")) ** 2
+                      + (F.col("y") - F.col("ay")) ** 2)
+          .filter(F.col("d2") <= radius * radius)
+          .groupBy(*key_cols, "ax", "ay")
+          .agg(F.min("d2").alias("nnd2")))
+    magg = nn.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.avg(F.sqrt("nnd2")).alias("dbar"))
+    out = stats.join(magg, on=list(key_cols), how="left")
+    e = 0.5 / F.sqrt(F.col("n_points") / F.col("area"))
+    se = 0.26136 / F.sqrt(F.col("n_points") * F.col("n_points")
+                          / F.col("area"))
+    return out.select(
+        *key_cols, "n_points",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round("area", 6).alias("area"),
+        F.round("dbar", 6).alias("mean_nn_dist"),
+        F.round(F.col("dbar") / e, 6).alias("ce_ratio"),
+        F.round((F.col("dbar") - e) / se, 6).alias("ce_z"))
+
+
+def clark_evans_sql(points_sql: str,
+                    key_cols: Tuple[str, ...] = ("doc_id",),
+                    x_col: str = "x", y_col: str = "y",
+                    radius: float = 90.0, gsd: float = 20.0) -> str:
+    """DuckDB oracle: brute-force per-key NN (independent algorithm —
+    also pins bucket completeness), identical truncation and folds."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+WITH cesrc AS ({points_sql}),
+ceb AS (
+  SELECT {keys}, CAST({x_col} AS DOUBLE) AS x,
+         CAST({y_col} AS DOUBLE) AS y
+  FROM cesrc
+),
+ces AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_points,
+         (MAX(x) - MIN(x) + {gsd!r}) * (MAX(y) - MIN(y) + {gsd!r}) AS area
+  FROM ceb GROUP BY {keys}
+),
+cen AS (
+  SELECT {akeys}, a.x AS ax, a.y AS ay,
+         MIN((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+           AS nnd2
+  FROM ceb a JOIN ceb b ON {on}
+   AND (a.x <> b.x OR a.y <> b.y)
+  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+         <= {radius * radius!r}
+  GROUP BY {agg_keys}, a.x, a.y
+),
+cem AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         AVG(SQRT(nnd2)) AS dbar
+  FROM cen GROUP BY {keys}
+)
+SELECT s.{key_cols[0]}{"".join(f", s.{k}" for k in key_cols[1:])}, s.n_points,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       ROUND(s.area, 6) AS area,
+       ROUND(m.dbar, 6) AS mean_nn_dist,
+       ROUND(m.dbar / (0.5 / SQRT(s.n_points / s.area)), 6) AS ce_ratio,
+       ROUND((m.dbar - 0.5 / SQRT(s.n_points / s.area))
+             / (0.26136 / SQRT(s.n_points * s.n_points / s.area)), 6)
+         AS ce_z
+FROM ces s LEFT JOIN cem m ON {" AND ".join(f"s.{k} = m.{k}" for k in key_cols)}
+"""
+
+
+def kde_grid(points: DataFrame,
+             key_cols: Tuple[str, ...] = ("doc_id",),
+             x_col: str = "x", y_col: str = "y",
+             bandwidth: float = 40.0, cell_m: float = CELL_SIZE_M
+             ) -> DataFrame:
+    """Gaussian kernel density estimate evaluated at the occupied grid
+    cells per key — the continuous hotspot surface (where is activity
+    densest, smoothed past the raster's graininess?). Cutoff at 3σ:
+    ``kernel_sum(c) = Σ_{d≤3h} exp(−d²/2h²)`` over points near the cell
+    center, and ``density = round(kernel_sum,6) / (2πh²n)`` — the
+    normalization divides the ROUNDED sum so both engines derive the
+    quotient from the identical double (summation order differs between
+    engines; the raw sum only agrees to ~1e-15 relative).
+
+    Shape: evaluation sites are the DISTINCT occupied cells (a hash agg
+    at cell cardinality); each point replicates into the constant 3×3
+    block of 3h-sized buckets; candidates meet in ONE (key, bucket)
+    equi-join and reduce in a cell-cardinality hash agg. Nothing
+    quadratic, no full grid materialized.
+    """
+    cutoff = 3.0 * bandwidth
+    base = points.select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"))
+    base = base.localCheckpoint(eager=False)
+    npts = base.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_points"))
+    cells = (base.select(
+        *key_cols,
+        F.floor(F.col("x") / cell_m).cast("long").alias("cx"),
+        F.floor(F.col("y") / cell_m).cast("long").alias("cy"))
+        .distinct()
+        .select(*key_cols, "cx", "cy",
+                ((F.col("cx") + 0.5) * cell_m).alias("ex"),
+                ((F.col("cy") + 0.5) * cell_m).alias("ey"))
+        .withColumn("bx", F.floor(F.col("ex") / cutoff).cast("long"))
+        .withColumn("by", F.floor(F.col("ey") / cutoff).cast("long")))
+    sent = (base.select(
+        *key_cols, "x", "y",
+        F.floor(F.col("x") / cutoff).cast("long").alias("pbx"),
+        F.floor(F.col("y") / cutoff).cast("long").alias("pby"),
+        F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                     F.lit(dy).alias("dy"))
+                            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+        .alias("_o"))
+        .select(*key_cols, "x", "y",
+                (F.col("pbx") + F.col("_o.dx")).alias("bx"),
+                (F.col("pby") + F.col("_o.dy")).alias("by")))
+    h2 = bandwidth * bandwidth
+    j = (sent.join(cells, [*key_cols, "bx", "by"])
+         .withColumn("d2", (F.col("x") - F.col("ex")) ** 2
+                     + (F.col("y") - F.col("ey")) ** 2)
+         .filter(F.col("d2") <= cutoff * cutoff))
+    agg = (j.groupBy(*key_cols, "cx", "cy")
+           .agg(F.round(F.sum(F.exp(-F.col("d2") / (2.0 * h2))), 6)
+                .alias("kernel_sum"),
+                F.count("*").cast("long").alias("n_contrib")))
+    out = agg.join(F.broadcast(npts), on=list(key_cols))
+    return out.select(
+        *key_cols, "cx", "cy", "n_contrib", "kernel_sum",
+        F.round(F.col("kernel_sum")
+                / (2.0 * math.pi * h2 * F.col("n_points")), 12)
+        .alias("density"))
+
+
+def kde_grid_sql(points_sql: str,
+                 key_cols: Tuple[str, ...] = ("doc_id",),
+                 x_col: str = "x", y_col: str = "y",
+                 bandwidth: float = 40.0, cell_m: float = CELL_SIZE_M
+                 ) -> str:
+    """DuckDB oracle: brute-force cells × points within the cutoff (an
+    independent algorithm — no buckets), identical kernel, the same
+    round-then-normalize order."""
+    cutoff = 3.0 * bandwidth
+    h2 = bandwidth * bandwidth
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"c.{k} = p.{k}" for k in key_cols)
+    ckeys = ", ".join(f"c.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"c.{k}" for k in key_cols)
+    return f"""
+WITH kdsrc AS ({points_sql}),
+kdb AS (
+  SELECT {keys}, CAST({x_col} AS DOUBLE) AS x,
+         CAST({y_col} AS DOUBLE) AS y
+  FROM kdsrc
+),
+kdn AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM kdb GROUP BY {keys}),
+kdc AS (
+  SELECT DISTINCT {keys},
+         CAST(FLOOR(x / {cell_m!r}) AS BIGINT) AS cx,
+         CAST(FLOOR(y / {cell_m!r}) AS BIGINT) AS cy
+  FROM kdb
+),
+kde AS (
+  SELECT {keys}, cx, cy,
+         (cx + 0.5) * {cell_m!r} AS ex, (cy + 0.5) * {cell_m!r} AS ey
+  FROM kdc
+),
+kda AS (
+  SELECT {ckeys}, c.cx, c.cy,
+         ROUND(SUM(EXP(-((p.x - c.ex) * (p.x - c.ex)
+                         + (p.y - c.ey) * (p.y - c.ey))
+                       / (2.0 * {h2!r}))), 6) AS kernel_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM kde c JOIN kdb p ON {on}
+  WHERE (p.x - c.ex) * (p.x - c.ex) + (p.y - c.ey) * (p.y - c.ey)
+         <= {cutoff * cutoff!r}
+  GROUP BY {agg_keys}, c.cx, c.cy
+)
+SELECT {keys}, cx, cy, n_contrib, kernel_sum,
+       ROUND(kernel_sum / (2.0 * PI() * {h2!r} * n_points), 12)
+         AS density
+FROM kda JOIN kdn USING ({keys})
+"""

@@ -1947,3 +1947,120 @@ FROM trg
 QUALIFY rank <= {top_k}
 ORDER BY rank
 """
+
+
+def seasonal_mann_kendall(df: DataFrame,
+                          key_cols: Sequence[str] = ("user_id",),
+                          time_col: str = "ts", value_col: str = "value",
+                          season_expr: str = "dayofweek(CAST(ts AS DATE))"
+                          ) -> DataFrame:
+    """Hirsch-Slack seasonal Mann-Kendall trend test per key — the
+    trend detector that ignores seasonality instead of mistaking it for
+    trend (is the de-seasonalized signal rising?): MK's S and
+    tie-corrected Var(S) computed WITHIN each season and summed,
+    ``Z = (S∓1)/√ΣVar_g``, plus the seasonal Sen slope = exact median
+    of within-season pairwise slopes only (units/day). ``season_expr`` is any SQL expression over the input
+    columns (default: day-of-week).
+
+    Shape: identical machinery to :func:`mann_kendall` with the season
+    folded into the pair-join key — the quadratic blowup shrinks from
+    series-length² to Σ season-length², and every reduction stays a
+    key(+season)-cardinality hash agg. One lazy checkpoint fences the
+    tiny series so the three branches read one materialization.
+    """
+    base = df.select(*key_cols,
+                     F.expr(season_expr).cast("int").alias("season"),
+                     _epoch(F.col(time_col)).alias("t"),
+                     F.col(value_col).cast("double").alias("v"))
+    base = base.localCheckpoint(eager=False)
+    keys_s = [*key_cols, "season"]
+    a = base.select(*keys_s, F.col("t").alias("ta"),
+                    F.col("v").alias("va"))
+    b = base.select(*keys_s, F.col("t").alias("tb"),
+                    F.col("v").alias("vb"))
+    pairs = a.join(b, on=keys_s).filter(F.col("ta") < F.col("tb"))
+    # per-key: total S over all within-season pairs + the seasonal Sen
+    # (slope in units/DAY — per-second slopes round to zero at the
+    # 1e-6 output quantization)
+    pagg = pairs.groupBy(*key_cols).agg(
+        F.expr("SUM(SIGN(vb - va))").alias("s_raw"),
+        F.expr("percentile((vb - va) / ((tb - ta) / 86400.0), 0.5)")
+        .alias("sen"))
+    # per-(key, season): n_g and tie correction -> Var_g, summed per key
+    ng = base.groupBy(*keys_s).agg(
+        F.expr("CAST(COUNT(v) AS DOUBLE)").alias("n"))
+    ties = (base.groupBy(*keys_s, "v")
+            .agg(F.expr("CAST(COUNT(*) AS DOUBLE)").alias("c"))
+            .groupBy(*keys_s)
+            .agg(F.expr("SUM(c * (c - 1.0) * (2.0 * c + 5.0))")
+                 .alias("tie_sum")))
+    vg = (ng.join(ties, on=keys_s)
+          .withColumn("var_g", F.expr(_MK_VAR))
+          .groupBy(*key_cols)
+          .agg(F.expr("SUM(var_g)").alias("var_s"),
+               F.expr("CAST(SUM(n) AS BIGINT)").alias("n_obs"),
+               F.expr("CAST(COUNT(*) AS INT)").alias("n_seasons")))
+    j = vg.join(pagg, on=list(key_cols))
+    return j.select(
+        *key_cols, "n_obs", "n_seasons",
+        F.expr("CAST(s_raw AS BIGINT)").alias("s_stat"),
+        F.expr("ROUND(var_s, 6)").alias("var_s"),
+        F.expr(f"ROUND({_MK_Z}, 6) + 0.0").alias("smk_z"),
+        F.expr("ROUND(sen, 6) + 0.0").alias("sen_slope"))
+
+
+def seasonal_mann_kendall_sql(table: str,
+                              key_cols: Sequence[str] = ("user_id",),
+                              time_col: str = "ts",
+                              value_col: str = "value",
+                              season_expr: str =
+                              "dayofweek(CAST(ts AS DATE))") -> str:
+    """DuckDB oracle: identical season-keyed pair join, per-season
+    variance fold, shared variance/z formula strings, and quantile_cont
+    median. NOTE: pass a ``season_expr`` valid in BOTH dialects (the
+    default dayofweek differs — Spark is 1-7 Sun-first, DuckDB 0-6
+    Sun-first; only season IDENTITY matters, not its label, so any
+    consistent per-engine mapping with equal partitioning works —
+    but for gate parity prefer engine-agnostic expressions like
+    ``month(...)`` or ``CAST(strftime/date_part...)``)."""
+    keys = ", ".join(key_cols)
+    keys_s = f"{keys}, season"
+    on = " AND ".join(f"a.{k} = b.{k}"
+                      for k in [*key_cols, "season"])
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+WITH smb AS (
+  SELECT {keys}, CAST({season_expr} AS INT) AS season,
+         epoch({time_col}) AS t, CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+smp AS (
+  SELECT {akeys}, SUM(SIGN(b.v - a.v)) AS s_raw,
+         quantile_cont((b.v - a.v) / ((b.t - a.t) / 86400.0), 0.5) AS sen
+  FROM smb a JOIN smb b ON {on} AND a.t < b.t
+  GROUP BY {agg_keys}
+),
+smn AS (SELECT {keys_s}, CAST(COUNT(v) AS DOUBLE) AS n
+        FROM smb GROUP BY {keys_s}),
+smt AS (
+  SELECT {keys_s}, SUM(c * (c - 1.0) * (2.0 * c + 5.0)) AS tie_sum
+  FROM (SELECT {keys_s}, v, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM smb GROUP BY {keys_s}, v) tg
+  GROUP BY {keys_s}
+),
+smv AS (
+  SELECT {keys},
+         SUM({_MK_VAR}) AS var_s,
+         CAST(SUM(n) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS INT) AS n_seasons
+  FROM smn JOIN smt USING ({keys_s})
+  GROUP BY {keys}
+)
+SELECT {keys}, n_obs, n_seasons,
+       CAST(s_raw AS BIGINT) AS s_stat,
+       ROUND(var_s, 6) AS var_s,
+       ROUND({_MK_Z}, 6) + 0.0 AS smk_z,
+       ROUND(sen, 6) + 0.0 AS sen_slope
+FROM smv JOIN smp USING ({keys})
+"""

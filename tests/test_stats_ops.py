@@ -258,3 +258,108 @@ def test_spearman_monotone_and_ties(spark):
     den = math.sqrt((sum(x * x for x in ra) / 3 - ma * ma)
                     * (sum(y * y for y in rb) / 3 - mb * mb))
     assert out["t"] == pytest.approx(cov / den, abs=1e-6)
+
+
+# ------------------------------------------------------------ seasonal MK
+
+def test_seasonal_mk_pure_weekly_plus_trend(spark):
+    # 4 weeks of daily data, v = dow_profile + week_index: within every
+    # day-of-week season the 4 values rise by exactly 1/week ->
+    # S_g = 6 (all C(4,2) pairs positive), Var_g = 4*3*13/18, over 7
+    # seasons S = 42, Var = 7*26/9; Sen slope = 1/7 per day
+    import datetime as dt
+    prof = [10.0, 0.0, 5.0, -5.0, 2.0, 8.0, -1.0]
+    rows = []
+    for i in range(28):
+        ts = (dt.datetime(2024, 1, 1) + dt.timedelta(days=i)).isoformat(" ")
+        rows.append((1, ts, prof[i % 7] + float(i // 7)))
+    out = TP.seasonal_mann_kendall(
+        _events(spark, rows), key_cols=("user_id",),
+        season_expr="pmod(datediff(CAST(ts AS DATE),"
+                    " DATE '1970-01-01'), 7)").collect()[0]
+    assert out["n_obs"] == 28 and out["n_seasons"] == 7
+    assert out["s_stat"] == 42
+    var = 7 * (4 * 3 * 13) / 18.0
+    assert out["var_s"] == pytest.approx(var, abs=1e-6)
+    assert out["smk_z"] == pytest.approx(41.0 / math.sqrt(var), abs=1e-6)
+    assert out["sen_slope"] == pytest.approx(1.0 / 7, abs=1e-6)
+
+
+def test_seasonal_mk_seasonality_alone_is_no_trend(spark):
+    # pure weekly profile, no trend: every within-season pair ties ->
+    # S = 0 and each season's Var_g = 0 (all ties) -> z NULL
+    import datetime as dt
+    prof = [10.0, 0.0, 5.0, -5.0, 2.0, 8.0, -1.0]
+    rows = []
+    for i in range(28):
+        ts = (dt.datetime(2024, 1, 1) + dt.timedelta(days=i)).isoformat(" ")
+        rows.append((1, ts, prof[i % 7]))
+    out = TP.seasonal_mann_kendall(
+        _events(spark, rows), key_cols=("user_id",),
+        season_expr="pmod(datediff(CAST(ts AS DATE),"
+                    " DATE '1970-01-01'), 7)").collect()[0]
+    assert out["s_stat"] == 0
+    assert out["smk_z"] is None  # all-tie seasons -> Var 0 -> guarded
+    # plain MK on the same series would see the profile as huge
+    # variance and nonzero S between seasons — the seasonal split is
+    # what silences it; sanity: sen over within-season pairs is 0
+    assert out["sen_slope"] == 0.0
+
+
+# ------------------------------------------------------------ Clark-Evans
+
+def test_clark_evans_square_grid_hand_check(spark):
+    # 4 corners of a 10 m square: every NN distance is 10;
+    # A = (10+20)^2, E = 0.5/sqrt(n/A), SE = 0.26136/sqrt(n^2/A)
+    pts = [("g", 0.0, 0.0), ("g", 10.0, 0.0),
+           ("g", 0.0, 10.0), ("g", 10.0, 10.0)]
+    df = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    out = SP.clark_evans(df).collect()[0]
+    assert out["n_points"] == 4 and out["n_matched"] == 4
+    a = 900.0
+    e = 0.5 / math.sqrt(4 / a)
+    se = 0.26136 / math.sqrt(16 / a)
+    assert out["mean_nn_dist"] == pytest.approx(10.0)
+    assert out["ce_ratio"] == pytest.approx(10.0 / e, abs=1e-6)
+    assert out["ce_z"] == pytest.approx((10.0 - e) / se, abs=1e-5)
+
+
+def test_clark_evans_truncation_reported(spark):
+    # two points farther apart than the radius: no NN found -> matched 0
+    pts = [("t", 0.0, 0.0), ("t", 500.0, 0.0)]
+    df = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    out = SP.clark_evans(df, radius=90.0).collect()[0]
+    assert out["n_points"] == 2 and out["n_matched"] == 0
+    assert out["mean_nn_dist"] is None
+
+
+# -------------------------------------------------------------------- KDE
+
+def test_kde_single_point_exact_kernel(spark):
+    # one point at (5, 5): its cell center is (80, 80) with the 160 m
+    # grid -> d^2 = 2*75^2, kernel = exp(-d^2 / (2 h^2)), n = 1
+    df = spark.createDataFrame([("k", 5.0, 5.0)],
+                               "doc_id string, x double, y double")
+    out = SP.kde_grid(df, bandwidth=100.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cx"], r["cy"], r["n_contrib"]) == (0, 0, 1)
+    ks = round(math.exp(-(75.0 ** 2 * 2) / (2 * 100.0 ** 2)), 6)
+    assert r["kernel_sum"] == pytest.approx(ks, abs=1e-9)
+    assert r["density"] == pytest.approx(
+        ks / (2 * math.pi * 100.0 ** 2), abs=1e-12)
+
+
+def test_kde_cutoff_excludes_far_points(spark):
+    # second point ~3000 m away contributes nothing to the first cell
+    # (cutoff = 3h = 300 m) but adds its own cell and bumps n
+    df = spark.createDataFrame([("k", 5.0, 5.0), ("k", 3000.0, 3000.0)],
+                               "doc_id string, x double, y double")
+    out = {(r["cx"], r["cy"]): r
+           for r in SP.kde_grid(df, bandwidth=100.0).collect()}
+    assert set(out) == {(0, 0), (18, 18)}
+    assert out[(0, 0)]["n_contrib"] == 1
+    ks = round(math.exp(-(75.0 ** 2 * 2) / (2 * 100.0 ** 2)), 6)
+    # normalization now divides by n = 2
+    assert out[(0, 0)]["density"] == pytest.approx(
+        ks / (2 * math.pi * 100.0 ** 2 * 2), abs=1e-12)
