@@ -1651,6 +1651,10 @@ def pettitt(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
     win = Window.partitionBy(*key_cols).orderBy("ta")
     u = w_s.withColumn("u", F.sum("w").over(win)) \
            .withColumn("abs_u", F.abs(F.col("u")))
+    # u feeds both the K aggregation and the argmax join — fence the
+    # (tiny, series-cardinality) prefix-sum table so the pair join and
+    # window execute once, not once per consumer
+    u = u.localCheckpoint(eager=False)
     # W_s exists for every observation (any key with >=2 rows), so the
     # W row count IS n; the prefix sum U_n over the full key is 0 by
     # antisymmetry, so the argmax always lands strictly before the end.

@@ -225,3 +225,49 @@ def test_chunk_documents_map_only(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_pettitt_equi_join_and_single_window(spark):
+    """Pettitt: the telescoped form is a key-equi pair join + ONE key
+    window for the prefix sum — never a cartesian, never a per-candidate
+    re-aggregation."""
+    from satellitetools_spark.operators.temporal import pettitt
+    df = (spark.createDataFrame(
+        [(1, f"2024-01-{d:02d} 00:00:00", 0.3 * d) for d in range(1, 9)],
+        "user_id long, ts string, value double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    plan = _plan(pettitt(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the prefix-sum table is checkpoint-fenced, so the pair join and
+    # window appear AT MOST once (zero when the fence hides the subtree)
+    assert plan.count("Window") <= 1, plan
+
+
+def test_ripley_k_bucket_equi_join_only(spark):
+    """Ripley's K: constant 9x bucket fan-out + ONE equi-join — the
+    all-radii readout must not multiply joins or go cartesian."""
+    from satellitetools_spark.operators.spatial import ripley_k
+    df = spark.createDataFrame(
+        [("d", float(i % 10) * 25.0, float(i // 10) * 25.0)
+         for i in range(50)],
+        "doc_id string, x double, y double")
+    plan = _plan(ripley_k(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # pair join + stats join-back — nothing else
+    assert plan.count("Join") <= 2, plan
+
+
+def test_kde_grid_equi_join_only(spark):
+    """KDE: cells meet points in ONE (key, bucket) equi-join; the
+    normalization join-back must broadcast the key-cardinality counts."""
+    from satellitetools_spark.operators.spatial import kde_grid
+    df = spark.createDataFrame(
+        [("d", float(i % 10) * 25.0, float(i // 10) * 25.0)
+         for i in range(50)],
+        "doc_id string, x double, y double")
+    plan = _plan(kde_grid(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # npts join-back
