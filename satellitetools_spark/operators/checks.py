@@ -650,3 +650,86 @@ SELECT {keys}, n_obs,
          AS spearman
 FROM spa
 """
+
+
+def ab_ztest(events: DataFrame, unit_col: str = "user_id",
+             variant_expr: str = "pmod(user_id, 2)",
+             success_expr: str =
+             "CAST(event_type = 'purchase' AS INT)") -> DataFrame:
+    """Two-proportion z-test between experiment variants — the A/B
+    readout every event pipeline ends in (did variant B convert better,
+    and is the lift outside noise?): per-unit conversion (a unit
+    converts if ANY of its events succeeds), per-variant n/x/p̂, lift,
+    and the pooled z ``(p̂₁−p̂₀)/√(p̂(1−p̂)(1/n₀+1/n₁))``.
+    ``variant_expr`` must be a pure function of the unit (default: a
+    deterministic id split), so assignment is reproducible.
+
+    Shape: ONE unit-cardinality hash agg (events collapse map-side),
+    one variant-cardinality agg, a 1×1 conditional-agg readout — three
+    shuffles of strictly shrinking data, nothing window-sorted.
+    """
+    units = (events
+             .select(F.col(unit_col).alias("u"),
+                     F.expr(variant_expr).cast("int").alias("variant"),
+                     F.expr(success_expr).cast("int").alias("s"))
+             .groupBy("u", "variant")
+             .agg(F.max("s").alias("converted")))
+    va = units.groupBy("variant").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("x"))
+    out = va.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"))
+    p0 = F.col("x0") / F.col("n0")
+    p1 = F.col("x1") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1.0 - pp)
+                * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return out.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("x0").cast("long").alias("x0"),
+        F.expr("ROUND(x0 / n0, 6) + 0.0").alias("p0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.expr("ROUND(x1 / n1, 6) + 0.0").alias("p1"),
+        (F.round(p1 - p0, 6) + 0.0).alias("lift"),
+        (F.round((p1 - p0) / F.when(se != 0, se), 6) + 0.0).alias("z"))
+
+
+def ab_ztest_sql(table: str, unit_col: str = "user_id",
+                 variant_expr: str = "user_id % 2",
+                 success_expr: str =
+                 "CAST(event_type = 'purchase' AS INT)") -> str:
+    """DuckDB oracle: identical unit collapse, variant fold, and pooled
+    z expression (pass a dialect-equivalent ``variant_expr``)."""
+    return f"""
+WITH abu AS (
+  SELECT {unit_col} AS u, CAST({variant_expr} AS INT) AS variant,
+         MAX({success_expr}) AS converted
+  FROM {table} GROUP BY u, CAST({variant_expr} AS INT)
+),
+abv AS (
+  SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(converted) AS DOUBLE) AS x
+  FROM abu GROUP BY variant
+),
+abt AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN n END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN x END) AS x0,
+         SUM(CASE WHEN variant = 1 THEN n END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN x END) AS x1
+  FROM abv
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+       ROUND(x0 / n0, 6) + 0.0 AS p0,
+       CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       ROUND(x1 / n1, 6) + 0.0 AS p1,
+       ROUND(x1 / n1 - x0 / n0, 6) + 0.0 AS lift,
+       ROUND((x1 / n1 - x0 / n0)
+             / NULLIF(SQRT((x0 + x1) / (n0 + n1)
+                           * (1.0 - (x0 + x1) / (n0 + n1))
+                           * (1.0 / n0 + 1.0 / n1)), 0), 6) + 0.0 AS z
+FROM abt
+"""

@@ -2179,3 +2179,145 @@ SELECT {keys}, cx, cy, n_contrib, kernel_sum,
          AS density
 FROM kda JOIN kdn USING ({keys})
 """
+
+
+def knox_test(points: DataFrame,
+              key_cols: Tuple[str, ...] = ("aoi",),
+              x_col: str = "x", y_col: str = "y", t_col: str = "td",
+              ds: float = 60.0, dt: float = 10.0) -> DataFrame:
+    """Knox space-time interaction test per key — the epidemiology /
+    disturbance-monitoring classic (do events cluster in space AND time
+    TOGETHER, beyond what their separate spatial and temporal
+    clustering implies?): over all unordered point pairs, ``X`` = pairs
+    close in both (d ≤ ds, |Δt| ≤ dt), compared with the independence
+    expectation ``E[X] = Ns·Nt/T`` (Ns spatial-close, Nt time-close,
+    T total pairs); ratio > 1 = interaction. Input must be DISTINCT
+    (key, x, y, t) rows; t is a day number (double).
+
+    Shape: three different cardinalities, none all-pairs — T is pure
+    arithmetic on n; Nt folds the per-(key, date) histogram (dates²
+    per key, tiny) through one key equi-join; Ns and X share ONE
+    bucketed spatial join (constant 9× fan-out at ``ds``) with the
+    lexicographic (x, y, t) dedup. The oracle computes all four from a
+    brute-force pair join — a fully independent algorithm.
+    """
+    base = points.select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(t_col).cast("double").alias("td"),
+        F.floor(F.col(x_col) / ds).cast("long").alias("bx"),
+        F.floor(F.col(y_col) / ds).cast("long").alias("by"))
+    base = base.localCheckpoint(eager=False)
+    # T = n(n-1)/2
+    nn = base.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_points"))
+    # Nt from the per-date histogram
+    hist = base.groupBy(*key_cols, "td").agg(
+        F.count("*").cast("double").alias("c"))
+    h1 = hist.select(*key_cols, F.col("td").alias("t1"),
+                     F.col("c").alias("c1"))
+    h2 = hist.select(*key_cols, F.col("td").alias("t2"),
+                     F.col("c").alias("c2"))
+    cross = (h1.join(h2, on=list(key_cols))
+             .filter((F.col("t1") < F.col("t2"))
+                     & (F.col("t2") - F.col("t1") <= dt))
+             .groupBy(*key_cols)
+             .agg(F.sum(F.col("c1") * F.col("c2")).alias("nt_cross")))
+    within = hist.groupBy(*key_cols).agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2.0).alias("nt_within"))
+    # Ns and X from one bucketed join
+    probe = (base.select(
+        *key_cols, F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("td").alias("atd"), "bx", "by",
+        F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                     F.lit(dy).alias("dy"))
+                            for dx in (-1, 0, 1) for dy in (-1, 0, 1)]))
+        .alias("_o"))
+        .select(*key_cols, "ax", "ay", "atd",
+                (F.col("bx") + F.col("_o.dx")).alias("bx"),
+                (F.col("by") + F.col("_o.dy")).alias("by")))
+    lex = ((F.col("ax") < F.col("x"))
+           | ((F.col("ax") == F.col("x")) & (F.col("ay") < F.col("y")))
+           | ((F.col("ax") == F.col("x")) & (F.col("ay") == F.col("y"))
+              & (F.col("atd") < F.col("td"))))
+    cand = (probe.join(base, [*key_cols, "bx", "by"])
+            .filter(lex)
+            .withColumn("d2", (F.col("x") - F.col("ax")) ** 2
+                        + (F.col("y") - F.col("ay")) ** 2)
+            .filter(F.col("d2") <= ds * ds))
+    sx = cand.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum(F.when(F.abs(F.col("td") - F.col("atd")) <= dt, 1)
+              .otherwise(0)).cast("long").alias("x_st"))
+    out = (nn.join(within, on=list(key_cols), how="left")
+           .join(cross, on=list(key_cols), how="left")
+           .join(sx, on=list(key_cols), how="left"))
+    t_pairs = (F.col("n_points") * (F.col("n_points") - 1) / 2.0)
+    nt = (F.coalesce(F.col("nt_within"), F.lit(0.0))
+          + F.coalesce(F.col("nt_cross"), F.lit(0.0)))
+    ns = F.coalesce(F.col("ns"), F.lit(0)).cast("double")
+    x = F.coalesce(F.col("x_st"), F.lit(0))
+    ex = ns * nt / F.when(t_pairs != 0, t_pairs)
+    return out.select(
+        *key_cols, "n_points",
+        t_pairs.cast("long").alias("t_pairs"),
+        ns.cast("long").alias("ns"),
+        nt.cast("long").alias("nt"),
+        x.alias("x_st"),
+        (F.round(ex, 6) + 0.0).alias("expected_x"),
+        (F.round(x / F.when(ex != 0, ex), 6) + 0.0).alias("knox_ratio"))
+
+
+def knox_test_sql(points_sql: str,
+                  key_cols: Tuple[str, ...] = ("aoi",),
+                  x_col: str = "x", y_col: str = "y", t_col: str = "td",
+                  ds: float = 60.0, dt: float = 10.0) -> str:
+    """DuckDB oracle: BRUTE-FORCE all-pairs per key (independent of the
+    histogram + bucket decomposition), identical lexicographic dedup
+    and guards."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    agg_keys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+WITH kxsrc AS ({points_sql}),
+kxb AS (
+  SELECT {keys}, CAST({x_col} AS DOUBLE) AS x,
+         CAST({y_col} AS DOUBLE) AS y, CAST({t_col} AS DOUBLE) AS td
+  FROM kxsrc
+),
+kxn AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM kxb GROUP BY {keys}),
+kxp AS (
+  SELECT {akeys},
+         CASE WHEN (b.x - a.x) * (b.x - a.x)
+                   + (b.y - a.y) * (b.y - a.y) <= {ds * ds!r}
+              THEN 1 ELSE 0 END AS is_s,
+         CASE WHEN ABS(b.td - a.td) <= {dt!r} THEN 1 ELSE 0 END AS is_t
+  FROM kxb a JOIN kxb b ON {on}
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)
+        OR (a.x = b.x AND a.y = b.y AND a.td < b.td))
+),
+kxa AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS t_pairs,
+         CAST(SUM(is_s) AS BIGINT) AS ns,
+         CAST(SUM(is_t) AS BIGINT) AS nt,
+         CAST(SUM(is_s * is_t) AS BIGINT) AS x_st
+  FROM kxp GROUP BY {keys}
+)
+SELECT n.{key_cols[0]}{"".join(f", n.{k}" for k in key_cols[1:])}, n.n_points,
+       COALESCE(a.t_pairs, 0) AS t_pairs,
+       COALESCE(a.ns, 0) AS ns,
+       COALESCE(a.nt, 0) AS nt,
+       COALESCE(a.x_st, 0) AS x_st,
+       ROUND(COALESCE(a.ns, 0) * COALESCE(a.nt, 0)
+             / NULLIF(CAST(n.n_points AS DOUBLE) * (n.n_points - 1)
+                      / 2.0, 0), 6) + 0.0 AS expected_x,
+       ROUND(COALESCE(a.x_st, 0)
+             / NULLIF(COALESCE(a.ns, 0) * COALESCE(a.nt, 0)
+                      / NULLIF(CAST(n.n_points AS DOUBLE)
+                               * (n.n_points - 1) / 2.0, 0), 0), 6)
+         + 0.0 AS knox_ratio
+FROM kxn n LEFT JOIN kxa a ON {" AND ".join(f"n.{k} = a.{k}" for k in key_cols)}
+"""

@@ -1562,3 +1562,92 @@ SELECT doc_id,
          AS chunk_text
 FROM cs
 """
+
+
+def zipf_fit(docs: DataFrame, group_col: str = "lang",
+             text_col: str = "text", top_n: int = 200) -> DataFrame:
+    """Zipf rank-frequency fit per group — the corpus-health check that
+    catches template spam, OCR noise, and synthetic text (natural
+    language sits near slope −1 on log rank vs log freq; boilerplate
+    flattens it, noise steepens it): OLS of ``ln freq`` on ``ln rank``
+    over the top ``top_n`` types, with slope, intercept, and R².
+
+    Shape: one tokenize+count hash agg at (group × vocab) cardinality,
+    ONE group window for the deterministic (freq DESC, token ASC) rank
+    truncated at ``top_n`` — the sort shuffles the aggregated VOCAB
+    table, never the corpus — then a group-cardinality OLS agg in
+    moment form (identical expression tree both engines).
+    """
+    from pyspark.sql import Window as _W
+    toks = (docs.select(group_col,
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy(group_col, "tok").agg(
+        F.count("*").cast("double").alias("f"))
+    w = _W.partitionBy(group_col).orderBy(F.col("f").desc(),
+                                          F.col("tok"))
+    ranked = (freq.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_n)
+              .select(group_col,
+                      F.log(F.col("r").cast("double")).alias("x"),
+                      F.log("f").alias("y")))
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"))
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    vx = F.col("mxx") - F.col("mx") ** 2
+    vy = F.col("myy") - F.col("my") ** 2
+    return agg.select(
+        group_col, "n_types",
+        F.expr("ROUND(" + "(mxy - mx * my) / NULLIF(mxx - mx * mx, 0)"
+               + ", 6) + 0.0").alias("zipf_slope"),
+        F.expr("ROUND(my - (mxy - mx * my) / NULLIF(mxx - mx * mx, 0)"
+               " * mx, 6) + 0.0").alias("intercept"),
+        F.expr("ROUND((mxy - mx * my) * (mxy - mx * my)"
+               " / NULLIF((mxx - mx * mx) * (myy - my * my), 0), 6)"
+               " + 0.0").alias("r2"))
+
+
+def zipf_fit_sql(table: str, group_col: str = "lang",
+                 text_col: str = "text", top_n: int = 200) -> str:
+    """DuckDB oracle: identical tokenize/count, deterministic ranked
+    cut, and moment-form OLS expression strings."""
+    return f"""
+WITH zft AS (
+  SELECT {group_col}, unnest(str_split({text_col}, ' ')) AS tok
+  FROM {table}
+),
+zff AS (
+  SELECT {group_col}, tok, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM zft WHERE tok <> '' GROUP BY {group_col}, tok
+),
+zfr AS (
+  SELECT {group_col},
+         LN(CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                    ORDER BY f DESC, tok) AS DOUBLE))
+           AS x,
+         LN(f) AS y,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY f DESC, tok) AS r
+  FROM zff QUALIFY r <= {top_n}
+),
+zfa AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_types,
+         AVG(x) AS mx, AVG(y) AS my, AVG(x * y) AS mxy,
+         AVG(x * x) AS mxx, AVG(y * y) AS myy
+  FROM zfr GROUP BY {group_col}
+)
+SELECT {group_col}, n_types,
+       ROUND((mxy - mx * my) / NULLIF(mxx - mx * mx, 0), 6) + 0.0
+         AS zipf_slope,
+       ROUND(my - (mxy - mx * my) / NULLIF(mxx - mx * mx, 0) * mx, 6)
+         + 0.0 AS intercept,
+       ROUND((mxy - mx * my) * (mxy - mx * my)
+             / NULLIF((mxx - mx * mx) * (myy - my * my), 0), 6) + 0.0
+         AS r2
+FROM zfa
+"""

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from satellitetools_spark.operators import checks as CHK
 from satellitetools_spark.operators import spatial as SP
 from satellitetools_spark.operators import temporal as TP
+from satellitetools_spark.operators import text as TX
 
 
 def _events(spark, rows):
@@ -363,3 +364,95 @@ def test_kde_cutoff_excludes_far_points(spark):
     # normalization now divides by n = 2
     assert out[(0, 0)]["density"] == pytest.approx(
         ks / (2 * math.pi * 100.0 ** 2 * 2), abs=1e-12)
+
+
+# ------------------------------------------------------------------- Knox
+
+def test_knox_planted_interaction(spark):
+    # cluster A: 3 points within 10 m on day 0-1; cluster B: 3 points
+    # within 10 m on day 100-101, 1000 m away. All space-close pairs are
+    # also time-close (interaction): X = Ns = 6, Nt = 6, T = 15 ->
+    # E[X] = 6*6/15 = 2.4, ratio = 2.5
+    pts = [("k", 0.0, 0.0, 0.0), ("k", 10.0, 0.0, 0.0),
+           ("k", 0.0, 10.0, 1.0),
+           ("k", 1000.0, 0.0, 100.0), ("k", 1010.0, 0.0, 100.0),
+           ("k", 1000.0, 10.0, 101.0)]
+    df = spark.createDataFrame(
+        pts, "aoi string, x double, y double, td double")
+    out = SP.knox_test(df, ds=60.0, dt=10.0).collect()[0]
+    assert out["n_points"] == 6 and out["t_pairs"] == 15
+    assert out["ns"] == 6 and out["nt"] == 6 and out["x_st"] == 6
+    assert out["expected_x"] == pytest.approx(2.4)
+    assert out["knox_ratio"] == pytest.approx(6 / 2.4)
+
+
+def test_knox_no_interaction_when_time_shuffled(spark):
+    # same two spatial clusters but times CROSS the clusters: space
+    # proximity no longer predicts time proximity -> ratio < 1
+    pts = [("k", 0.0, 0.0, 0.0), ("k", 10.0, 0.0, 100.0),
+           ("k", 0.0, 10.0, 0.0),
+           ("k", 1000.0, 0.0, 100.0), ("k", 1010.0, 0.0, 0.0),
+           ("k", 1000.0, 10.0, 100.0)]
+    df = spark.createDataFrame(
+        pts, "aoi string, x double, y double, td double")
+    out = SP.knox_test(df, ds=60.0, dt=10.0).collect()[0]
+    # Ns = 6 (same geometry); Nt = C(3,2)*2 = 6; X = within-cluster
+    # pairs that also share time = 1 per cluster = 2
+    assert out["ns"] == 6 and out["nt"] == 6 and out["x_st"] == 2
+    assert out["knox_ratio"] == pytest.approx(2 / 2.4)
+
+
+# ------------------------------------------------------------------- Zipf
+
+def test_zipf_fit_known_geometric_corpus(spark):
+    # token frequencies 8, 4, 2, 1 (freq = 8 / 2^(rank-1)): ln f is
+    # LINEAR in rank, not ln rank, so fit is imperfect — but slope and
+    # r2 are deterministic; verify against a local numpy OLS
+    import numpy as np
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([("en", text)], "lang string, text string")
+    out = TX.zipf_fit(df).collect()[0]
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    r2 = (np.cov(x, y, bias=True)[0, 1] ** 2
+          / (np.var(x) * np.var(y)))
+    assert out["n_types"] == 4
+    assert out["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert out["r2"] == pytest.approx(r2, abs=1e-6)
+
+
+def test_zipf_pure_power_law_r2_one(spark):
+    # frequencies exactly k/rank -> slope -1, r2 = 1
+    toks = []
+    for rank, word in enumerate(["w1", "w2", "w3", "w4", "w5", "w6"], 1):
+        toks += [word] * (60 // rank)
+    df = spark.createDataFrame([("en", " ".join(toks))],
+                               "lang string, text string")
+    out = TX.zipf_fit(df).collect()[0]
+    assert out["zipf_slope"] == pytest.approx(-1.0, abs=0.01)
+    assert out["r2"] == pytest.approx(1.0, abs=0.001)
+
+
+# -------------------------------------------------------------------- A/B
+
+def test_ab_ztest_hand_computed(spark):
+    # variant 0: users 2,4 (u2 converts), variant 1: users 1,3 (both
+    # convert): p0 = 0.5, p1 = 1.0, pooled p = 0.75
+    rows = [(1, "purchase"), (1, "view"), (3, "purchase"),
+            (2, "purchase"), (2, "view"), (4, "view"), (4, "click")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = CHK.ab_ztest(df).collect()[0]
+    assert (out["n0"], out["x0"], out["n1"], out["x1"]) == (2, 1, 2, 2)
+    assert out["p0"] == 0.5 and out["p1"] == 1.0
+    assert out["lift"] == 0.5
+    se = math.sqrt(0.75 * 0.25 * (0.5 + 0.5))
+    assert out["z"] == pytest.approx(0.5 / se, abs=1e-6)
+
+
+def test_ab_ztest_unit_level_not_event_level(spark):
+    # a converting unit with MANY purchase events still counts once
+    rows = [(2, "purchase")] * 10 + [(4, "view"), (1, "view"), (3, "view")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = CHK.ab_ztest(df).collect()[0]
+    assert (out["n0"], out["x0"], out["n1"], out["x1"]) == (2, 1, 2, 0)
