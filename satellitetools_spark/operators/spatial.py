@@ -2321,3 +2321,239 @@ SELECT n.{key_cols[0]}{"".join(f", n.{k}" for k in key_cols[1:])}, n.n_points,
          + 0.0 AS knox_ratio
 FROM kxn n LEFT JOIN kxa a ON {" AND ".join(f"n.{k} = a.{k}" for k in key_cols)}
 """
+
+
+_NEIGH4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+
+
+def region_label(cells: DataFrame,
+                 key_cols: Tuple[str, ...] = ("doc_id",),
+                 max_iters: int = 64) -> DataFrame:
+    """Connected-component labeling of a foreground cell raster per key
+    (4-connectivity) — raster blob detection: which contiguous patches
+    form one field / burn scar / bloom, as the precursor of object-based
+    analysis. Input rows are the FOREGROUND cells (ix, iy [+ key]);
+    every cell gets the MINIMUM cell id reachable through foreground as
+    its ``label``, so labels are stable, deterministic, and
+    partitioning-independent.
+
+    Shape: min-label propagation — the Pregel fixpoint the repo already
+    uses for dup components and flow accumulation, on the grid instead
+    of a similarity graph: per round ONE 4-neighbor equi-join (constant
+    fan-out send) + a min hash agg, converging in component-DIAMETER
+    rounds (not cell count); Σlabel strictly decreases until the
+    fixpoint, so a 1-row agg early-stops; every round's frame is lazily
+    checkpointed to keep lineage flat. At 10¹² cells each round is one
+    co-partitioned shuffle of the foreground only.
+    """
+    base = (cells.select(*key_cols,
+                         F.col("ix").cast("long").alias("ix"),
+                         F.col("iy").cast("long").alias("iy"))
+            .dropDuplicates()  # many points can map to one cell
+            .localCheckpoint(eager=False))
+    lab = base.withColumn(
+        "label", (F.col("iy") * F.lit(2 ** 32) + F.col("ix")))
+    lab = lab.localCheckpoint(eager=False)
+    # Σlabel can exceed int64 (labels are iy·2³² + ix); aggregate in
+    # decimal(38,0) so the ANSI overflow check never trips.
+    _sig = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_total = lab.agg(_sig).collect()[0][0]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _NEIGH4])).alias("_o")
+    for _ in range(max_iters):
+        sent = (lab.select(*key_cols, "ix", "iy", "label", off)
+                .select(*key_cols,
+                        (F.col("ix") + F.col("_o.dx")).alias("ix"),
+                        (F.col("iy") + F.col("_o.dy")).alias("iy"),
+                        "label"))
+        best = (sent.groupBy(*key_cols, "ix", "iy")
+                .agg(F.min("label").alias("_nb")))
+        lab = (lab.join(best, [*key_cols, "ix", "iy"], "left")
+               .select(*key_cols, "ix", "iy",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("_nb"), F.col("label")))
+                       .alias("label"))
+               .localCheckpoint(eager=False))
+        total = lab.agg(_sig).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return lab.select(*key_cols, "ix", "iy", "label")
+
+
+def region_label_sql(cells_sql: str,
+                     key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+    """DuckDB oracle: recursive reachability closure through foreground
+    4-neighbors, labeled by the min reachable cell id — an independent
+    algorithm (transitive closure, not iterative relaxation)."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    ron = " AND ".join(f"r.{k} = e.{k}" for k in key_cols)
+    return f"""
+WITH rlsrc AS ({cells_sql}),
+rlb AS (
+  SELECT {keys}, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+  FROM rlsrc
+),
+rledge AS (
+  SELECT {akeys}, a.ix AS ix, a.iy AS iy, b.ix AS tix, b.iy AS tiy
+  FROM rlb a JOIN rlb b ON {on}
+   AND ABS(a.ix - b.ix) + ABS(a.iy - b.iy) = 1
+),
+rlreach AS (
+  WITH RECURSIVE r({keys}, ix, iy, rix, riy) AS (
+    SELECT {keys}, ix, iy, ix, iy FROM rlb
+    UNION
+    SELECT r.{key_cols[0]}{"".join(f", r.{k}" for k in key_cols[1:])},
+           r.ix, r.iy, e.tix, e.tiy
+    FROM r JOIN rledge e
+      ON {ron} AND r.rix = e.ix AND r.riy = e.iy
+  )
+  SELECT * FROM r
+)
+SELECT {keys}, ix, iy,
+       MIN(riy * 4294967296 + rix) AS label
+FROM rlreach GROUP BY {keys}, ix, iy
+"""
+
+
+def variogram_directional(dem: DataFrame, max_d2: int = 8,
+                          value_col: str = "elevation") -> DataFrame:
+    """Directional (anisotropic) semivariogram — the geostatistics
+    anisotropy probe (does spatial continuity stretch along a ridge /
+    wind / flow direction?): the :func:`variogram` reduction split by
+    offset orientation class (EW, NS, and the two diagonals), one row
+    per (direction, lag class). Same machinery: constant half-plane
+    offset explode, ONE co-partitioned grid equi-join, hash agg at
+    direction × lag cardinality.
+    """
+    offs = _variogram_offsets(max_d2)
+
+    def _dir(dx, dy):
+        if dy == 0:
+            return "EW"
+        if dx == 0:
+            return "NS"
+        return "NE" if dx * dy > 0 else "NW"
+
+    base = dem.select(
+        F.pmod(F.col("cell"), F.lit(2 ** 32)).cast("long").alias("ix"),
+        F.floor(F.col("cell") / F.lit(2 ** 32)).cast("long").alias("iy"),
+        F.col(value_col).cast("double").alias("v"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx * dx + dy * dy).alias("d2"),
+                 F.lit(_dir(dx, dy)).alias("dir"))
+        for dx, dy in offs])).alias("_o")
+    contrib = (base.select("ix", "iy", F.col("v").alias("vs"), off)
+               .select((F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"),
+                       "vs", F.col("_o.d2").alias("d2"),
+                       F.col("_o.dir").alias("direction")))
+    j = contrib.join(base, ["ix", "iy"])
+    dd = F.col("v") - F.col("vs")
+    return (j.groupBy("direction", "d2")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum(dd * dd) / (2.0 * F.count("*")), 6)
+                 .alias("gamma"))
+            .select("direction",
+                    F.col("d2").cast("int").alias("d2"),
+                    F.round(F.sqrt(F.col("d2").cast("double")), 6)
+                    .alias("lag"),
+                    "n_pairs", "gamma"))
+
+
+def variogram_directional_sql(dem_path: str, max_d2: int = 8,
+                              value_col: str = "elevation") -> str:
+    """DuckDB oracle: identical decode, tagged offset table, join, and
+    per-(direction, lag) reduction."""
+    offs = _variogram_offsets(max_d2)
+
+    def _dir(dx, dy):
+        if dy == 0:
+            return "EW"
+        if dx == 0:
+            return "NS"
+        return "NE" if dx * dy > 0 else "NW"
+
+    rows = ", ".join(
+        f"({dx}, {dy}, {dx * dx + dy * dy}, '{_dir(dx, dy)}')"
+        for dx, dy in offs)
+    return f"""
+WITH vdb AS (
+  SELECT CAST(cell % 4294967296 AS BIGINT) AS ix,
+         CAST(FLOOR(cell / 4294967296.0) AS BIGINT) AS iy,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM read_parquet('{dem_path}')
+),
+vdo (dx, dy, d2, direction) AS (VALUES {rows}),
+vdc AS (
+  SELECT ix - dx AS ix, iy - dy AS iy, v AS vs, d2, direction
+  FROM vdb, vdo
+),
+vdj AS (
+  SELECT c.direction, c.d2, b.v, c.vs
+  FROM vdc c JOIN vdb b ON c.ix = b.ix AND c.iy = b.iy
+)
+SELECT direction, CAST(d2 AS INT) AS d2,
+       ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((v - vs) * (v - vs)) / (2.0 * COUNT(*)), 6) AS gamma
+FROM vdj GROUP BY direction, d2
+"""
+
+
+def percentile_stretch(px: DataFrame,
+                       key_cols: Tuple[str, ...] = ("doc_id",),
+                       value_col: str = "v") -> DataFrame:
+    """Percentile normalization (histogram equalization) of a band per
+    scene — the contrast stretch that makes values comparable across
+    scenes with different illumination/sensor gain before thresholding
+    or ML: each pixel's value maps to its per-key percent rank
+    ∈ [0, 1] (ties share a rank, exactly Spark's/DuckDB's
+    ``percent_rank`` definition), plus the per-key min-max stretch as a
+    second normalized column.
+
+    Shape: ONE key window (percent_rank and both extremes share the
+    partitioning; min/max come from a key agg broadcast back to avoid
+    an unbounded-frame re-sort), one exchange at pixel cardinality.
+    """
+    from pyspark.sql import Window as _W
+    # NULLS LAST to match DuckDB's default window ordering (Spark's
+    # ascending default is nulls-first; nodata pixels would shift every
+    # non-null rank by the null count otherwise).
+    w = _W.partitionBy(*key_cols).orderBy(
+        F.col(value_col).asc_nulls_last())
+    ext = px.groupBy(*key_cols).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
+    j = px.join(F.broadcast(ext), on=list(key_cols))
+    rng = F.col("_hi") - F.col("_lo")
+    return j.select(
+        *key_cols, "x", "y",
+        F.round(F.col(value_col), 6).alias("v"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        (F.round((F.col(value_col) - F.col("_lo"))
+                 / F.when(rng != 0, rng), 6) + 0.0).alias("stretched"))
+
+
+def percentile_stretch_sql(pixels_sql: str,
+                           key_cols: Tuple[str, ...] = ("doc_id",),
+                           value_col: str = "v") -> str:
+    """DuckDB oracle: identical window rank and min-max stretch."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH pssrc AS ({pixels_sql}),
+pse AS (
+  SELECT {keys}, MIN({value_col}) AS lo, MAX({value_col}) AS hi
+  FROM pssrc GROUP BY {keys}
+)
+SELECT {keys}, x, y,
+       ROUND({value_col}, 6) AS v,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY {keys}
+                                  ORDER BY {value_col}), 6) AS pct_rank,
+       ROUND(({value_col} - lo) / NULLIF(hi - lo, 0), 6) + 0.0
+         AS stretched
+FROM pssrc JOIN pse USING ({keys})
+"""

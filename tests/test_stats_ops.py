@@ -456,3 +456,80 @@ def test_ab_ztest_unit_level_not_event_level(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string")
     out = CHK.ab_ztest(df).collect()[0]
     assert (out["n0"], out["x0"], out["n1"], out["x1"]) == (2, 1, 2, 0)
+
+
+# ----------------------------------------------------------- region label
+
+def test_region_label_components_and_diagonals(spark):
+    # L-shaped region {(0,0),(1,0),(1,1)}, separate region {(4,4),(5,4)},
+    # and (3,1) which touches (1,1)/(4,4) only DIAGONALLY -> own label
+    cells = [("d", 0, 0), ("d", 1, 0), ("d", 1, 1),
+             ("d", 4, 4), ("d", 5, 4),
+             ("d", 2, 2)]
+    df = spark.createDataFrame(cells, "doc_id string, ix long, iy long")
+    out = {(r["ix"], r["iy"]): r["label"]
+           for r in SP.region_label(df).collect()}
+    lab_l = 0 * 2 ** 32 + 0
+    assert out[(0, 0)] == out[(1, 0)] == out[(1, 1)] == lab_l
+    lab_r = 4 * 2 ** 32 + 4
+    assert out[(4, 4)] == out[(5, 4)] == lab_r
+    # diagonal neighbor of (1,1) stays its own component (4-connectivity)
+    assert out[(2, 2)] == 2 * 2 ** 32 + 2
+
+
+def test_region_label_key_isolation_and_long_chain(spark):
+    # a 12-cell snake (diameter > a few rounds) labels to its min id;
+    # the same coordinates in another doc do NOT merge across keys
+    snake = [("a", i, 0) for i in range(6)] + [("a", 5, j) for j in range(1, 7)]
+    other = [("b", 0, 0), ("b", 5, 6)]
+    df = spark.createDataFrame(snake + other,
+                               "doc_id string, ix long, iy long")
+    out = SP.region_label(df).collect()
+    a = {(r["ix"], r["iy"]): r["label"] for r in out if r["doc_id"] == "a"}
+    b = {(r["ix"], r["iy"]): r["label"] for r in out if r["doc_id"] == "b"}
+    assert set(a.values()) == {0}  # min id = (0,0) -> 0
+    assert b[(0, 0)] == 0 and b[(5, 6)] == 6 * 2 ** 32 + 5
+
+
+# ------------------------------------------------- directional variogram
+
+def test_variogram_directional_anisotropy(spark):
+    # v = x on a 5x5 grid: EW pairs differ by |dx|, NS pairs by 0 ->
+    # gamma(EW, d2=1) = 0.5, gamma(NS, d2=1) = 0, diagonals = 0.5
+    cells = [(y * 2 ** 32 + x, float(x)) for x in range(5) for y in range(5)]
+    dem = spark.createDataFrame(cells, "cell long, elevation double")
+    out = {(r["direction"], r["d2"]): r
+           for r in SP.variogram_directional(dem).collect()}
+    assert out[("EW", 1)]["gamma"] == pytest.approx(0.5)
+    assert out[("NS", 1)]["gamma"] == pytest.approx(0.0)
+    assert out[("NE", 2)]["gamma"] == pytest.approx(0.5)
+    assert out[("NW", 2)]["gamma"] == pytest.approx(0.5)
+    # EW at d2=4 (dx=2): gamma = 4/2 = 2
+    assert out[("EW", 4)]["gamma"] == pytest.approx(2.0)
+    assert out[("EW", 1)]["n_pairs"] == 20
+
+
+# ---------------------------------------------------- percentile stretch
+
+def test_percentile_stretch_ties_and_extremes(spark):
+    px = [("d", 0.0, 0.0, 10.0), ("d", 20.0, 0.0, 20.0),
+          ("d", 40.0, 0.0, 20.0), ("d", 60.0, 0.0, 40.0)]
+    df = spark.createDataFrame(px, "doc_id string, x double, y double, v double")
+    out = {r["x"]: r for r in
+           SP.percentile_stretch(df, value_col="v").collect()}
+    assert out[0.0]["pct_rank"] == 0.0
+    assert out[20.0]["pct_rank"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[40.0]["pct_rank"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[60.0]["pct_rank"] == 1.0
+    assert out[0.0]["stretched"] == 0.0
+    assert out[20.0]["stretched"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[60.0]["stretched"] == 1.0
+
+
+def test_percentile_stretch_constant_band_guard(spark):
+    px = [("d", 0.0, 0.0, 5.0), ("d", 20.0, 0.0, 5.0)]
+    df = spark.createDataFrame(px, "doc_id string, x double, y double, v double")
+    out = SP.percentile_stretch(df, value_col="v").collect()
+    for r in out:
+        assert r["pct_rank"] == 0.0      # all tie at the bottom
+        assert r["stretched"] is None    # zero range -> guarded NULL
