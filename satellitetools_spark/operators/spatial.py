@@ -2557,3 +2557,169 @@ SELECT {keys}, x, y,
          AS stretched
 FROM pssrc JOIN pse USING ({keys})
 """
+
+
+def idw_grid(points: DataFrame, stations: DataFrame, radius: float,
+             power: float = 2.0, cell_m: float = CELL_SIZE_M,
+             value_col: str = "v",
+             station_id_col: str = "station_id") -> DataFrame:
+    """Inverse-distance-weighted interpolation: predict a station-borne
+    field (elevation, temperature, rain) at arbitrary points from the
+    stations within ``radius`` — the gridding step behind every
+    "surface from sparse sensors" product. Weight ``1/d^power`` with a
+    1e-12 floor on d² so a point sitting exactly on a station takes
+    (numerically) that station's value.
+
+    Shape: :func:`distance_join` candidates (station disc → constant
+    bbox-cell replication, broadcast; points touch ONE codegen cell id
+    + broadcast hash join, zero point-cardinality shuffles) → one hash
+    agg per point. Points with no station in range are dropped (emit
+    ``n_stations`` so the caller can distinguish sparse coverage).
+    At 10¹² points this is one map-side-combinable agg; nothing
+    quadratic, no global sort.
+    """
+    pairs = (distance_join(points, stations, radius=radius,
+                           cell_m=cell_m, station_id_col=station_id_col)
+             .join(F.broadcast(stations.select(
+                 station_id_col, F.col(value_col).alias("_sv"))),
+                 station_id_col))
+    d2 = ((F.col("x") - F.col("sx")) ** 2
+          + (F.col("y") - F.col("sy")) ** 2)
+    w = F.lit(1.0) / F.greatest(d2, F.lit(1e-12)) ** (power / 2.0)
+    keys = [c for c in points.columns if c not in ("x", "y")]
+    return (pairs
+            .groupBy(*keys, "x", "y")
+            .agg((F.round(F.sum(w * F.col("_sv")) / F.sum(w), 6) + 0.0)
+                 .alias("idw"),
+                 F.count("*").cast("long").alias("n_stations")))
+
+
+def idw_grid_sql(points_sql: str, stations_sql: str, radius: float,
+                 power: float = 2.0, value_col: str = "v",
+                 key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+    """DuckDB oracle: brute-force cross join with the identical weight
+    formula — an INDEPENDENT candidate algorithm, so bbox-cell
+    replication provably neither misses nor duplicates a pair."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH iwp AS ({points_sql}),
+iws AS ({stations_sql}),
+iwj AS (
+  SELECT p.*, s.{value_col} AS sv,
+         (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy) AS d2
+  FROM iwp p, iws s
+  WHERE (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)
+        <= {float(radius) ** 2!r}
+)
+SELECT {keys}, x, y,
+       ROUND(SUM(sv / POWER(GREATEST(d2, 1e-12), {power / 2.0!r}))
+             / SUM(1.0 / POWER(GREATEST(d2, 1e-12), {power / 2.0!r})), 6)
+         + 0.0 AS idw,
+       CAST(COUNT(*) AS BIGINT) AS n_stations
+FROM iwj GROUP BY {keys}, x, y
+"""
+
+
+def _gwr_offsets(max_d2: int):
+    """Full-plane offset classes (incl. self) up to squared distance
+    ``max_d2`` — each neighbor contributes to each center once."""
+    r = int(math.isqrt(max_d2)) + 1
+    return [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+            if dx * dx + dy * dy <= max_d2]
+
+
+def local_regression(cells: DataFrame, x_col: str, y_col: str,
+                     max_d2: int = 8, bandwidth: float = 2.0) -> DataFrame:
+    """Geographically weighted regression (GWR-lite): at every cell, a
+    kernel-weighted ordinary-least-squares fit of ``y_col`` on
+    ``x_col`` over the neighborhood within squared offset ``max_d2`` —
+    the spatially-varying-coefficient map ("where does NDVI respond to
+    elevation, and how strongly?") that a single global regression
+    averages away. Gaussian kernel ``w = exp(-d²/(2·bw²))`` with
+    bandwidth in cell units; weights are per-offset-class constants, so
+    they are embedded as literals and bit-identical across engines.
+
+    Shape: the :func:`variogram` machinery pointed at regression — a
+    constant |offsets|× sender explode, ONE co-partitioned grid
+    equi-join, and a hash agg per center cell accumulating the five
+    weighted moments (Σw, Σwx, Σwy, Σwx², Σwxy); slope/intercept are
+    closed-form from those. At 10¹² cells: |offsets|·cells rows through
+    one local join, agg at cell cardinality, nothing quadratic.
+    Degenerate neighborhoods (constant predictor) yield NULL slope.
+    """
+    offs = _gwr_offsets(max_d2)
+    base = cells.select(
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col(x_col).cast("double").alias("xv"),
+        F.col(y_col).cast("double").alias("yv"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(math.exp(-(dx * dx + dy * dy)
+                                / (2.0 * bandwidth * bandwidth)))
+                 .alias("w"))
+        for dx, dy in offs])).alias("_o")
+    # sender (ix,iy) contributes its (xv,yv) to center (ix-dx, iy-dy)
+    contrib = (base.select("ix", "iy", "xv", "yv", off)
+               .select((F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"),
+                       "xv", "yv", F.col("_o.w").alias("w")))
+    centers = base.select("ix", "iy")
+    j = contrib.join(centers, ["ix", "iy"])
+    w, xv, yv = F.col("w"), F.col("xv"), F.col("yv")
+    agg = (j.groupBy("ix", "iy")
+           .agg(F.sum(w).alias("sw"),
+                F.sum(w * xv).alias("swx"),
+                F.sum(w * yv).alias("swy"),
+                F.sum(w * xv * xv).alias("swxx"),
+                F.sum(w * xv * yv).alias("swxy"),
+                F.count("*").cast("long").alias("n_neigh")))
+    den = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    num = F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+    slope = F.when(F.abs(den) > 1e-12, num / den)
+    return agg.select(
+        "ix", "iy", "n_neigh",
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (F.round((F.col("swy") - slope * F.col("swx")) / F.col("sw"), 6)
+         + 0.0).alias("intercept"))
+
+
+def local_regression_sql(cells_sql: str, x_col: str, y_col: str,
+                         max_d2: int = 8,
+                         bandwidth: float = 2.0) -> str:
+    """DuckDB oracle: identical offset/weight table, join, moment
+    folds, and closed-form read-off."""
+    offs = _gwr_offsets(max_d2)
+    rows = ", ".join(
+        f"({dx}, {dy}, "
+        f"{math.exp(-(dx * dx + dy * dy) / (2.0 * bandwidth * bandwidth))!r})"
+        for dx, dy in offs)
+    return f"""
+WITH gwb AS (
+  SELECT CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+         CAST({x_col} AS DOUBLE) AS xv, CAST({y_col} AS DOUBLE) AS yv
+  FROM ({cells_sql})
+),
+gwo (dx, dy, w) AS (VALUES {rows}),
+gwc AS (
+  SELECT ix - dx AS ix, iy - dy AS iy, xv, yv, w FROM gwb, gwo
+),
+gwj AS (
+  SELECT c.ix, c.iy, c.xv, c.yv, c.w
+  FROM gwc c JOIN (SELECT ix, iy FROM gwb) b ON c.ix = b.ix AND c.iy = b.iy
+),
+gwa AS (
+  SELECT ix, iy, SUM(w) AS sw, SUM(w * xv) AS swx, SUM(w * yv) AS swy,
+         SUM(w * xv * xv) AS swxx, SUM(w * xv * yv) AS swxy,
+         CAST(COUNT(*) AS BIGINT) AS n_neigh
+  FROM gwj GROUP BY ix, iy
+)
+SELECT ix, iy, n_neigh,
+       ROUND(CASE WHEN ABS(sw * swxx - swx * swx) > 1e-12
+             THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+             END, 6) + 0.0 AS slope,
+       ROUND((swy - (CASE WHEN ABS(sw * swxx - swx * swx) > 1e-12
+                     THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+                     END) * swx) / sw, 6) + 0.0 AS intercept
+FROM gwa
+"""

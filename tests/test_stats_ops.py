@@ -533,3 +533,74 @@ def test_percentile_stretch_constant_band_guard(spark):
     for r in out:
         assert r["pct_rank"] == 0.0      # all tie at the bottom
         assert r["stretched"] is None    # zero range -> guarded NULL
+
+
+# --------------------------------------------------------------- idw grid
+
+def test_idw_grid_hand_weighted_mean(spark):
+    # point at origin; stations at d=1 (v=10) and d=2 (v=40), power=2:
+    # w1=1, w2=0.25 -> idw = (10 + 10) / 1.25 = 16
+    pts = spark.createDataFrame(
+        [("d", 0.0, 0.0)], "doc_id string, x double, y double")
+    st = spark.createDataFrame(
+        [(1, 1.0, 0.0, 10.0), (2, 0.0, 2.0, 40.0)],
+        "station_id long, sx double, sy double, v double")
+    out = SP.idw_grid(pts, st, radius=5.0, cell_m=10.0).collect()
+    assert len(out) == 1
+    assert out[0]["idw"] == pytest.approx(16.0)
+    assert out[0]["n_stations"] == 2
+
+
+def test_idw_grid_on_station_takes_its_value(spark):
+    # point coincident with a station: 1e-12 d2 floor makes its weight
+    # 1e12 vs the other station's 1 -> idw ~= the coincident value
+    pts = spark.createDataFrame(
+        [("d", 3.0, 4.0)], "doc_id string, x double, y double")
+    st = spark.createDataFrame(
+        [(1, 3.0, 4.0, 7.0), (2, 4.0, 4.0, 100.0)],
+        "station_id long, sx double, sy double, v double")
+    out = SP.idw_grid(pts, st, radius=5.0, cell_m=10.0).collect()
+    assert out[0]["idw"] == pytest.approx(7.0, abs=1e-4)
+
+
+def test_idw_grid_out_of_range_point_dropped(spark):
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 100.0, 100.0)],
+        "doc_id string, x double, y double")
+    st = spark.createDataFrame(
+        [(1, 1.0, 0.0, 10.0)], "station_id long, sx double, sy double, v double")
+    out = SP.idw_grid(pts, st, radius=5.0, cell_m=10.0).collect()
+    assert [r["doc_id"] for r in out] == ["a"]
+
+
+# ------------------------------------------------- local regression (GWR)
+
+def test_local_regression_recovers_planted_line(spark):
+    # exact linear field y = 2x + 1 with x varying across the grid:
+    # every center's weighted OLS must return slope 2, intercept 1
+    cells = [(ix, iy, float(ix + 3 * iy), 2.0 * (ix + 3 * iy) + 1.0)
+             for ix in range(5) for iy in range(5)]
+    df = spark.createDataFrame(cells, "ix long, iy long, xv double, yv double")
+    out = SP.local_regression(df, "xv", "yv", max_d2=2).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r["slope"] == pytest.approx(2.0, abs=1e-6)
+        assert r["intercept"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_local_regression_constant_predictor_null_slope(spark):
+    cells = [(ix, 0, 5.0, float(ix)) for ix in range(4)]
+    df = spark.createDataFrame(cells, "ix long, iy long, xv double, yv double")
+    out = SP.local_regression(df, "xv", "yv", max_d2=1).collect()
+    for r in out:
+        assert r["slope"] is None
+
+
+def test_local_regression_neighborhood_is_local(spark):
+    # two separated 1-cell islands with different local slopes: each
+    # center only sees itself (max_d2=1 reaches nothing at distance>=2),
+    # so a lone cell is degenerate -> NULL slope (n_neigh == 1)
+    cells = [(0, 0, 1.0, 3.0), (10, 10, 2.0, 9.0)]
+    df = spark.createDataFrame(cells, "ix long, iy long, xv double, yv double")
+    out = SP.local_regression(df, "xv", "yv", max_d2=1).collect()
+    assert all(r["n_neigh"] == 1 and r["slope"] is None for r in out)
