@@ -2723,3 +2723,177 @@ SELECT ix, iy, n_neigh,
                      END) * swx) / sw, 6) + 0.0 AS intercept
 FROM gwa
 """
+
+
+def geary_c(px: DataFrame, value_col: str = "elevation",
+            doc_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
+            gsd_col: str = "gsd") -> DataFrame:
+    """Global Geary's C under queen contiguity — Moran's I's
+    pair-difference twin, more sensitive to LOCAL structure:
+    ``C = ((n−1)·Σᵢⱼ wᵢⱼ(xᵢ−xⱼ)²) / (2W·Σᵢ(xᵢ−μ)²)`` over ordered
+    neighbor pairs; C < 1 clustered, C > 1 dispersed, E[C] = 1.
+
+    Shape: one 1-row mean agg broadcast back, a constant 8× queen-offset
+    explode on the sender side + ONE co-partitioned grid equi-join (no
+    self-cross), then two tiny reductions (pair sum, cell sum) crossed
+    at one row each. At 10¹² cells: 8n rows through one local join,
+    nothing quadratic, no window. Squared differences are written as
+    products (never ``pow``) so both engines round the identical double.
+    """
+    mu = px.agg(F.avg(F.col(value_col).cast("double")).alias("_mu"))
+    base = (px.crossJoin(F.broadcast(mu))
+            .select(F.col(doc_col).alias("d"),
+                    F.floor(F.col(x_col) / F.col(gsd_col)).cast("long")
+                    .alias("ix"),
+                    F.floor(F.col(y_col) / F.col(gsd_col)).cast("long")
+                    .alias("iy"),
+                    (F.col(value_col).cast("double") - F.col("_mu"))
+                    .alias("z")))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in sorted(QUEEN)])).alias("_o")
+    contrib = (base.select("d", "ix", "iy", F.col("z").alias("zs"), off)
+               .select("d", (F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"), "zs"))
+    dz = F.col("z") - F.col("zs")
+    pairs = (contrib.join(base, ["d", "ix", "iy"])
+             .agg(F.count("*").cast("long").alias("w_links"),
+                  F.sum(dz * dz).alias("_s")))
+    cells = base.agg(F.count("*").alias("_n"),
+                     F.sum(F.col("z") * F.col("z")).alias("_ssq"))
+    return (cells.crossJoin(pairs)
+            .select(F.col("_n").cast("long").alias("n_cells"), "w_links",
+                    (F.round(((F.col("_n") - 1) * F.col("_s"))
+                             / (2.0 * F.col("w_links") * F.col("_ssq")), 6)
+                     + 0.0).alias("geary_c"),
+                    F.lit(1.0).alias("e_c")))
+
+
+def geary_c_sql(cells_sql: str, value_sql: str = "elevation") -> str:
+    """DuckDB oracle: identical mean-deviation, VALUES offset table, the
+    same grid equi-join and two-reduction readout. ``cells_sql`` must
+    yield (doc_id, ix, iy) plus the value expression's inputs."""
+    rows = ", ".join(f"({dx}, {dy})" for dx, dy in sorted(QUEEN))
+    return f"""
+WITH gcb AS (
+  SELECT doc_id AS d, ix, iy,
+         CAST({value_sql} AS DOUBLE)
+         - AVG(CAST({value_sql} AS DOUBLE)) OVER () AS z
+  FROM ({cells_sql})
+),
+gco (dx, dy) AS (VALUES {rows}),
+gcp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_links,
+         SUM((b.z - c.zs) * (b.z - c.zs)) AS s
+  FROM (SELECT d, ix - dx AS ix, iy - dy AS iy, z AS zs
+        FROM gcb, gco) c
+  JOIN gcb b ON c.d = b.d AND c.ix = b.ix AND c.iy = b.iy
+),
+gcc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(z * z) AS ssq FROM gcb
+)
+SELECT n_cells, w_links,
+       ROUND(((n_cells - 1) * s) / (2.0 * w_links * ssq), 6) + 0.0
+         AS geary_c,
+       1.0 AS e_c
+FROM gcc, gcp
+"""
+
+
+def join_counts(cells: DataFrame, bool_col: str,
+                key_cols: Tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Join-count statistics of a binary raster under queen contiguity —
+    the categorical autocorrelation test (is the TRUE class spatially
+    clumped?): observed ordered neighbor-pair counts BB / WW / BW per
+    key, against the free-sampling expectations ``W·p²``, ``W·(1−p)²``,
+    ``W·2p(1−p)`` with ``p`` the TRUE-cell fraction. BB ≫ E[BB] means
+    the mask clumps; all counts are over ordered (directed) links so W
+    matches :func:`morans_i`'s ``w_links`` accounting.
+
+    Shape: constant 8× queen explode + ONE co-partitioned grid
+    equi-join, one key-cardinality pair agg, one key-cardinality cell
+    agg, broadcast-joined for the readout. Nothing quadratic; at 10¹²
+    cells the pair join is 8n rows through one shuffle.
+    """
+    keys = list(key_cols)
+    base = cells.select(
+        *keys, F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col(bool_col).cast("boolean").cast("int").alias("b"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in sorted(QUEEN)])).alias("_o")
+    contrib = (base.select(*keys, "ix", "iy", F.col("b").alias("bs"), off)
+               .select(*keys, (F.col("ix") - F.col("_o.dx")).alias("ix"),
+                       (F.col("iy") - F.col("_o.dy")).alias("iy"), "bs"))
+    pairs = (contrib.join(base, keys + ["ix", "iy"])
+             .groupBy(*keys)
+             .agg(F.count("*").cast("long").alias("w_links"),
+                  F.sum(F.col("b") * F.col("bs")).cast("long").alias("bb"),
+                  F.sum((1 - F.col("b")) * (1 - F.col("bs"))).cast("long")
+                  .alias("ww")))
+    frac = (base.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 (F.sum("b") / F.count("*")).alias("_p")))
+    p = F.col("_p")
+    # left join from the cell side so a key with NO realized links (an
+    # isolated raster) still reports zeros instead of vanishing
+    joined = (frac.join(pairs, keys, "left")
+              .withColumn("w_links", F.coalesce("w_links", F.lit(0)))
+              .withColumn("bb", F.coalesce("bb", F.lit(0)))
+              .withColumn("ww", F.coalesce("ww", F.lit(0))))
+    return (joined
+            .select(*keys, "n_cells", "w_links", "bb", "ww",
+                    (F.col("w_links") - F.col("bb") - F.col("ww"))
+                    .alias("bw"),
+                    (F.round(F.col("w_links") * p * p, 6) + 0.0)
+                    .alias("e_bb"),
+                    (F.round(F.col("w_links") * (1 - p) * (1 - p), 6)
+                     + 0.0).alias("e_ww"),
+                    (F.round(F.col("w_links") * 2 * p * (1 - p), 6) + 0.0)
+                    .alias("e_bw"))
+            .orderBy(*keys))
+
+
+def join_counts_sql(cells_sql: str, bool_sql: str,
+                    key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+    """DuckDB oracle: identical offset table, join, and expectation
+    formulas. ``cells_sql`` must yield the keys, ix, iy, and the boolean
+    expression's inputs."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"c.{k} = b.{k}" for k in key_cols)
+    rows = ", ".join(f"({dx}, {dy})" for dx, dy in sorted(QUEEN))
+    return f"""
+WITH jcb AS (
+  SELECT {keys}, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+         CAST(CAST(({bool_sql}) AS BOOLEAN) AS INT) AS b
+  FROM ({cells_sql})
+),
+jco (dx, dy) AS (VALUES {rows}),
+jcp AS (
+  SELECT {', '.join('b.' + k for k in key_cols)},
+         CAST(COUNT(*) AS BIGINT) AS w_links,
+         CAST(SUM(b.b * c.bs) AS BIGINT) AS bb,
+         CAST(SUM((1 - b.b) * (1 - c.bs)) AS BIGINT) AS ww
+  FROM (SELECT {keys}, ix - dx AS ix, iy - dy AS iy, b AS bs
+        FROM jcb, jco) c
+  JOIN jcb b ON {on} AND c.ix = b.ix AND c.iy = b.iy
+  GROUP BY {', '.join('b.' + k for k in key_cols)}
+),
+jcf AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         SUM(b) / COUNT(*) AS p
+  FROM jcb GROUP BY {keys}
+)
+SELECT {', '.join('f.' + k for k in key_cols)}, f.n_cells,
+       COALESCE(p.w_links, 0) AS w_links,
+       COALESCE(p.bb, 0) AS bb, COALESCE(p.ww, 0) AS ww,
+       COALESCE(p.w_links, 0) - COALESCE(p.bb, 0) - COALESCE(p.ww, 0)
+         AS bw,
+       ROUND(COALESCE(p.w_links, 0) * f.p * f.p, 6) + 0.0 AS e_bb,
+       ROUND(COALESCE(p.w_links, 0) * (1 - f.p) * (1 - f.p), 6) + 0.0
+         AS e_ww,
+       ROUND(COALESCE(p.w_links, 0) * 2 * f.p * (1 - f.p), 6) + 0.0
+         AS e_bw
+FROM jcf f LEFT JOIN jcp p USING ({keys})
+"""

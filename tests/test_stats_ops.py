@@ -604,3 +604,62 @@ def test_local_regression_neighborhood_is_local(spark):
     df = spark.createDataFrame(cells, "ix long, iy long, xv double, yv double")
     out = SP.local_regression(df, "xv", "yv", max_d2=1).collect()
     assert all(r["n_neigh"] == 1 and r["slope"] is None for r in out)
+
+
+# ---------------------------------------------------------------- Geary C
+
+def _dem_px(spark, cells):
+    return spark.createDataFrame(
+        [("dem", x * 10.0 + 5.0, y * 10.0 + 5.0, v, 10.0)
+         for x, y, v in cells],
+        "doc_id string, x double, y double, elevation double, gsd double")
+
+
+def test_geary_c_checkerboard_hand_value(spark):
+    # 4x4 perfect checkerboard of 0/1: rook pairs differ by 1, diagonals
+    # equal -> S = 48 (ordered), W = 84 (ordered queen), ssq = 4, n = 16
+    # C = (15 * 48) / (2 * 84 * 4) = 1.071429 (dispersed, > 1)
+    cells = [(x, y, float((x + y) % 2)) for x in range(4) for y in range(4)]
+    out = SP.geary_c(_dem_px(spark, cells)).collect()[0]
+    assert out["n_cells"] == 16
+    assert out["w_links"] == 84
+    assert out["geary_c"] == pytest.approx(15 * 48 / (2 * 84 * 4), abs=1e-6)
+    assert out["e_c"] == 1.0
+
+
+def test_geary_c_gradient_is_clustered(spark):
+    # smooth gradient v = x: neighbor differences are tiny relative to
+    # global variance -> C well below 1 (clustered), Moran's I positive
+    cells = [(x, y, float(x)) for x in range(8) for y in range(8)]
+    out = SP.geary_c(_dem_px(spark, cells)).collect()[0]
+    assert out["geary_c"] < 0.5
+
+
+# ------------------------------------------------------------ join counts
+
+def test_join_counts_all_true(spark):
+    cells = [("d", x, y, True) for x in range(2) for y in range(2)]
+    df = spark.createDataFrame(cells, "doc_id string, ix long, iy long, g boolean")
+    out = SP.join_counts(df, "g").collect()[0]
+    assert out["w_links"] == 12          # 4 cells x 3 queen neighbors
+    assert out["bb"] == 12 and out["ww"] == 0 and out["bw"] == 0
+    assert out["e_bb"] == pytest.approx(12.0)
+
+
+def test_join_counts_checkerboard_hand_counts(spark):
+    cells = [("d", x, y, (x + y) % 2 == 0) for x in range(2) for y in range(2)]
+    df = spark.createDataFrame(cells, "doc_id string, ix long, iy long, g boolean")
+    out = SP.join_counts(df, "g").collect()[0]
+    assert out["n_cells"] == 4 and out["w_links"] == 12
+    assert out["bb"] == 2 and out["ww"] == 2 and out["bw"] == 8
+    # p = 0.5: E[BB] = 12 * 0.25 = 3, E[BW] = 12 * 0.5 = 6
+    assert out["e_bb"] == pytest.approx(3.0)
+    assert out["e_bw"] == pytest.approx(6.0)
+
+
+def test_join_counts_key_isolation(spark):
+    # two docs occupying adjacent grid cells must NOT pair across keys
+    cells = [("a", 0, 0, True), ("b", 1, 0, True)]
+    df = spark.createDataFrame(cells, "doc_id string, ix long, iy long, g boolean")
+    out = {r["doc_id"]: r for r in SP.join_counts(df, "g").collect()}
+    assert out["a"]["w_links"] == 0 and out["b"]["w_links"] == 0
