@@ -2328,7 +2328,7 @@ _NEIGH4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
 
 def region_label(cells: DataFrame,
                  key_cols: Tuple[str, ...] = ("doc_id",),
-                 max_iters: int = 64) -> DataFrame:
+                 max_iters: int = 64, connectivity: int = 4) -> DataFrame:
     """Connected-component labeling of a foreground cell raster per key
     (4-connectivity) — raster blob detection: which contiguous patches
     form one field / burn scar / bloom, as the precursor of object-based
@@ -2358,9 +2358,15 @@ def region_label(cells: DataFrame,
     # decimal(38,0) so the ANSI overflow check never trips.
     _sig = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_total = lab.agg(_sig).collect()[0][0]
+    if connectivity == 4:
+        neigh = _NEIGH4
+    elif connectivity == 8:
+        neigh = sorted(QUEEN)
+    else:
+        raise ValueError("region_label: connectivity must be 4 or 8")
     off = F.explode(F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx, dy in _NEIGH4])).alias("_o")
+        for dx, dy in neigh])).alias("_o")
     for _ in range(max_iters):
         sent = (lab.select(*key_cols, "ix", "iy", "label", off)
                 .select(*key_cols,
@@ -2383,14 +2389,22 @@ def region_label(cells: DataFrame,
 
 
 def region_label_sql(cells_sql: str,
-                     key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+                     key_cols: Tuple[str, ...] = ("doc_id",),
+                     connectivity: int = 4) -> str:
     """DuckDB oracle: recursive reachability closure through foreground
-    4-neighbors, labeled by the min reachable cell id — an independent
-    algorithm (transitive closure, not iterative relaxation)."""
+    4- (or 8-) neighbors, labeled by the min reachable cell id — an
+    independent algorithm (transitive closure, not iterative
+    relaxation)."""
     keys = ", ".join(key_cols)
     on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
     akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
     ron = " AND ".join(f"r.{k} = e.{k}" for k in key_cols)
+    if connectivity == 4:
+        adj = "ABS(a.ix - b.ix) + ABS(a.iy - b.iy) = 1"
+    elif connectivity == 8:
+        adj = ("GREATEST(ABS(a.ix - b.ix), ABS(a.iy - b.iy)) = 1")
+    else:
+        raise ValueError("region_label_sql: connectivity must be 4 or 8")
     return f"""
 WITH rlsrc AS ({cells_sql}),
 rlb AS (
@@ -2400,7 +2414,7 @@ rlb AS (
 rledge AS (
   SELECT {akeys}, a.ix AS ix, a.iy AS iy, b.ix AS tix, b.iy AS tiy
   FROM rlb a JOIN rlb b ON {on}
-   AND ABS(a.ix - b.ix) + ABS(a.iy - b.iy) = 1
+   AND {adj}
 ),
 rlreach AS (
   WITH RECURSIVE r({keys}, ix, iy, rix, riy) AS (
@@ -2896,4 +2910,121 @@ SELECT {', '.join('f.' + k for k in key_cols)}, f.n_cells,
        ROUND(COALESCE(p.w_links, 0) * 2 * f.p * (1 - f.p), 6) + 0.0
          AS e_bw
 FROM jcf f LEFT JOIN jcp p USING ({keys})
+"""
+
+
+def grid_dbscan(cells: DataFrame,
+                key_cols: Tuple[str, ...] = ("doc_id",),
+                min_pts: int = 4, max_iters: int = 64) -> DataFrame:
+    """Deterministic grid DBSCAN per key — density-based clustering of a
+    foreground cell mask (eps = one queen step): a cell whose closed
+    queen neighborhood holds ≥ ``min_pts`` foreground cells is a CORE;
+    clusters are connected components of cores (8-connectivity, labeled
+    by the min reachable core id, so labels are stable and
+    partitioning-independent); a non-core cell adjacent to a core is a
+    BORDER assigned the minimum adjacent core label (the deterministic
+    stand-in for scan-order assignment); everything else is NOISE with a
+    NULL label. Unlike plain connected components this separates dense
+    blobs from one-cell filaments bridging them.
+
+    Shape: ONE queen explode + co-partitioned grid join for the density
+    count, the :func:`region_label` Pregel fixpoint over CORES ONLY
+    (diameter-bounded rounds, one shuffle each), and one more
+    constant-fanout join to attach borders. At 10¹² cells nothing is
+    quadratic and every join is on the co-partitioned (key, ix, iy) grid
+    key.
+    """
+    keys = list(key_cols)
+    base = (cells.select(*keys,
+                         F.col("ix").cast("long").alias("ix"),
+                         F.col("iy").cast("long").alias("iy"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in sorted(QUEEN) + [(0, 0)]])).alias("_o")
+    sent = (base.select(*keys, "ix", "iy", off)
+            .select(*keys, (F.col("ix") - F.col("_o.dx")).alias("ix"),
+                    (F.col("iy") - F.col("_o.dy")).alias("iy")))
+    dens = (sent.join(base, keys + ["ix", "iy"])
+            .groupBy(*keys, "ix", "iy")
+            .agg(F.count("*").cast("int").alias("n_in_neigh"))
+            .localCheckpoint(eager=False))
+    cores = dens.filter(F.col("n_in_neigh") >= min_pts)
+    lab = region_label(cores.select(*keys, "ix", "iy"),
+                       key_cols=key_cols, max_iters=max_iters,
+                       connectivity=8)
+    core_out = (cores.join(lab, keys + ["ix", "iy"])
+                .select(*keys, "ix", "iy", "n_in_neigh", "label",
+                        F.lit("core").alias("role")))
+    # borders: non-core foreground adjacent to >=1 core, min label wins
+    noncore = dens.filter(F.col("n_in_neigh") < min_pts)
+    off2 = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in sorted(QUEEN)])).alias("_o")
+    csent = (lab.select(*keys, "ix", "iy", "label", off2)
+             .select(*keys, (F.col("ix") + F.col("_o.dx")).alias("ix"),
+                     (F.col("iy") + F.col("_o.dy")).alias("iy"), "label"))
+    bl = (csent.groupBy(*keys, "ix", "iy")
+          .agg(F.min("label").alias("_bl")))
+    rest = (noncore.join(bl, keys + ["ix", "iy"], "left")
+            .select(*keys, "ix", "iy", "n_in_neigh",
+                    F.col("_bl").alias("label"),
+                    F.when(F.col("_bl").isNotNull(), F.lit("border"))
+                    .otherwise(F.lit("noise")).alias("role")))
+    return core_out.unionByName(rest)
+
+
+def grid_dbscan_sql(cells_sql: str,
+                    key_cols: Tuple[str, ...] = ("doc_id",),
+                    min_pts: int = 4) -> str:
+    """DuckDB oracle: identical density count (VALUES offsets), the
+    recursive-closure :func:`region_label_sql` over cores (independent
+    labeling algorithm), and the same min-adjacent-label border rule."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"s.{k} = b.{k}" for k in key_cols)
+    rows = ", ".join(f"({dx}, {dy})"
+                     for dx, dy in sorted(QUEEN) + [(0, 0)])
+    rows8 = ", ".join(f"({dx}, {dy})" for dx, dy in sorted(QUEEN))
+    core_cells = f"SELECT {keys}, ix, iy FROM dbd WHERE n_in_neigh >= {min_pts}"
+    lab_sub = region_label_sql(core_cells, key_cols=key_cols,
+                               connectivity=8)
+    return f"""
+WITH dbb AS (
+  SELECT DISTINCT {keys}, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+  FROM ({cells_sql})
+),
+dbo (dx, dy) AS (VALUES {rows}),
+dbd AS (
+  SELECT {', '.join('b.' + k for k in key_cols)}, b.ix, b.iy,
+         CAST(COUNT(*) AS INT) AS n_in_neigh
+  FROM (SELECT {keys}, ix - dx AS ix, iy - dy AS iy FROM dbb, dbo) s
+  JOIN dbb b ON {on} AND s.ix = b.ix AND s.iy = b.iy
+  GROUP BY {', '.join('b.' + k for k in key_cols)}, b.ix, b.iy
+),
+dblab AS ({lab_sub}),
+dbcore AS (
+  SELECT d.*, l.label, 'core' AS role
+  FROM dbd d JOIN dblab l
+    ON {' AND '.join(f'd.{k} = l.{k}' for k in key_cols)}
+   AND d.ix = l.ix AND d.iy = l.iy
+  WHERE d.n_in_neigh >= {min_pts}
+),
+dbo8 (dx, dy) AS (VALUES {rows8}),
+dbbl AS (
+  SELECT {keys}, ix + dx AS ix, iy + dy AS iy, MIN(label) AS bl
+  FROM dblab, dbo8 GROUP BY {keys}, ix + dx, iy + dy
+),
+dbrest AS (
+  SELECT {', '.join('d.' + k for k in key_cols)}, d.ix, d.iy,
+         d.n_in_neigh, l.bl AS label,
+         CASE WHEN l.bl IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+  FROM dbd d LEFT JOIN dbbl l
+    ON {' AND '.join(f'd.{k} = l.{k}' for k in key_cols)}
+   AND d.ix = l.ix AND d.iy = l.iy
+  WHERE d.n_in_neigh < {min_pts}
+)
+SELECT * FROM dbcore
+UNION ALL
+SELECT * FROM dbrest
 """

@@ -663,3 +663,59 @@ def test_join_counts_key_isolation(spark):
     df = spark.createDataFrame(cells, "doc_id string, ix long, iy long, g boolean")
     out = {r["doc_id"]: r for r in SP.join_counts(df, "g").collect()}
     assert out["a"]["w_links"] == 0 and out["b"]["w_links"] == 0
+
+
+# ------------------------------------------------------------ grid DBSCAN
+
+def _mask(spark, cells):
+    return spark.createDataFrame([("d", x, y) for x, y in cells],
+                                 "doc_id string, ix long, iy long")
+
+
+def test_grid_dbscan_blobs_filament_roles(spark):
+    # two 3x3 dense blobs joined by a 1-wide filament: the blob-touching
+    # filament cells are core (5 in closed neighborhood), the next ones
+    # border, the middle one noise -> clusters stay separate
+    blob_l = [(x, y) for x in range(3) for y in range(3)]
+    blob_r = [(x, y) for x in range(8, 11) for y in range(3)]
+    filament = [(x, 1) for x in range(3, 8)]
+    out = {(r["ix"], r["iy"]): r for r in
+           SP.grid_dbscan(_mask(spark, blob_l + blob_r + filament),
+                          min_pts=4).collect()}
+    assert len(out) == 23
+    assert out[(0, 0)]["role"] == "core" and out[(0, 0)]["label"] == 0
+    assert out[(3, 1)]["role"] == "core" and out[(3, 1)]["label"] == 0
+    assert out[(4, 1)]["role"] == "border" and out[(4, 1)]["label"] == 0
+    assert out[(5, 1)]["role"] == "noise" and out[(5, 1)]["label"] is None
+    assert out[(6, 1)]["role"] == "border" and out[(6, 1)]["label"] == 8
+    assert out[(8, 0)]["role"] == "core" and out[(8, 0)]["label"] == 8
+    # the two blobs never merge
+    labels = {r["label"] for r in out.values() if r["role"] == "core"}
+    assert labels == {0, 8}
+
+
+def test_grid_dbscan_isolated_cell_is_noise(spark):
+    out = SP.grid_dbscan(_mask(spark, [(5, 5)]), min_pts=2).collect()
+    assert len(out) == 1
+    assert out[0]["role"] == "noise" and out[0]["n_in_neigh"] == 1
+
+
+def test_grid_dbscan_minpts_one_everything_core(spark):
+    # min_pts=1 degenerates to 8-connected component labeling
+    cells = [(0, 0), (1, 1), (5, 5)]
+    out = {(r["ix"], r["iy"]): r for r in
+           SP.grid_dbscan(_mask(spark, cells), min_pts=1).collect()}
+    assert all(r["role"] == "core" for r in out.values())
+    assert out[(0, 0)]["label"] == out[(1, 1)]["label"] == 0
+    assert out[(5, 5)]["label"] == 5 * 2 ** 32 + 5
+
+
+def test_region_label_queen_connectivity_diagonal_merges(spark):
+    # 8-connectivity joins diagonal cells that 4-connectivity separates
+    cells = _mask(spark, [(0, 0), (1, 1)])
+    lab4 = {(r["ix"], r["iy"]): r["label"]
+            for r in SP.region_label(cells).collect()}
+    lab8 = {(r["ix"], r["iy"]): r["label"]
+            for r in SP.region_label(cells, connectivity=8).collect()}
+    assert lab4[(0, 0)] != lab4[(1, 1)]
+    assert lab8[(0, 0)] == lab8[(1, 1)] == 0
