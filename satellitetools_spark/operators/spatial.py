@@ -3028,3 +3028,95 @@ SELECT * FROM dbcore
 UNION ALL
 SELECT * FROM dbrest
 """
+
+
+def shadow_project(px: DataFrame, meta: DataFrame,
+                   cloud_classes: Tuple[int, ...] = (8, 9),
+                   height_m: float = 1000.0,
+                   scl_col: str = "SCL",
+                   exclude_sources: bool = True) -> DataFrame:
+    """Geometric cloud-shadow candidate mask — the Sen2Cor-style step
+    after cloud classification: every cloud pixel casts a shadow
+    ``h·tan(sun_zenith)`` metres along the anti-solar azimuth; pixels
+    whose grid cell receives ≥1 projection (and are not themselves
+    cloud) are shadow CANDIDATES, with ``n_sources`` counting how many
+    cloud pixels project there (deeper stacks → higher confidence).
+    ``exclude_sources=False`` keeps cloud pixels as receivers too —
+    useful when the mask itself is under audit or clouds self-overlap.
+    Azimuth is clockwise-from-north, +y north, so the displacement is
+    ``(+sin(az+π), +cos(az+π))·h·tan(zen)``. Per-doc displacements are
+    rounded to 1e-6 m before the grid snap so both engines floor the
+    identical double (trig libms differ in the last ulp).
+
+    Shape: the per-doc (dx, dy) ride a broadcast meta join; cloud cells
+    shift in pure codegen arithmetic (map-only), collapse to DISTINCT
+    shadow cells with a cloud-cell-cardinality agg, and attach to
+    pixels via ONE equi-join on the co-partitioned (doc, cell) key —
+    no geometry library, nothing quadratic, no window.
+    """
+    m = F.broadcast(meta.select(
+        "doc_id", F.col("target_gsd").alias("_gsd"),
+        F.round(F.lit(float(height_m))
+                * F.tan(F.radians(F.col("sun_zenith")))
+                * F.sin(F.radians(F.col("sun_azimuth") + 180.0)), 6)
+        .alias("_dx"),
+        F.round(F.lit(float(height_m))
+                * F.tan(F.radians(F.col("sun_zenith")))
+                * F.cos(F.radians(F.col("sun_azimuth") + 180.0)), 6)
+        .alias("_dy")))
+    j = px.join(m, "doc_id")
+    is_cloud = F.col(scl_col).isin(*[int(c) for c in cloud_classes])
+    shadows = (j.filter(is_cloud)
+               .groupBy("doc_id",
+                        F.floor((F.col("x") + F.col("_dx")) / F.col("_gsd"))
+                        .cast("long").alias("ix"),
+                        F.floor((F.col("y") + F.col("_dy")) / F.col("_gsd"))
+                        .cast("long").alias("iy"))
+               .agg(F.count("*").cast("long").alias("n_sources")))
+    recv = j.filter(~is_cloud) if exclude_sources else j
+    cand = recv.select("doc_id", "x", "y",
+                       F.floor(F.col("x") / F.col("_gsd")).cast("long")
+                       .alias("ix"),
+                       F.floor(F.col("y") / F.col("_gsd")).cast("long")
+                       .alias("iy"),
+                       F.col(scl_col).cast("int").alias("scl"))
+    return (cand.join(shadows, ["doc_id", "ix", "iy"])
+            .select("doc_id", "x", "y", "scl", "n_sources"))
+
+
+def shadow_project_sql(pixels_sql: str, scenes_sql: str,
+                       cloud_classes: Tuple[int, ...] = (8, 9),
+                       height_m: float = 1000.0,
+                       scl_col: str = "SCL",
+                       exclude_sources: bool = True) -> str:
+    """DuckDB oracle: identical displacement (rounded before the grid
+    snap), DISTINCT shadow cells, same (doc, cell) equi-join."""
+    cls = ", ".join(str(int(c)) for c in cloud_classes)
+    recv = (f"WHERE {scl_col} NOT IN ({cls})" if exclude_sources
+            else "")
+    return f"""
+WITH spm AS (
+  SELECT doc_id, target_gsd AS gsd,
+         ROUND({float(height_m)!r} * tan(radians(sun_zenith))
+               * sin(radians(sun_azimuth + 180.0)), 6) AS dx,
+         ROUND({float(height_m)!r} * tan(radians(sun_zenith))
+               * cos(radians(sun_azimuth + 180.0)), 6) AS dy
+  FROM ({scenes_sql})
+),
+spj AS (
+  SELECT p.*, m.gsd, m.dx, m.dy FROM ({pixels_sql}) p
+  JOIN spm m USING (doc_id)
+),
+sps AS (
+  SELECT doc_id, CAST(FLOOR((x + dx) / gsd) AS BIGINT) AS ix,
+         CAST(FLOOR((y + dy) / gsd) AS BIGINT) AS iy,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM spj WHERE {scl_col} IN ({cls})
+  GROUP BY 1, 2, 3
+)
+SELECT c.doc_id, c.x, c.y, CAST(c.{scl_col} AS INT) AS scl, s.n_sources
+FROM (SELECT *, CAST(FLOOR(x / gsd) AS BIGINT) AS ix,
+             CAST(FLOOR(y / gsd) AS BIGINT) AS iy
+      FROM spj {recv}) c
+JOIN sps s ON c.doc_id = s.doc_id AND c.ix = s.ix AND c.iy = s.iy
+"""

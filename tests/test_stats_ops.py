@@ -719,3 +719,61 @@ def test_region_label_queen_connectivity_diagonal_merges(spark):
             for r in SP.region_label(cells, connectivity=8).collect()}
     assert lab4[(0, 0)] != lab4[(1, 1)]
     assert lab8[(0, 0)] == lab8[(1, 1)] == 0
+
+
+# -------------------------------------------------------- shadow project
+
+def _shadow_frames(spark, px_rows, az, zen):
+    px = spark.createDataFrame(
+        px_rows, "doc_id string, x double, y double, SCL int")
+    meta = spark.createDataFrame(
+        [("d", 10.0, az, zen)],
+        "doc_id string, target_gsd double, sun_azimuth double,"
+        " sun_zenith double")
+    return px, meta
+
+
+def test_shadow_project_planted_geometry(spark):
+    # sun due south (az=180), zen=45, h=10 -> displacement (0, +10):
+    # cloud at (5,5) shades cell (0,1); the clear pixel at (5,15) is
+    # flagged, the one at (5,25) is not
+    px, meta = _shadow_frames(spark, [
+        ("d", 5.0, 5.0, 9), ("d", 5.0, 15.0, 4), ("d", 5.0, 25.0, 4)],
+        az=180.0, zen=45.0)
+    out = SP.shadow_project(px, meta, height_m=10.0).collect()
+    assert len(out) == 1
+    assert (out[0]["x"], out[0]["y"]) == (5.0, 15.0)
+    assert out[0]["n_sources"] == 1 and out[0]["scl"] == 4
+
+
+def test_shadow_project_n_sources_stacks(spark):
+    # two clouds in one cell project onto the same shadow cell
+    px, meta = _shadow_frames(spark, [
+        ("d", 2.0, 5.0, 9), ("d", 7.0, 5.0, 8), ("d", 5.0, 15.0, 4)],
+        az=180.0, zen=45.0)
+    out = SP.shadow_project(px, meta, height_m=10.0).collect()
+    assert len(out) == 1 and out[0]["n_sources"] == 2
+
+
+def test_shadow_project_exclude_sources_toggle(spark):
+    # a cloud pixel sitting in another cloud's shadow cell is dropped by
+    # default and kept with exclude_sources=False
+    px, meta = _shadow_frames(spark, [
+        ("d", 5.0, 5.0, 9), ("d", 5.0, 15.0, 8)],
+        az=180.0, zen=45.0)
+    assert SP.shadow_project(px, meta, height_m=10.0).count() == 0
+    out = SP.shadow_project(px, meta, height_m=10.0,
+                            exclude_sources=False).collect()
+    got = {(r["x"], r["y"]): r["n_sources"] for r in out}
+    # (5,15) receives (5,5)'s shadow; (5,25) cell gets (5,15)'s but no
+    # pixel exists there -> single candidate row
+    assert got == {(5.0, 15.0): 1}
+
+
+def test_shadow_project_azimuth_west_sun(spark):
+    # sun due west (az=270) -> shadow falls EAST (+x)
+    px, meta = _shadow_frames(spark, [
+        ("d", 5.0, 5.0, 9), ("d", 15.0, 5.0, 4), ("d", 5.0, 15.0, 4)],
+        az=270.0, zen=45.0)
+    out = SP.shadow_project(px, meta, height_m=10.0).collect()
+    assert len(out) == 1 and (out[0]["x"], out[0]["y"]) == (15.0, 5.0)
