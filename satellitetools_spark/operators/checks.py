@@ -733,3 +733,61 @@ SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
                            * (1.0 / n0 + 1.0 / n1)), 0), 6) + 0.0 AS z
 FROM abt
 """
+
+
+def circular_stats(df: DataFrame, angle_col: str,
+                   key_cols=("doc_id",)) -> DataFrame:
+    """Circular (directional) statistics per key for angle-valued data
+    in degrees — view/sun azimuths, aspect, wind direction — where the
+    arithmetic mean is WRONG (mean of 359° and 1° is 0°, not 180°):
+    mean direction ``atan2(Σsin, Σcos)`` normalized to [0, 360), mean
+    resultant length ``R ∈ [0, 1]`` (1 = perfectly aligned), and
+    circular variance ``1 − R``.
+
+    Shape: ONE map-side-combinable hash agg of (n, Σcos, Σsin) — fully
+    mergeable state, key-cardinality output, pure codegen trig.
+    """
+    keys = list(key_cols)
+    rad = F.radians(F.col(angle_col).cast("double"))
+    g = (df.groupBy(*keys)
+         .agg(F.count("*").cast("long").alias("n_obs"),
+              F.sum(F.cos(rad)).alias("_c"),
+              F.sum(F.sin(rad)).alias("_s")))
+    cbar = F.col("_c") / F.col("n_obs")
+    sbar = F.col("_s") / F.col("n_obs")
+    r = F.sqrt(cbar * cbar + sbar * sbar)
+    mean_dir = F.pmod(F.degrees(F.atan2(F.col("_s"), F.col("_c")))
+                      + 360.0, F.lit(360.0))
+    return g.select(
+        *keys, "n_obs",
+        (F.round(mean_dir, 6) + 0.0).alias("mean_dir_deg"),
+        (F.round(r, 6) + 0.0).alias("resultant_len"),
+        (F.round(1.0 - r, 6) + 0.0).alias("circ_var"))
+
+
+def circular_stats_sql(src_sql: str, angle_sql: str,
+                       key_cols=("doc_id",)) -> str:
+    """DuckDB oracle: identical sums and readout; ``x**2`` is written
+    as a product on both sides and pmod as ``((x % 360) + 360) % 360``
+    (bitwise-identical to Spark's pmod)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH csb AS (
+  SELECT {keys}, radians(CAST(({angle_sql}) AS DOUBLE)) AS rad
+  FROM ({src_sql})
+),
+csg AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         SUM(cos(rad)) AS c, SUM(sin(rad)) AS s
+  FROM csb GROUP BY {keys}
+)
+SELECT {keys}, n_obs,
+       ROUND(((degrees(atan2(s, c)) + 360.0) % 360.0 + 360.0) % 360.0,
+             6) + 0.0 AS mean_dir_deg,
+       ROUND(sqrt((c / n_obs) * (c / n_obs) + (s / n_obs) * (s / n_obs)),
+             6) + 0.0 AS resultant_len,
+       ROUND(1.0 - sqrt((c / n_obs) * (c / n_obs)
+                        + (s / n_obs) * (s / n_obs)), 6) + 0.0
+         AS circ_var
+FROM csg
+"""

@@ -2068,3 +2068,109 @@ SELECT {keys}, n_obs, n_seasons,
        ROUND(sen, 6) + 0.0 AS sen_slope
 FROM smv JOIN smp USING ({keys})
 """
+
+
+def holt_smooth(df: DataFrame, key_cols: Sequence[str] = ("user_id",),
+                ts_col: str = "ts", value_col: str = "value",
+                alpha: float = 0.3, beta: float = 0.1,
+                horizon: int = 7) -> DataFrame:
+    """Holt double exponential smoothing per key — level + trend state
+    for trended series where a plain EWMA lags: ``l₁ = v₁, b₁ = 0``,
+    then ``lₜ = α·vₜ + (1−α)(l+b)``, ``bₜ = β(lₜ−l) + (1−β)b``; emits
+    the final state, the in-sample one-step-ahead SSE (model fit), and
+    the h-step linear forecast ``l + h·b``. Initialization is stated
+    (b₁ = 0), not library-dependent.
+
+    Shape: one hash agg collects each key's time-ordered value array
+    (per-entity series regime, state bounded by series length — same as
+    :func:`cusum_alarms`), then the inherently sequential recurrence is
+    a pure ``aggregate`` fold expression. No window, no Python, no
+    driver state; at 10⁹ keys this is one shuffle and a codegen fold.
+    """
+    keys = list(key_cols)
+    a, bfac = float(alpha), float(beta)
+    base = df.select(*keys,
+                     F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("_us"),
+                     F.col(value_col).cast("double").alias("_v"))
+    arr = (base.select(*keys, F.struct(F.col("_us").alias("us"),
+                                       F.col("_v").alias("v")).alias("_e"))
+           .groupBy(*keys)
+           .agg(F.sort_array(F.collect_list("_e")).alias("_es")))
+    vs = F.transform(F.col("_es"), lambda e: e["v"])
+    zero = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0.0).alias("sse"))
+
+    def step(acc, x):
+        pred = acc["l"] + acc["b"]
+        err = x - pred
+        l1 = F.lit(a) * x + F.lit(1.0 - a) * pred
+        b1 = F.lit(bfac) * (l1 - acc["l"]) + F.lit(1.0 - bfac) * acc["b"]
+        first = acc["n"] == 0
+        return F.struct(
+            F.when(first, x).otherwise(l1).alias("l"),
+            F.when(first, F.lit(0.0)).otherwise(b1).alias("b"),
+            (acc["n"] + 1).alias("n"),
+            F.when(first, F.lit(0.0))
+            .otherwise(acc["sse"] + err * err).alias("sse"))
+
+    fold = F.aggregate(vs, zero, step)
+    return arr.select(
+        *keys, F.size("_es").cast("long").alias("n_obs"),
+        (F.round(fold["l"], 6) + 0.0).alias("level"),
+        (F.round(fold["b"], 6) + 0.0).alias("trend"),
+        (F.round(fold["sse"], 6) + 0.0).alias("sse"),
+        (F.round(fold["l"] + F.lit(float(horizon)) * fold["b"], 6) + 0.0)
+        .alias(f"forecast_{int(horizon)}"))
+
+
+def holt_smooth_sql(table: str, key_cols: Sequence[str] = ("user_id",),
+                    ts_col: str = "ts", value_col: str = "value",
+                    alpha: float = 0.3, beta: float = 0.1,
+                    horizon: int = 7) -> str:
+    """DuckDB oracle: identical recurrence as a RECURSIVE CTE stepping
+    each key's row_number chain (not ``list_reduce`` — see
+    :func:`cusum_alarms_sql` for the struct-lambda corruption note).
+    Literals ``1−α`` / ``1−β`` are precomputed once in Python and
+    embedded in BOTH engines so every step multiplies the identical
+    double."""
+    keys = list(key_cols)
+    ks = ", ".join(keys)
+    ko = ", ".join(f"o.{c}" for c in keys)
+    jn = " AND ".join(f"r.{c} = o.{c}" for c in keys)
+    jn2 = " AND ".join(f"r.{c} = n.{c}" for c in keys)
+    a, bfac = float(alpha), float(beta)
+    l1 = f"({a!r} * o.v + {1.0 - a!r} * (r.l + r.b))"
+    return f"""
+WITH RECURSIVE hb AS (
+  SELECT {ks}, epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+ho AS (
+  SELECT {ks}, v,
+         ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY us, v) AS i
+  FROM hb
+),
+hn AS (SELECT {ks}, MAX(i) AS n_obs FROM ho GROUP BY {ks}),
+hrec AS (
+  SELECT {ks}, i, v AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM ho WHERE i = 1
+  UNION ALL
+  SELECT {ko}, o.i,
+         {l1},
+         {bfac!r} * ({l1} - r.l) + {1.0 - bfac!r} * r.b,
+         r.sse + (o.v - (r.l + r.b)) * (o.v - (r.l + r.b))
+  FROM hrec r JOIN ho o ON {jn} AND o.i = r.i + 1
+)
+SELECT {', '.join('r.' + c for c in keys)},
+       CAST(n.n_obs AS BIGINT) AS n_obs,
+       ROUND(r.l, 6) + 0.0 AS level,
+       ROUND(r.b, 6) + 0.0 AS trend,
+       ROUND(r.sse, 6) + 0.0 AS sse,
+       ROUND(r.l + {float(horizon)!r} * r.b, 6) + 0.0
+         AS forecast_{int(horizon)}
+FROM hrec r JOIN hn n ON {jn2} AND r.i = n.n_obs
+"""

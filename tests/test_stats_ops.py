@@ -777,3 +777,60 @@ def test_shadow_project_azimuth_west_sun(spark):
         az=270.0, zen=45.0)
     out = SP.shadow_project(px, meta, height_m=10.0).collect()
     assert len(out) == 1 and (out[0]["x"], out[0]["y"]) == (15.0, 5.0)
+
+
+# ------------------------------------------------------------ Holt smooth
+
+def test_holt_hand_computed_three_steps(spark):
+    rows = [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-02 00:00:00", 2.0),
+            (1, "2024-01-03 00:00:00", 3.0)]
+    out = TP.holt_smooth(_events(spark, rows), alpha=0.5, beta=0.5,
+                         horizon=2).collect()[0]
+    # l1=1,b1=0 ; v=2: l=1.5, b=.25, sse=1 ; v=3: l=2.375, b=.5625,
+    # sse=2.5625 ; forecast_2 = 2.375 + 2*.5625 = 3.5
+    assert out["n_obs"] == 3
+    assert out["level"] == pytest.approx(2.375)
+    assert out["trend"] == pytest.approx(0.5625)
+    assert out["sse"] == pytest.approx(2.5625)
+    assert out["forecast_2"] == pytest.approx(3.5)
+
+
+def test_holt_constant_series_flat(spark):
+    rows = [(1, f"2024-01-{d:02d} 00:00:00", 4.0) for d in range(1, 9)]
+    out = TP.holt_smooth(_events(spark, rows)).collect()[0]
+    assert out["level"] == 4.0 and out["trend"] == 0.0
+    assert out["sse"] == 0.0 and out["forecast_7"] == 4.0
+
+
+def test_holt_single_observation(spark):
+    out = TP.holt_smooth(_events(spark, [(1, "2024-01-01 00:00:00", 9.0)])
+                         ).collect()[0]
+    assert out["n_obs"] == 1 and out["level"] == 9.0
+    assert out["trend"] == 0.0 and out["sse"] == 0.0
+
+
+# -------------------------------------------------------- circular stats
+
+def _angles(spark, vals):
+    return spark.createDataFrame([("d", v) for v in vals],
+                                 "doc_id string, az double")
+
+
+def test_circular_mean_wraps_at_north(spark):
+    out = CHK.circular_stats(_angles(spark, [359.0, 1.0]), "az").collect()[0]
+    assert out["mean_dir_deg"] == pytest.approx(0.0, abs=1e-6)
+    assert out["resultant_len"] == pytest.approx(math.cos(math.radians(1)),
+                                                 abs=1e-6)
+
+
+def test_circular_uniform_has_zero_resultant(spark):
+    out = CHK.circular_stats(_angles(spark, [0.0, 90.0, 180.0, 270.0]),
+                             "az").collect()[0]
+    assert out["resultant_len"] == pytest.approx(0.0, abs=1e-9)
+    assert out["circ_var"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_circular_aligned_angles(spark):
+    out = CHK.circular_stats(_angles(spark, [45.0] * 5), "az").collect()[0]
+    assert out["mean_dir_deg"] == pytest.approx(45.0)
+    assert out["resultant_len"] == 1.0 and out["circ_var"] == 0.0
