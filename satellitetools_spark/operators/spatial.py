@@ -3120,3 +3120,95 @@ FROM (SELECT *, CAST(FLOOR(x / gsd) AS BIGINT) AS ix,
       FROM spj {recv}) c
 JOIN sps s ON c.doc_id = s.doc_id AND c.ix = s.ix AND c.iy = s.iy
 """
+
+
+# sqrt(3) kin, precomputed once and embedded as literals in BOTH engines
+_SQRT3 = math.sqrt(3.0)
+_HEX_QX = _SQRT3 / 3.0   # q = (QX·x + QY·y) / size
+_HEX_QY = -1.0 / 3.0
+_HEX_RY = 2.0 / 3.0      # r = (RY·y) / size
+
+
+def hexbin(px: DataFrame, value_col: str, size_m: float = 40.0,
+           key_cols: Tuple[str, ...] = ("doc_id",),
+           x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Hexagonal binning (pointy-top axial grid, circumradius
+    ``size_m``) — the density/aggregation grid that avoids the
+    square-cell orientation bias: planar (x, y) → fractional axial
+    (q, r) → CUBE ROUNDING to the containing hex (round each cube
+    coordinate, then repair the one with the largest rounding error so
+    q + s + r = 0 stays exact — the standard algorithm, stated inline
+    rather than library-dependent). Emits per-hex counts, the mean
+    value, and the hex center back-projection.
+
+    Shape: the q/r/rounding chain is pure codegen arithmetic (map-only)
+    feeding ONE map-side-combinable hash agg at hex cardinality — a
+    single shuffle at 10¹² points. √3-derived constants are Python
+    literals embedded identically in engine and oracle.
+    """
+    keys = list(key_cols)
+    s = float(size_m)
+    qf = (F.lit(_HEX_QX) * F.col(x_col)
+          + F.lit(_HEX_QY) * F.col(y_col)) / F.lit(s)
+    rf = (F.lit(_HEX_RY) * F.col(y_col)) / F.lit(s)
+    xf, zf = qf, rf
+    yf = -qf - rf
+    rx, ry, rz = F.round(xf, 0), F.round(yf, 0), F.round(zf, 0)
+    dx, dy, dz = F.abs(rx - xf), F.abs(ry - yf), F.abs(rz - zf)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when(~((dx > dy) & (dx > dz)) & (dz > dy), -rx - ry) \
+          .otherwise(rz)
+    b = px.select(*keys, hq.cast("long").alias("hq"),
+                  hr.cast("long").alias("hr"),
+                  F.col(value_col).cast("double").alias("_v"))
+    return (b.groupBy(*keys, "hq", "hr")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 (F.round(F.sum("_v") / F.count("*"), 6) + 0.0)
+                 .alias("mean_val"))
+            .withColumn("cx", F.round(F.lit(s * _SQRT3)
+                                      * (F.col("hq") + F.col("hr") / 2.0),
+                                      6) + 0.0)
+            .withColumn("cy", F.round(F.lit(s * 1.5) * F.col("hr"), 6)
+                        + 0.0))
+
+
+def hexbin_sql(src_sql: str, value_sql: str, size_m: float = 40.0,
+               key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+    """DuckDB oracle: identical constants, cube rounding (CASE chain
+    mirrors the engine's when-otherwise exactly, including the
+    repair-priority order), and readout."""
+    keys = ", ".join(key_cols)
+    s = float(size_m)
+    return f"""
+WITH hxb AS (
+  SELECT {keys},
+         ({_HEX_QX!r} * x + {_HEX_QY!r} * y) / {s!r} AS xf,
+         ({_HEX_RY!r} * y) / {s!r} AS zf,
+         CAST(({value_sql}) AS DOUBLE) AS v
+  FROM ({src_sql})
+),
+hxr AS (
+  SELECT {keys}, v, xf, zf, -xf - zf AS yf,
+         ROUND(xf, 0) AS rx, ROUND(-xf - zf, 0) AS ry, ROUND(zf, 0) AS rz
+  FROM hxb
+),
+hxc AS (
+  SELECT {keys}, v,
+         CASE WHEN ABS(rx - xf) > ABS(ry - yf)
+               AND ABS(rx - xf) > ABS(rz - zf)
+              THEN -ry - rz ELSE rx END AS hqf,
+         CASE WHEN NOT (ABS(rx - xf) > ABS(ry - yf)
+                        AND ABS(rx - xf) > ABS(rz - zf))
+               AND ABS(rz - zf) > ABS(ry - yf)
+              THEN -rx - ry ELSE rz END AS hrf
+  FROM hxr
+)
+SELECT {keys}, CAST(hqf AS BIGINT) AS hq, CAST(hrf AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS mean_val,
+       ROUND(CAST({s * _SQRT3!r} AS DOUBLE) * (CAST(hqf AS BIGINT)
+             + CAST(hrf AS BIGINT) / 2.0), 6) + 0.0 AS cx,
+       ROUND(CAST({s * 1.5!r} AS DOUBLE) * CAST(hrf AS BIGINT), 6) + 0.0
+         AS cy
+FROM hxc GROUP BY {keys}, hqf, hrf
+"""

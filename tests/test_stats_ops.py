@@ -834,3 +834,32 @@ def test_circular_aligned_angles(spark):
     out = CHK.circular_stats(_angles(spark, [45.0] * 5), "az").collect()[0]
     assert out["mean_dir_deg"] == pytest.approx(45.0)
     assert out["resultant_len"] == 1.0 and out["circ_var"] == 0.0
+
+
+# ----------------------------------------------------------------- hexbin
+
+def test_hexbin_points_snap_to_nearest_center(spark):
+    import math as _m
+    s = 10.0
+    # exact centers of hexes (0,0), (1,0), (0,1) plus one offset point
+    # at (0,14), which is nearer the (0,1) center than the origin
+    pts = [(0.0, 0.0), (s * _m.sqrt(3.0), 0.0),
+           (s * _m.sqrt(3.0) / 2.0, s * 1.5), (0.0, 14.0)]
+    df = spark.createDataFrame(
+        [("d", x, y, 1.0) for x, y in pts],
+        "doc_id string, x double, y double, v double")
+    out = {(r["hq"], r["hr"]): r
+           for r in SP.hexbin(df, "v", size_m=s).collect()}
+    assert set(out) == {(0, 0), (1, 0), (0, 1)}
+    assert out[(0, 1)]["n_points"] == 2          # center + (0,14)
+    assert out[(1, 0)]["cx"] == pytest.approx(s * _m.sqrt(3.0), abs=1e-6)
+    assert out[(0, 1)]["cy"] == pytest.approx(15.0)
+
+
+def test_hexbin_mean_and_count(spark):
+    df = spark.createDataFrame(
+        [("d", 0.0, 0.0, 2.0), ("d", 1.0, 1.0, 4.0)],
+        "doc_id string, x double, y double, v double")
+    out = SP.hexbin(df, "v", size_m=40.0).collect()
+    assert len(out) == 1
+    assert out[0]["n_points"] == 2 and out[0]["mean_val"] == 3.0
