@@ -1,0 +1,248 @@
+"""Customer / revenue segmentation analytics over the star schema.
+
+Beyond-reference operators (the reference is a satellite-imagery
+library; these cover the relational-segmentation side of a
+training-data / analytics pipeline): RFM quartile segmentation,
+Gini revenue-concentration, and market-basket pair lift.
+
+Numeric determinism: every monetary sum is carried as DECIMAL(18,2)
+(exact, order-independent) in BOTH engines; floats appear only in the
+final readout division, so the engine and the DuckDB oracle agree
+bit-for-bit after ``round(x, 6) + 0.0`` canonicalization.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rfm_segments", "rfm_segments_sql",
+    "gini_concentration", "gini_concentration_sql",
+    "basket_pairs", "basket_pairs_sql",
+]
+
+
+def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    One hash agg at customer cardinality (recency vs the global max
+    order date, order count, exact DECIMAL monetary sum), then three
+    NTILE windows over fully deterministic orderings (metric +
+    ``c_custkey`` tie-break — NTILE without a total order is
+    nondeterministic in any engine).
+
+    Shape at scale: agg shuffles once on ``o_custkey``; the three
+    windows share ONE unpartitioned sort each — at 10⁹ customers
+    swap the window for a ``percent_rank``-free bucketing over
+    pre-aggregated quantile bounds. The global max date is a scalar
+    subquery (broadcast), never a driver collect.
+    """
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("_gmax"))
+    per = (orders
+           .groupBy("o_custkey")
+           .agg(F.max(F.to_date("o_orderdate")).alias("_last"),
+                F.count("*").cast("long").alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("_mon"))
+           .crossJoin(F.broadcast(gmax))
+           .select(F.col("o_custkey").alias("c_custkey"),
+                   F.datediff("_gmax", "_last").cast("long")
+                   .alias("recency_days"),
+                   "frequency", F.col("_mon")))
+    w_r = Window.orderBy(F.col("recency_days").asc(),
+                         F.col("c_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(),
+                         F.col("c_custkey").asc())
+    w_m = Window.orderBy(F.col("_mon").desc(), F.col("c_custkey").asc())
+    out = (per
+           .withColumn("r_score", F.ntile(n_tiles).over(w_r))
+           .withColumn("f_score", F.ntile(n_tiles).over(w_f))
+           .withColumn("m_score", F.ntile(n_tiles).over(w_m)))
+    return out.select(
+        "c_custkey", "recency_days", "frequency",
+        (F.round(F.col("_mon").cast("double"), 4) + 0.0)
+        .alias("monetary"),
+        "r_score", "f_score", "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm"))
+
+
+def rfm_segments_sql(table: str = "orders", n_tiles: int = 4) -> str:
+    """DuckDB oracle: identical agg, identical deterministic NTILE
+    orderings, identical DECIMAL carry."""
+    n = int(n_tiles)
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM {table}))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM {table} GROUP BY o_custkey
+),
+sc AS (
+  SELECT *,
+         NTILE({n}) OVER (ORDER BY recency_days ASC, c_custkey ASC)
+           AS r_score,
+         NTILE({n}) OVER (ORDER BY frequency DESC, c_custkey ASC)
+           AS f_score,
+         NTILE({n}) OVER (ORDER BY mon DESC, c_custkey ASC) AS m_score
+  FROM per
+)
+SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, ROUND(CAST(mon AS DOUBLE), 4) + 0.0 AS monetary,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM sc
+"""
+
+
+def gini_concentration(li: DataFrame, key_col: str = "l_suppkey",
+                       value_col: str = "l_extendedprice",
+                       top_frac: float = 0.1) -> DataFrame:
+    """Gini coefficient + top-decile share of revenue concentration.
+
+    Per-key exact DECIMAL totals (one shuffle), rank by an
+    unpartitioned window (key-cardinality rows, not fact rows), then
+    the closed form  G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n  over ascending
+    totals. ``i·xᵢ`` stays DECIMAL (bigint × decimal → exact), so both
+    engines divide the same exact integers scaled by 0.01.
+
+    Scale note: the window sorts ONLY the aggregated key table (10⁶
+    suppliers from 10¹² fact rows) — the fact scan never sorts.
+    """
+    frac = float(top_frac)
+    per = (li.groupBy(key_col)
+           .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .alias("_x")))
+    w = Window.orderBy(F.col("_x").asc(), F.col(key_col).asc())
+    ranked = per.select(
+        "_x", F.row_number().over(w).cast("long").alias("_i"),
+        F.count("*").over(Window.partitionBy()).cast("long")
+        .alias("_n"))
+    n_top = F.ceil(F.lit(frac) * F.col("_n")).cast("long")
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("_x").alias("_tot"),
+        F.sum(F.col("_i").cast("decimal(20,0)") * F.col("_x"))
+        .alias("_s1"),
+        F.sum(F.when(F.col("_i") > F.col("_n") - n_top, F.col("_x"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_topx"),
+    )
+    return agg.select(
+        "n_keys",
+        (F.round(F.col("_tot").cast("double"), 2) + 0.0).alias("total"),
+        (F.round(F.lit(2.0) * F.col("_s1").cast("double")
+                 / (F.col("n_keys") * F.col("_tot").cast("double"))
+                 - (F.col("n_keys") + 1.0) / F.col("n_keys"), 6) + 0.0)
+        .alias("gini"),
+        (F.round(F.col("_topx").cast("double")
+                 / F.col("_tot").cast("double"), 6) + 0.0)
+        .alias("top_share"))
+
+
+def gini_concentration_sql(table: str = "lineitem",
+                           key_col: str = "l_suppkey",
+                           value_col: str = "l_extendedprice",
+                           top_frac: float = 0.1) -> str:
+    """DuckDB oracle: same per-key DECIMAL totals, same rank order,
+    same closed form."""
+    frac = float(top_frac)
+    return f"""
+WITH per AS (
+  SELECT {key_col} AS k, SUM(CAST({value_col} AS DECIMAL(18,2))) AS x
+  FROM {table} GROUP BY {key_col}
+),
+rk AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS BIGINT)
+           AS i, COUNT(*) OVER () AS n
+  FROM per
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+       ROUND(CAST(SUM(x) AS DOUBLE), 2) + 0.0 AS total,
+       ROUND(2.0 * CAST(SUM(CAST(i AS DECIMAL(20,0)) * x) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(x) AS DOUBLE))
+             - (MAX(n) + 1.0) / MAX(n), 6) + 0.0 AS gini,
+       ROUND(CAST(SUM(CASE WHEN i > n - CAST(CEIL(CAST({frac!r} AS
+                                                  DOUBLE) * n)
+                                             AS BIGINT)
+                      THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+             / CAST(SUM(x) AS DOUBLE), 6) + 0.0 AS top_share
+FROM rk
+"""
+
+
+def basket_pairs(li: DataFrame, min_support: int = 3,
+                 order_col: str = "l_orderkey",
+                 item_col: str = "l_partkey") -> DataFrame:
+    """Market-basket co-occurrence with lift.
+
+    distinct (order, item) → self-equi-join on the order key with
+    ``item_a < item_b`` → pair counts → broadcast-join the per-item
+    marginals → lift = n_ab·N / (n_a·n_b). All counts integer-exact;
+    the only float is the final lift division.
+
+    Scale: TPC-H baskets are ≤7 items so the self-join fan-out is
+    bounded (k·(k−1)/2 per order); the join is a shuffle equi-join on
+    the order key — never a cartesian. Skewed mega-baskets would be
+    capped upstream (filter baskets by size) before the self-join.
+    """
+    oi = li.select(F.col(order_col).alias("o"),
+                   F.col(item_col).alias("it")).distinct()
+    n_orders = oi.select(F.countDistinct("o").alias("n_orders"))
+    marg = oi.groupBy("it").agg(F.count("*").cast("long").alias("n_it"))
+    a = oi.alias("a")
+    b = oi.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.it") < F.col("b.it")))
+             .groupBy(F.col("a.it").alias("item_a"),
+                      F.col("b.it").alias("item_b"))
+             .agg(F.count("*").cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= int(min_support)))
+    out = (pairs
+           .join(F.broadcast(marg.withColumnRenamed("it", "item_a")
+                             .withColumnRenamed("n_it", "n_a")),
+                 "item_a")
+           .join(F.broadcast(marg.withColumnRenamed("it", "item_b")
+                             .withColumnRenamed("n_it", "n_b")),
+                 "item_b")
+           .crossJoin(F.broadcast(n_orders)))
+    return out.select(
+        "item_a", "item_b", "n_ab", "n_a", "n_b",
+        (F.round(F.col("n_ab").cast("double") * F.col("n_orders")
+                 / (F.col("n_a").cast("double") * F.col("n_b")), 6)
+         + 0.0).alias("lift"))
+
+
+def basket_pairs_sql(table: str = "lineitem", min_support: int = 3,
+                     order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey") -> str:
+    """DuckDB oracle: identical distinct → self-join → marginals →
+    lift chain."""
+    return f"""
+WITH oi AS (
+  SELECT DISTINCT {order_col} AS o, {item_col} AS it FROM {table}
+),
+marg AS (
+  SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it FROM oi GROUP BY it
+),
+no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM oi),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM oi a JOIN oi b ON a.o = b.o AND a.it < b.it
+  GROUP BY a.it, b.it
+  HAVING COUNT(*) >= {int(min_support)}
+)
+SELECT item_a, item_b, n_ab, ma.n_it AS n_a, mb.n_it AS n_b,
+       ROUND(CAST(n_ab AS DOUBLE) * n_orders
+             / (CAST(ma.n_it AS DOUBLE) * CAST(mb.n_it AS DOUBLE)), 6)
+         + 0.0 AS lift
+FROM pairs
+JOIN marg ma ON ma.it = item_a
+JOIN marg mb ON mb.it = item_b
+CROSS JOIN no
+"""

@@ -863,3 +863,63 @@ def test_hexbin_mean_and_count(spark):
     out = SP.hexbin(df, "v", size_m=40.0).collect()
     assert len(out) == 1
     assert out[0]["n_points"] == 2 and out[0]["mean_val"] == 3.0
+
+
+# ------------------------------------------------------------- segmentation
+
+def _orders_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double,"
+              " o_orderdate timestamp")
+
+
+def test_rfm_scores_and_recency(spark):
+    import datetime as dt
+    from satellitetools_spark.operators import segment as SEG
+    ts = lambda d: dt.datetime(2000, 1, d)
+    # 4 customers: increasing frequency/monetary, decreasing recency
+    rows = []
+    ok = 0
+    for c in range(1, 5):
+        for i in range(c):            # customer c has c orders
+            ok += 1
+            rows.append((ok, c, 100.0 * c, ts(c * 5)))
+    out = {r["c_custkey"]: r
+           for r in SEG.rfm_segments(_orders_df(spark, rows),
+                                     n_tiles=4).collect()}
+    assert out[4]["recency_days"] == 0 and out[1]["recency_days"] == 15
+    assert out[4]["frequency"] == 4 and out[4]["monetary"] == 1600.0
+    # deterministic quartiles: one customer per tile on every axis
+    assert [out[c]["f_score"] for c in (4, 3, 2, 1)] == [1, 2, 3, 4]
+    assert [out[c]["r_score"] for c in (4, 3, 2, 1)] == [1, 2, 3, 4]
+    assert out[4]["rfm"] == "111" and out[1]["rfm"] == "444"
+
+
+def test_gini_extremes(spark):
+    from satellitetools_spark.operators import segment as SEG
+    mk = lambda rows: spark.createDataFrame(
+        rows, "l_suppkey long, l_extendedprice double")
+    eq = SEG.gini_concentration(
+        mk([(i, 10.0) for i in range(5)]),
+        key_col="l_suppkey", value_col="l_extendedprice").collect()[0]
+    assert eq["gini"] == 0.0 and eq["n_keys"] == 5
+    assert eq["top_share"] == pytest.approx(0.2)
+    one = SEG.gini_concentration(
+        mk([(0, 100.0)] + [(i, 0.0) for i in range(1, 5)]),
+        key_col="l_suppkey", value_col="l_extendedprice").collect()[0]
+    assert one["gini"] == pytest.approx(0.8)      # (n-1)/n
+    assert one["top_share"] == 1.0
+
+
+def test_basket_lift_known_value(spark):
+    from satellitetools_spark.operators import segment as SEG
+    # items 1,2 co-occur in 2 of 4 orders; item 1 in 3, item 2 in 2
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 3),
+         (1, 1)],                                 # dup line collapses
+        "l_orderkey long, l_partkey long")
+    out = SEG.basket_pairs(li, min_support=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_ab"]) == (1, 2, 2)
+    assert r["lift"] == pytest.approx(2 * 4 / (3 * 2), abs=1e-6)
