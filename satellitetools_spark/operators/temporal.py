@@ -2174,3 +2174,271 @@ SELECT {', '.join('r.' + c for c in keys)},
          AS forecast_{int(horizon)}
 FROM hrec r JOIN hn n ON {jn2} AND r.i = n.n_obs
 """
+
+
+def kaplan_meier(events: DataFrame, key: str = "user_id",
+                 time_col: str = "ts",
+                 censor_horizon_days: int = 7) -> DataFrame:
+    """Kaplan–Meier survival estimate over per-entity lifetimes
+    (first event → last event, in whole days). Entities whose last
+    event falls within ``censor_horizon_days`` of the global max
+    timestamp are right-CENSORED (they may still be alive) — the
+    distinction that makes KM different from a plain ECDF.
+
+    Per duration t: d (deaths), c (censored), at-risk n = Σ of
+    (d+c) at durations ≥ t (a suffix window), and
+    S(t) = Π_{t'≤t} (1 − d/n) computed as exp(Σ ln(1 − d/n)) with an
+    explicit zero-factor ledger (ln(0) is never evaluated; once a
+    factor hits zero every later S is exactly 0.0).
+
+    Shape at scale: one hash agg at entity cardinality, one at
+    duration cardinality (≤ the day span — hundreds), then
+    unpartitioned windows over that tiny table only. The global max
+    timestamp is a broadcast scalar, not a collect.
+    """
+    gmax = events.agg(F.max(F.to_date(time_col)).alias("_gmax"))
+    per = (events.groupBy(key)
+           .agg(F.min(F.to_date(time_col)).alias("_first"),
+                F.max(F.to_date(time_col)).alias("_last"))
+           .crossJoin(F.broadcast(gmax))
+           .select(F.datediff("_last", "_first").cast("long")
+                   .alias("dur_days"),
+                   F.when(F.col("_last")
+                          < F.date_sub(F.col("_gmax"),
+                                       int(censor_horizon_days)),
+                          F.lit(1)).otherwise(F.lit(0))
+                   .alias("_event")))
+    byd = (per.groupBy("dur_days")
+           .agg(F.sum("_event").cast("long").alias("d_events"),
+                F.sum(1 - F.col("_event")).cast("long")
+                .alias("c_censored")))
+    w_sfx = (Window.orderBy(F.col("dur_days").asc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_pfx = (Window.orderBy(F.col("dur_days").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = byd.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_sfx)
+        .cast("long"))
+    frac = F.col("d_events") / F.col("n_risk")
+    zf = F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+    lnterm = F.when(F.col("d_events") == 0, F.lit(0.0)) \
+              .when(F.col("d_events") >= F.col("n_risk"), F.lit(0.0)) \
+              .otherwise(F.log(1.0 - frac))
+    r = (r.withColumn("_cz", F.sum(zf).over(w_pfx))
+         .withColumn("_ls", F.sum(lnterm).over(w_pfx)))
+    return r.select(
+        "dur_days", "n_risk", "d_events", "c_censored",
+        (F.when(F.col("_cz") > 0, F.lit(0.0))
+         .otherwise(F.round(F.exp("_ls"), 6)) + 0.0).alias("survival"))
+
+
+def kaplan_meier_sql(table: str, key: str = "user_id",
+                     time_col: str = "ts",
+                     censor_horizon_days: int = 7) -> str:
+    """DuckDB oracle: identical duration table, suffix at-risk window,
+    and exp-of-sum-of-logs product with the same zero ledger."""
+    h = int(censor_horizon_days)
+    return f"""
+WITH kmp AS (
+  SELECT {key},
+         date_diff('day', MIN(CAST({time_col} AS DATE)),
+                   MAX(CAST({time_col} AS DATE))) AS dur_days,
+         CASE WHEN MAX(CAST({time_col} AS DATE))
+                   < (SELECT MAX(CAST({time_col} AS DATE)) FROM {table})
+                     - INTERVAL {h} DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM {table} GROUP BY {key}
+),
+kmd AS (
+  SELECT CAST(dur_days AS BIGINT) AS dur_days,
+         CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+  FROM kmp GROUP BY dur_days
+),
+kmr AS (
+  SELECT *,
+         CAST(SUM(d_events + c_censored) OVER
+              (ORDER BY dur_days ASC ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM kmd
+),
+kms AS (
+  SELECT *,
+         SUM(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END) OVER
+           (ORDER BY dur_days ASC ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cz,
+         SUM(CASE WHEN d_events = 0 THEN 0.0
+                  WHEN d_events >= n_risk THEN 0.0
+                  ELSE LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+             END) OVER
+           (ORDER BY dur_days ASC ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS ls
+  FROM kmr
+)
+SELECT dur_days, n_risk, d_events, c_censored,
+       (CASE WHEN cz > 0 THEN 0.0 ELSE ROUND(EXP(ls), 6) END) + 0.0
+         AS survival
+FROM kms
+"""
+
+
+def runs_test(df: DataFrame, key_cols: Sequence[str] = ("event_type",),
+              order_cols: Sequence[str] = ("ts", "event_id"),
+              value_col: str = "value") -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness per key: the
+    time-ordered sequence of above/below-median signs (values EQUAL to
+    the median drop, the standard convention), the observed run count,
+    and the normal-approximation z-score against
+    μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n − 1)).
+    |z| ≫ 0 ⟹ clustering (z < 0) or oscillation (z > 0).
+
+    Shape: one exact-median agg, broadcast back, ONE key window for
+    the lag comparison, one final agg at key cardinality. Run
+    boundaries are counted as sign-change indicators — no iterative
+    pass.
+    """
+    keys = list(key_cols)
+    base = df.select(*keys, *order_cols,
+                     F.col(value_col).cast("double").alias("_v"))
+    med = base.groupBy(*keys).agg(F.median("_v").alias("_med"))
+    s = (base.join(F.broadcast(med), on=keys)
+         .withColumn("_s", F.when(F.col("_v") > F.col("_med"), 1)
+                     .when(F.col("_v") < F.col("_med"), -1))
+         .filter(F.col("_s").isNotNull()))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    s = s.withColumn(
+        "_chg", F.when(F.lag("_s").over(w).isNull(), 1)
+                 .when(F.col("_s") != F.lag("_s").over(w), 1)
+                 .otherwise(0))
+    agg = s.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("_s") == -1, 1).otherwise(0)).cast("long")
+        .alias("n_below"),
+        F.sum("_chg").cast("long").alias("n_runs"))
+    n = (F.col("n_above") + F.col("n_below")).cast("double")
+    p2 = 2.0 * F.col("n_above") * F.col("n_below")
+    mu = p2 / n + 1.0
+    var = p2 * (p2 - n) / (n * n * (n - 1.0))
+    return agg.select(
+        *keys, "n_above", "n_below", "n_runs",
+        (F.round(mu, 6) + 0.0).alias("mu_runs"),
+        (F.round((F.col("n_runs") - mu)
+                 / F.sqrt(F.when(var > 0, var)), 6) + 0.0).alias("z"))
+
+
+def runs_test_sql(table: str,
+                  key_cols: Sequence[str] = ("event_type",),
+                  order_cols: Sequence[str] = ("ts", "event_id"),
+                  value_col: str = "value") -> str:
+    """DuckDB oracle: identical median, sign, lag-boundary count, and
+    closed-form moments (CASE-guarded variance)."""
+    keys = ", ".join(key_cols)
+    obc = ", ".join(f"{c} ASC" for c in order_cols)
+    return f"""
+WITH rtb AS (
+  SELECT {keys}, {', '.join(order_cols)},
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+rtm AS (SELECT {keys}, MEDIAN(v) AS med FROM rtb GROUP BY {keys}),
+rts AS (
+  SELECT b.*, CASE WHEN v > med THEN 1 WHEN v < med THEN -1 END AS s
+  FROM rtb b JOIN rtm USING ({keys})
+),
+rtc AS (
+  SELECT *,
+         CASE WHEN LAG(s) OVER (PARTITION BY {keys} ORDER BY {obc})
+                   IS NULL THEN 1
+              WHEN s <> LAG(s) OVER (PARTITION BY {keys}
+                                     ORDER BY {obc}) THEN 1
+              ELSE 0 END AS chg
+  FROM rts WHERE s IS NOT NULL
+),
+rta AS (
+  SELECT {keys},
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below,
+         CAST(SUM(chg) AS BIGINT) AS n_runs
+  FROM rtc GROUP BY {keys}
+)
+SELECT {keys}, n_above, n_below, n_runs,
+       ROUND(2.0 * n_above * n_below / (n_above + n_below) + 1.0, 6)
+         + 0.0 AS mu_runs,
+       ROUND((n_runs - (2.0 * n_above * n_below
+                        / (n_above + n_below) + 1.0))
+             / SQRT(CASE WHEN 2.0 * n_above * n_below
+                         * (2.0 * n_above * n_below
+                            - (n_above + n_below))
+                         / ((n_above + n_below) * (n_above + n_below)
+                            * (n_above + n_below - 1.0)) > 0
+                    THEN 2.0 * n_above * n_below
+                         * (2.0 * n_above * n_below
+                            - (n_above + n_below))
+                         / ((n_above + n_below) * (n_above + n_below)
+                            * (n_above + n_below - 1.0)) END), 6)
+         + 0.0 AS z
+FROM rta
+"""
+
+
+def mad_anomaly(df: DataFrame, key_cols: Sequence[str] = ("event_type",),
+                id_col: str = "event_id", value_col: str = "value",
+                threshold: float = 3.5) -> DataFrame:
+    """Robust outlier detection via the median absolute deviation:
+    rz = 0.6745·(x − median) / MAD (the modified z-score;
+    0.6745 = Φ⁻¹(0.75) makes MAD consistent with σ under normality).
+    Emits rows with |rz| > ``threshold`` — robust to the very outliers
+    a mean/stddev z-score would absorb.
+
+    Shape: two exact-median aggs at key cardinality (median, then
+    MAD of residuals), each broadcast back to the fact rows — the
+    fact table is scanned twice but never shuffled at row
+    cardinality. MAD = 0 keys emit nothing (rz undefined).
+    """
+    keys = list(key_cols)
+    thr = float(threshold)
+    base = df.select(*keys, id_col,
+                     F.col(value_col).cast("double").alias("_v"))
+    med = base.groupBy(*keys).agg(F.median("_v").alias("_med"))
+    dev = (base.join(F.broadcast(med), on=keys)
+           .withColumn("_ad", F.abs(F.col("_v") - F.col("_med"))))
+    mad = dev.groupBy(*keys).agg(F.median("_ad").alias("_mad"))
+    rz = (F.lit(0.6745) * (F.col("_v") - F.col("_med"))
+          / F.when(F.col("_mad") > 0, F.col("_mad")))
+    return (dev.join(F.broadcast(mad), on=keys)
+            .withColumn("rz", F.round(rz, 6) + 0.0)
+            .filter(F.abs("rz") > thr)
+            .select(*keys, id_col,
+                    (F.round("_v", 6) + 0.0).alias("value"), "rz"))
+
+
+def mad_anomaly_sql(table: str,
+                    key_cols: Sequence[str] = ("event_type",),
+                    id_col: str = "event_id", value_col: str = "value",
+                    threshold: float = 3.5) -> str:
+    """DuckDB oracle: identical two-stage median chain and threshold."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH mab AS (
+  SELECT {keys}, {id_col}, CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+mam AS (SELECT {keys}, MEDIAN(v) AS med FROM mab GROUP BY {keys}),
+mad AS (
+  SELECT {keys}, MEDIAN(ABS(v - med)) AS mad
+  FROM mab JOIN mam USING ({keys}) GROUP BY {keys}
+),
+maz AS (
+  SELECT {keys}, {id_col}, v,
+         ROUND(0.6745 * (v - med)
+               / (CASE WHEN mad > 0 THEN mad END), 6) + 0.0 AS rz
+  FROM mab JOIN mam USING ({keys}) JOIN mad USING ({keys})
+)
+SELECT {keys}, {id_col}, ROUND(v, 6) + 0.0 AS value, rz
+FROM maz WHERE ABS(rz) > {threshold!r}
+"""

@@ -923,3 +923,81 @@ def test_basket_lift_known_value(spark):
     r = out[0]
     assert (r["item_a"], r["item_b"], r["n_ab"]) == (1, 2, 2)
     assert r["lift"] == pytest.approx(2 * 4 / (3 * 2), abs=1e-6)
+
+
+# ---------------------------------------------------------- survival / runs
+
+def test_kaplan_meier_textbook(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import kaplan_meier
+    t0 = dt.datetime(2000, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # users u1..u3 die at durations 2,2,4; u4 censored at 3 (last event
+    # within 7 days of the global max, which user 'edge' pins at day 20)
+    for uid, dur in [("u1", 2), ("u2", 2), ("u3", 4), ("u4", 16)]:
+        rows += [(uid, t0), (uid, t0 + dur * day)]
+    rows += [("edge", t0 + 20 * day)]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    km = {r["dur_days"]: r for r in kaplan_meier(
+        ev, censor_horizon_days=7).collect()}
+    # 'edge' censors at t=0, so at t=2: n=4 at risk, d=2 -> S = 0.5
+    assert km[0]["c_censored"] == 1 and km[0]["n_risk"] == 5
+    assert km[0]["survival"] == pytest.approx(1.0)
+    assert km[2]["n_risk"] == 4 and km[2]["d_events"] == 2
+    assert km[2]["survival"] == pytest.approx(0.5)
+    # at t=4: n=2 (u3, u4), d=1 -> S = 0.5 * 1/2 = 0.25
+    assert km[4]["survival"] == pytest.approx(0.25)
+    # u4 (dur 16) is censored, not a death: S unchanged
+    assert km[16]["c_censored"] == 1 and km[16]["d_events"] == 0
+    assert km[16]["survival"] == pytest.approx(0.25)
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import runs_test
+    t0 = dt.datetime(2000, 1, 1)
+    mk = lambda vals, typ: [
+        (typ, f"e{i:03d}", t0 + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate(vals)]
+    # perfectly alternating -> max runs, z > 0; blocked -> 2 runs, z < 0
+    ev = spark.createDataFrame(
+        mk([1, 9] * 8, "alt") + mk([1] * 8 + [9] * 8, "blk"),
+        "event_type string, event_id string, ts timestamp, value double")
+    out = {r["event_type"]: r for r in runs_test(ev).collect()}
+    assert out["alt"]["n_runs"] == 16 and out["alt"]["z"] > 3
+    assert out["blk"]["n_runs"] == 2 and out["blk"]["z"] < -3
+    assert out["alt"]["n_above"] == out["alt"]["n_below"] == 8
+
+
+def test_runs_test_drops_median_ties(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import runs_test
+    t0 = dt.datetime(2000, 1, 1)
+    ev = spark.createDataFrame(
+        [("t", f"e{i}", t0 + dt.timedelta(minutes=i), v)
+         for i, v in enumerate([1.0, 5.0, 5.0, 5.0, 9.0])],
+        "event_type string, event_id string, ts timestamp, value double")
+    r = runs_test(ev).collect()[0]   # median 5.0; three ties drop
+    assert r["n_above"] == 1 and r["n_below"] == 1 and r["n_runs"] == 2
+
+
+def test_mad_anomaly_flags_only_outlier(spark):
+    from satellitetools_spark.operators.temporal import mad_anomaly
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0]
+    df = spark.createDataFrame(
+        [("t", f"e{i}", v) for i, v in enumerate(vals)],
+        "event_type string, event_id string, value double")
+    out = mad_anomaly(df, key_cols=("event_type",),
+                      threshold=3.5).collect()
+    assert [r["event_id"] for r in out] == ["e6"]
+    # rz = 0.6745 * 90 / 0.5
+    assert out[0]["rz"] == pytest.approx(0.6745 * 90 / 0.5, rel=1e-6)
+
+
+def test_mad_anomaly_zero_mad_emits_nothing(spark):
+    from satellitetools_spark.operators.temporal import mad_anomaly
+    df = spark.createDataFrame(
+        [("t", f"e{i}", 5.0) for i in range(6)] + [("t", "x", 50.0)],
+        "event_type string, event_id string, value double")
+    assert mad_anomaly(df).count() == 0     # MAD = 0 -> rz undefined
