@@ -741,3 +741,170 @@ fused AS (
 SELECT fid AS {id_col}, rrf_score, n_rankers
 FROM fused ORDER BY rrf_score DESC, fid ASC LIMIT {k}
 """
+
+
+def _centroid_arrays(emb: DataFrame, vec_col: str,
+                     label_col: str) -> DataFrame:
+    """Per-label centroid as an array column: posexplode → (label, pos)
+    hash agg (map-side combinable) → re-assemble in pos order. Output
+    is k rows — broadcastable regardless of input scale."""
+    ex = emb.select(F.col(label_col).alias("label_c"),
+                    F.posexplode(vec_col).alias("pos", "val"))
+    cen = ex.groupBy("label_c", "pos").agg(F.avg("val").alias("c"))
+    return (cen.groupBy("label_c")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("cen")))
+
+
+def label_silhouette(emb: DataFrame, vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Simplified (centroid-based) silhouette per vector:
+    a = distance to the own-label centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]. The medoid-free
+    variant that scales — full silhouette is O(n²), this is O(n·k).
+
+    Shape: centroids are k tiny rows (broadcast); each vector crosses
+    them map-only (k-fanout), then ONE conditional min-agg back at
+    vector cardinality. The component fold inside ``aggregate`` runs
+    left-to-right — deterministic float order.
+    """
+    cen = _centroid_arrays(emb, vec_col, label_col)
+    j = (emb.select("vec_id", F.col(label_col).alias("label"),
+                    F.col(vec_col).alias("_v"))
+         .crossJoin(F.broadcast(cen)))
+    d2 = F.aggregate(
+        F.zip_with("_v", "cen", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    per = (j.withColumn("_d2", d2)
+           .groupBy("vec_id", "label")
+           .agg(F.min(F.when(F.col("label_c") == F.col("label"),
+                             F.col("_d2"))).alias("_a2"),
+                F.min(F.when(F.col("label_c") != F.col("label"),
+                             F.col("_d2"))).alias("_b2")))
+    a, b = F.sqrt("_a2"), F.sqrt("_b2")
+    return per.select(
+        "vec_id", "label",
+        (F.round(a, 6) + 0.0).alias("dist_own"),
+        (F.round(b, 6) + 0.0).alias("dist_other"),
+        (F.round((b - a) / F.greatest(a, b), 6) + 0.0)
+        .alias("silhouette"))
+
+
+def label_silhouette_sql(table: str = "embeddings",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         dim: int = 64) -> str:
+    """DuckDB oracle: explode via range({dim}), per-(label,pos) AVG
+    centroids, relational distance join, identical readout."""
+    return f"""
+WITH slx AS (
+  SELECT vec_id, {label_col} AS label, r.i,
+         CAST({vec_col}[r.i + 1] AS DOUBLE) AS xi
+  FROM {table}, range({dim}) r(i)
+),
+slc AS (
+  SELECT label AS label_c, i, AVG(xi) AS c FROM slx GROUP BY label, i
+),
+sld AS (
+  SELECT x.vec_id, x.label, c.label_c,
+         SUM((x.xi - c.c) * (x.xi - c.c)) AS d2
+  FROM slx x JOIN slc c USING (i)
+  GROUP BY x.vec_id, x.label, c.label_c
+),
+slp AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN label_c = label THEN d2 END) AS a2,
+         MIN(CASE WHEN label_c <> label THEN d2 END) AS b2
+  FROM sld GROUP BY vec_id, label
+)
+SELECT vec_id, label,
+       ROUND(SQRT(a2), 6) + 0.0 AS dist_own,
+       ROUND(SQRT(b2), 6) + 0.0 AS dist_other,
+       ROUND((SQRT(b2) - SQRT(a2))
+             / GREATEST(SQRT(a2), SQRT(b2)), 6) + 0.0 AS silhouette
+FROM slp
+"""
+
+
+def cluster_validity(emb: DataFrame, vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Calinski–Harabasz cluster-validity index of a labeling:
+    CH = (between-SS / (k−1)) / (within-SS / (n−k)) — the
+    variance-ratio criterion for "are these clusters real".
+    within-SS = Σᵢ‖xᵢ − c_label(i)‖², between-SS = Σ_l n_l‖c_l − c̄‖².
+
+    Shape: everything reduces through the (label, pos) centroid table
+    (k·d rows) — the only row-cardinality pass is the within-SS
+    distance agg, computed map-side against broadcast centroids.
+    """
+    cen = _centroid_arrays(emb, vec_col, label_col)
+    base = emb.select("vec_id", F.col(label_col).alias("label"),
+                      F.col(vec_col).alias("_v"))
+    j = base.join(F.broadcast(cen),
+                  base.label == cen.label_c)
+    d2 = F.aggregate(
+        F.zip_with("_v", "cen", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    within = j.agg(F.sum(d2).alias("_wss"),
+                   F.count("*").cast("long").alias("n_vecs"))
+    sizes = base.groupBy("label").agg(F.count("*").cast("long")
+                                      .alias("_nl"))
+    gl = (emb.select(F.posexplode(vec_col).alias("pos", "val"))
+          .groupBy("pos").agg(F.avg("val").alias("g")))
+    gcen = gl.groupBy().agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "g"))),
+        lambda s: s["g"]).alias("gcen"))
+    bt = (cen.join(F.broadcast(sizes),
+                   cen.label_c == sizes.label)
+          .crossJoin(F.broadcast(gcen)))
+    bd2 = F.aggregate(
+        F.zip_with("cen", "gcen", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    between = bt.agg(F.sum(F.col("_nl") * bd2).alias("_bss"),
+                     F.count("*").cast("long").alias("k_labels"))
+    out = within.crossJoin(F.broadcast(between))
+    ch = ((F.col("_bss") / (F.col("k_labels") - 1.0))
+          / (F.col("_wss") / (F.col("n_vecs") - F.col("k_labels"))))
+    return out.select(
+        "n_vecs", "k_labels",
+        (F.round("_wss", 4) + 0.0).alias("within_ss"),
+        (F.round("_bss", 4) + 0.0).alias("between_ss"),
+        (F.round(ch, 6) + 0.0).alias("calinski_harabasz"))
+
+
+def cluster_validity_sql(table: str = "embeddings",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         dim: int = 64) -> str:
+    """DuckDB oracle: same centroid/global-mean tables in long form,
+    same SS sums and variance ratio."""
+    return f"""
+WITH cvx AS (
+  SELECT vec_id, {label_col} AS label, r.i,
+         CAST({vec_col}[r.i + 1] AS DOUBLE) AS xi
+  FROM {table}, range({dim}) r(i)
+),
+cvc AS (SELECT label, i, AVG(xi) AS c FROM cvx GROUP BY label, i),
+cvg AS (SELECT i, AVG(xi) AS g FROM cvx GROUP BY i),
+wss AS (
+  SELECT SUM((x.xi - c.c) * (x.xi - c.c)) AS w,
+         CAST(COUNT(DISTINCT x.vec_id) AS BIGINT) AS n_vecs
+  FROM cvx x JOIN cvc c ON x.label = c.label AND x.i = c.i
+),
+szs AS (
+  SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS nl
+  FROM cvx GROUP BY label
+),
+bss AS (
+  SELECT SUM(s.nl * (c.c - g.g) * (c.c - g.g)) AS b,
+         CAST(COUNT(DISTINCT c.label) AS BIGINT) AS k_labels
+  FROM cvc c JOIN cvg g USING (i) JOIN szs s USING (label)
+)
+SELECT n_vecs, k_labels,
+       ROUND(w, 4) + 0.0 AS within_ss,
+       ROUND(b, 4) + 0.0 AS between_ss,
+       ROUND((b / (k_labels - 1.0)) / (w / (n_vecs - k_labels)), 6)
+         + 0.0 AS calinski_harabasz
+FROM wss CROSS JOIN bss
+"""

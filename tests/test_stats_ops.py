@@ -1001,3 +1001,46 @@ def test_mad_anomaly_zero_mad_emits_nothing(spark):
         [("t", f"e{i}", 5.0) for i in range(6)] + [("t", "x", 50.0)],
         "event_type string, event_id string, value double")
     assert mad_anomaly(df).count() == 0     # MAD = 0 -> rz undefined
+
+
+# ------------------------------------------------------- cluster validity
+
+def _tiny_emb(spark):
+    # two tight, well-separated 2-d clusters
+    rows = [(0, [0.0, 0.0], "a"), (1, [0.0, 2.0], "a"),
+            (2, [10.0, 0.0], "b"), (3, [10.0, 2.0], "b")]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_silhouette_separated_clusters(spark):
+    from satellitetools_spark.operators.similarity import label_silhouette
+    out = {r["vec_id"]: r for r in label_silhouette(
+        _tiny_emb(spark)).collect()}
+    # own centroid at distance 1, other at sqrt(101) -> s = 1 - 1/sqrt(101)
+    exp = 1.0 - 1.0 / (101.0 ** 0.5)
+    for v in range(4):
+        assert out[v]["dist_own"] == pytest.approx(1.0)
+        assert out[v]["silhouette"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_silhouette_mislabeled_vector_negative(spark):
+    from satellitetools_spark.operators.similarity import label_silhouette
+    rows = [(0, [0.0, 0.0], "a"), (1, [0.0, 2.0], "a"),
+            (2, [10.0, 0.0], "b"), (3, [10.0, 2.0], "b"),
+            (4, [10.0, 1.0], "a")]         # lives in b-territory
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = {r["vec_id"]: r for r in label_silhouette(df).collect()}
+    assert out[4]["silhouette"] < 0
+
+
+def test_calinski_harabasz_known_value(spark):
+    from satellitetools_spark.operators.similarity import cluster_validity
+    r = cluster_validity(_tiny_emb(spark)).collect()[0]
+    # within: each point 1 from its centroid -> 4; between: 2*25*2 = 100
+    assert r["within_ss"] == pytest.approx(4.0)
+    assert r["between_ss"] == pytest.approx(100.0)
+    assert r["calinski_harabasz"] == pytest.approx(
+        (100.0 / 1.0) / (4.0 / 2.0))
+    assert r["n_vecs"] == 4 and r["k_labels"] == 2
