@@ -475,3 +475,76 @@ SELECT doc_id, component, {score_col},
          AS is_keeper
 FROM kj
 """
+
+
+def dice_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+               text_col: str = "text") -> DataFrame:
+    """Sørensen–Dice + containment coefficients for near-duplicate
+    pairs over the same word-shingle sets as :func:`jaccard_pairs`:
+    dice = 2·|A∩B| / (|A|+|B|) (forgiving of size imbalance),
+    containment = |A∩B| / min(|A|,|B|) (detects SUBSET duplication —
+    a doc wholly embedded in a larger one scores 1.0 here while its
+    Jaccard can be arbitrarily low). Pairs kept at dice ≥ threshold.
+
+    Shape: identical to the Jaccard baseline — shingle equi-join,
+    never cartesian; counts integer-exact, floats only in the final
+    two divisions. This is the oracle-checkable exact form; the LSH
+    banding path (minhash_lsh_pairs) is the 100 TB candidate
+    generator for it too.
+    """
+    sh = word_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    dice = 2.0 * F.col("inter") / (F.col("sz_a") + F.col("sz_b"))
+    cont = (F.col("inter")
+            / F.least("sz_a", "sz_b").cast("double"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("dice", F.round(dice, 6) + 0.0)
+            .filter(F.col("dice") >= float(threshold))
+            .select("doc_a", "doc_b", "inter",
+                    "dice", (F.round(cont, 6) + 0.0).alias("containment")))
+
+
+def dice_pairs_sql(table: str = "documents", n: int = 3,
+                   threshold: float = 0.5,
+                   text_col: str = "text") -> str:
+    """DuckDB oracle: same shingle sets, same coefficients."""
+    gram = " || ' ' || ".join(f"arr[pos+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim({text_col}), '\\s+') AS arr
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr) - {n - 1})) AS pos
+        FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i AS inter,
+       ROUND(2.0 * i / (sa.sz + sb.sz), 6) + 0.0 AS dice,
+       ROUND(i / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) + 0.0
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(2.0 * i / (sa.sz + sb.sz), 6) + 0.0 >= {float(threshold)!r}
+"""

@@ -1651,3 +1651,60 @@ SELECT {group_col}, n_types,
          AS r2
 FROM zfa
 """
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease heuristic per document — the classic
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with
+    fully relational proxies: words = whitespace tokens, sentences =
+    ``[.!?]+`` runs (floored at 1 for unpunctuated text), syllables =
+    ``[aeiouy]+`` vowel-group runs in the lowercased text (the
+    standard one-pass approximation; per-word minimums are skipped so
+    the count stays a single regexp scan). Lower = harder text — a
+    cheap quality-filter feature alongside ``quality_score``.
+
+    Shape: pure map-only codegen (three regexp counters + arithmetic),
+    zero shuffles, zero Python — the per-row cost IS the regexp scans.
+    """
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"))
+    syll = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * words / sents
+              - F.lit(84.6) * syll / words)
+    return docs.select(
+        "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        (F.round(flesch, 6) + 0.0).alias("flesch"))
+
+
+def readability_sql(table: str = "documents",
+                    text_col: str = "text") -> str:
+    """DuckDB oracle: identical regexp counters (RE2 and Java agree on
+    these character-class patterns) and formula."""
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim({text_col}), '\\s+'))
+            AS BIGINT) AS n_words,
+       GREATEST(1, CAST(len(regexp_extract_all({text_col}, '[.!?]+'))
+                        AS BIGINT)) AS n_sentences,
+       GREATEST(1, CAST(len(regexp_extract_all(lower({text_col}),
+                                               '[aeiouy]+'))
+                        AS BIGINT)) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(len(regexp_split_to_array(
+                   trim({text_col}), '\\s+')) AS BIGINT)
+                 * 1.0 / GREATEST(1, CAST(len(regexp_extract_all(
+                       {text_col}, '[.!?]+')) AS BIGINT)))
+             - 84.6 * (GREATEST(1, CAST(len(regexp_extract_all(
+                   lower({text_col}), '[aeiouy]+')) AS BIGINT))
+                 * 1.0 / CAST(len(regexp_split_to_array(
+                       trim({text_col}), '\\s+')) AS BIGINT)), 6)
+         + 0.0 AS flesch
+FROM {table}
+"""

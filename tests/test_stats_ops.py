@@ -1044,3 +1044,37 @@ def test_calinski_harabasz_known_value(spark):
     assert r["calinski_harabasz"] == pytest.approx(
         (100.0 / 1.0) / (4.0 / 2.0))
     assert r["n_vecs"] == 4 and r["k_labels"] == 2
+
+
+# ------------------------------------------------------- dice / readability
+
+def test_dice_containment_subset_doc(spark):
+    from satellitetools_spark.operators.dedup import dice_pairs
+    big = "a b c d e f g h i j"
+    sub = "a b c d e"                       # all 3 of its shingles in big
+    df = spark.createDataFrame([(1, big), (2, sub), (3, "x y z w v u")],
+                               "doc_id long, text string")
+    out = dice_pairs(df, n=3, threshold=0.1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # big has 8 shingles, sub has 3, all 3 shared
+    assert r["inter"] == 3
+    assert r["containment"] == pytest.approx(1.0)
+    assert r["dice"] == pytest.approx(2 * 3 / (8 + 3), abs=1e-6)
+
+
+def test_readability_monotone_in_syllables(spark):
+    from satellitetools_spark.operators.text import readability
+    df = spark.createDataFrame(
+        [(1, "cat dog sun."),                    # 3 words, 3 syllables
+         (2, "ameliorate audacious equitable."),  # 3 words, many groups
+         (3, "qqq zzz")],                         # no vowels -> floor 1
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["n_sentences"] == 1
+    assert out[1]["n_syllables"] == 3
+    assert out[3]["n_syllables"] == 1            # floored
+    assert out[2]["flesch"] < out[1]["flesch"]   # harder text reads lower
+    assert out[1]["flesch"] == pytest.approx(
+        206.835 - 1.015 * 3 - 84.6 * 1, abs=1e-6)
