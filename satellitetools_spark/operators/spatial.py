@@ -3212,3 +3212,204 @@ SELECT {keys}, CAST(hqf AS BIGINT) AS hq, CAST(hrf AS BIGINT) AS hr,
          AS cy
 FROM hxc GROUP BY {keys}, hqf, hrf
 """
+
+
+def tpi_landform(px: DataFrame, key_cols: Tuple[str, ...] = ("doc_id",),
+                 r_small: int = 1, r_large: int = 3,
+                 value_col: str = "v") -> DataFrame:
+    """Weiss two-scale TPI landform classification of a scalar surface
+    per scene: TPI_r = z − mean of the (2r+1)² window (center
+    included; a pure offset of the center-excluded form), standardized
+    by the PER-KEY mean/σ of each scale, then the classic 9-class sign
+    grid at ±1σ (canyon … mountain_top; the slope-split of the central
+    class is skipped — documented simplification). ``px`` is the long
+    pixel frame (key, x, y, gsd, value).
+
+    Shape: TWO focal_stats passes (each = constant-fanout explode +
+    ONE hash agg — no self-join, see focal_stats), one co-partitioned
+    (key, ix, iy) equi-join, one key-cardinality moment agg broadcast
+    back. Partial-stencil edge cells are dropped (n == (2r+1)²) so
+    border bias never enters the moments.
+    """
+    keys = list(key_cols)
+    base = px.select(*keys, "x", "y", "gsd",
+                     F.col(value_col).alias("_z"))
+    ns, nl = (2 * r_small + 1) ** 2, (2 * r_large + 1) ** 2
+    fs = (focal_stats(base, "_z", radius=r_small, doc_col=keys[0])
+          .filter(F.col("n_neigh") == ns)
+          .select(*keys, "ix", "iy", "_z",
+                  F.col("focal_mean").alias("_ms")))
+    fl = (focal_stats(base, "_z", radius=r_large, doc_col=keys[0])
+          .filter(F.col("n_neigh") == nl)
+          .select(*keys, "ix", "iy", F.col("focal_mean").alias("_ml")))
+    j = (fs.join(fl, [*keys, "ix", "iy"])
+         .select(*keys, "ix", "iy",
+                 (F.col("_z") - F.col("_ms")).alias("_ts"),
+                 (F.col("_z") - F.col("_ml")).alias("_tl")))
+    mom = j.groupBy(*keys).agg(
+        F.avg("_ts").alias("_mus"),
+        F.stddev_pop("_ts").alias("_sds"),
+        F.avg("_tl").alias("_mul"),
+        F.stddev_pop("_tl").alias("_sdl"))
+    z = j.join(F.broadcast(mom), keys)
+    ss = F.when(F.col("_sds") > 0,
+                (F.col("_ts") - F.col("_mus")) / F.col("_sds")) \
+          .otherwise(F.lit(0.0))
+    sl = F.when(F.col("_sdl") > 0,
+                (F.col("_tl") - F.col("_mul")) / F.col("_sdl")) \
+          .otherwise(F.lit(0.0))
+    cls = (F.when((ss <= -1) & (sl <= -1), "canyon")
+           .when((ss <= -1) & (sl < 1), "midslope_drainage")
+           .when(ss <= -1, "upland_drainage")
+           .when((ss < 1) & (sl <= -1), "u_valley")
+           .when((ss < 1) & (sl < 1), "plain")
+           .when(ss < 1, "upper_slope")
+           .when(sl <= -1, "local_ridge")
+           .when(sl < 1, "midslope_ridge")
+           .otherwise("mountain_top"))
+    return z.select(
+        *keys, "ix", "iy",
+        (F.round("_ts", 6) + 0.0).alias("tpi_small"),
+        (F.round("_tl", 6) + 0.0).alias("tpi_large"),
+        (F.round(ss, 4) + 0.0).alias("tpi_small_std"),
+        (F.round(sl, 4) + 0.0).alias("tpi_large_std"),
+        cls.alias("landform"))
+
+
+def tpi_landform_sql(pixels_sql: str, key: str = "doc_id",
+                     r_small: int = 1, r_large: int = 3) -> str:
+    """DuckDB oracle: two focal_stats_sql subqueries (CTE name
+    collisions avoided by subquery scoping), identical per-key
+    standardization and CASE ladder. ``pixels_sql`` must yield
+    (key, ix, iy, v)."""
+    fs = focal_stats_sql(pixels_sql, "v", radius=r_small, doc_col=key)
+    fl = focal_stats_sql(pixels_sql, "v", radius=r_large, doc_col=key)
+    ns, nl = (2 * r_small + 1) ** 2, (2 * r_large + 1) ** 2
+    return f"""
+WITH tlv AS ({pixels_sql}),
+tls AS (SELECT * FROM ({fs}) WHERE n_neigh = {ns}),
+tll AS (SELECT * FROM ({fl}) WHERE n_neigh = {nl}),
+tlj AS (
+  SELECT v.{key}, v.ix, v.iy,
+         v.v - s.focal_mean AS ts,
+         v.v - l.focal_mean AS tl
+  FROM tlv v
+  JOIN tls s ON s.{key} = v.{key} AND s.ix = v.ix AND s.iy = v.iy
+  JOIN tll l ON l.{key} = v.{key} AND l.ix = v.ix AND l.iy = v.iy
+),
+tlm AS (
+  SELECT {key}, AVG(ts) AS mus, STDDEV_POP(ts) AS sds,
+         AVG(tl) AS mul, STDDEV_POP(tl) AS sdl
+  FROM tlj GROUP BY {key}
+),
+tlz AS (
+  SELECT j.{key}, ix, iy, ts, tl,
+         CASE WHEN sds > 0 THEN (ts - mus) / sds ELSE 0.0 END AS ss,
+         CASE WHEN sdl > 0 THEN (tl - mul) / sdl ELSE 0.0 END AS sl
+  FROM tlj j JOIN tlm m ON m.{key} = j.{key}
+)
+SELECT {key}, ix, iy,
+       ROUND(ts, 6) + 0.0 AS tpi_small,
+       ROUND(tl, 6) + 0.0 AS tpi_large,
+       ROUND(ss, 4) + 0.0 AS tpi_small_std,
+       ROUND(sl, 4) + 0.0 AS tpi_large_std,
+       CASE WHEN ss <= -1 AND sl <= -1 THEN 'canyon'
+            WHEN ss <= -1 AND sl < 1 THEN 'midslope_drainage'
+            WHEN ss <= -1 THEN 'upland_drainage'
+            WHEN ss < 1 AND sl <= -1 THEN 'u_valley'
+            WHEN ss < 1 AND sl < 1 THEN 'plain'
+            WHEN ss < 1 THEN 'upper_slope'
+            WHEN sl <= -1 THEN 'local_ridge'
+            WHEN sl < 1 THEN 'midslope_ridge'
+            ELSE 'mountain_top' END AS landform
+FROM tlz
+"""
+
+
+def patch_stats(labeled: DataFrame,
+                key_cols: Tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Landscape-fragmentation metrics over a labeled foreground raster
+    (the output of :func:`region_label`): per key — patch count,
+    largest/mean patch size, largest-patch index (LPI), total
+    4-perimeter (cell edges facing background OR another patch), and
+    edge density (perimeter / area). The standard patch-mosaic
+    summary of a classification mask.
+
+    Shape: one agg at patch cardinality, plus ONE co-partitioned
+    4-neighbor self-equi-join on the cell key to count same-label
+    adjacencies (each unordered adjacency seen twice across the four
+    offsets): perimeter = 4·area − ordered_same_label_pairs. No
+    cartesian, no window; everything integer-exact until the two
+    final ratio readouts.
+    """
+    keys = list(key_cols)
+    base = labeled.select(*keys, "ix", "iy", "label")
+    per_patch = (base.groupBy(*keys, "label")
+                 .agg(F.count("*").cast("long").alias("_sz")))
+    sizes = (per_patch.groupBy(*keys)
+             .agg(F.count("*").cast("long").alias("n_patches"),
+                  F.sum("_sz").cast("long").alias("total_cells"),
+                  F.max("_sz").cast("long").alias("max_patch")))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _NEIGH4])).alias("_o")
+    sent = (base.select(*keys, "ix", "iy", "label", off)
+            .select(*keys,
+                    (F.col("ix") + F.col("_o.dx")).alias("ix"),
+                    (F.col("iy") + F.col("_o.dy")).alias("iy"),
+                    F.col("label").alias("_from")))
+    same = (sent.join(base, [*keys, "ix", "iy"])
+            .filter(F.col("_from") == F.col("label"))
+            .groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("_adj")))
+    out = sizes.join(same, keys, "left").na.fill({"_adj": 0})
+    perim = 4 * F.col("total_cells") - F.col("_adj")
+    return out.select(
+        *keys, "n_patches", "total_cells", "max_patch",
+        (F.round(F.col("total_cells")
+                 / F.col("n_patches").cast("double"), 6) + 0.0)
+        .alias("mean_patch"),
+        (F.round(F.col("max_patch")
+                 / F.col("total_cells").cast("double"), 6) + 0.0)
+        .alias("lpi"),
+        perim.alias("perimeter"),
+        (F.round(perim / F.col("total_cells").cast("double"), 6) + 0.0)
+        .alias("edge_density"))
+
+
+def patch_stats_sql(labeled_sql: str,
+                    key_cols: Tuple[str, ...] = ("doc_id",)) -> str:
+    """DuckDB oracle: same patch agg and 4-neighbor adjacency count
+    over any labeled relation (typically region_label_sql as a
+    subquery)."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    return f"""
+WITH psb AS (SELECT * FROM ({labeled_sql})),
+psp AS (
+  SELECT {keys}, label, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM psb GROUP BY {keys}, label
+),
+pss AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_patches,
+         CAST(SUM(sz) AS BIGINT) AS total_cells,
+         CAST(MAX(sz) AS BIGINT) AS max_patch
+  FROM psp GROUP BY {keys}
+),
+psa AS (
+  SELECT {', '.join('a.' + k + ' AS ' + k for k in key_cols)},
+         CAST(COUNT(*) AS BIGINT) AS adj
+  FROM psb a JOIN psb b
+    ON {on} AND ABS(a.ix - b.ix) + ABS(a.iy - b.iy) = 1
+   AND a.label = b.label
+  GROUP BY {', '.join('a.' + k for k in key_cols)}
+)
+SELECT s.*,
+       ROUND(total_cells / CAST(n_patches AS DOUBLE), 6) + 0.0
+         AS mean_patch,
+       ROUND(max_patch / CAST(total_cells AS DOUBLE), 6) + 0.0 AS lpi,
+       4 * total_cells - COALESCE(adj, 0) AS perimeter,
+       ROUND((4 * total_cells - COALESCE(adj, 0))
+             / CAST(total_cells AS DOUBLE), 6) + 0.0 AS edge_density
+FROM pss s LEFT JOIN psa USING ({keys})
+"""

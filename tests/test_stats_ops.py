@@ -1078,3 +1078,46 @@ def test_readability_monotone_in_syllables(spark):
     assert out[2]["flesch"] < out[1]["flesch"]   # harder text reads lower
     assert out[1]["flesch"] == pytest.approx(
         206.835 - 1.015 * 3 - 84.6 * 1, abs=1e-6)
+
+
+# --------------------------------------------------------- landform / patches
+
+def _surface(spark, vals, gsd=10.0):
+    # vals: dict (ix, iy) -> v
+    rows = [("d", (ix + 0.5) * gsd, (iy + 0.5) * gsd, gsd, float(v))
+            for (ix, iy), v in vals.items()]
+    return spark.createDataFrame(
+        rows, "doc_id string, x double, y double, gsd double, v double")
+
+
+def test_tpi_landform_peak_and_pit(spark):
+    # 9x9 flat field with a peak at (2,2) and a pit at (6,6):
+    # full stencils exist for r_small=1 and r_large=2 in the interior
+    vals = {(x, y): 0.0 for x in range(9) for y in range(9)}
+    vals[(2, 2)] = 50.0
+    vals[(6, 6)] = -50.0
+    out = {(r["ix"], r["iy"]): r
+           for r in SP.tpi_landform(_surface(spark, vals),
+                                    r_small=1, r_large=2).collect()}
+    assert out[(2, 2)]["landform"] == "mountain_top"
+    assert out[(6, 6)]["landform"] == "canyon"
+    # far corner of the interior is plain (TPI ~ 0 at both scales)
+    assert out[(4, 4)]["landform"] == "plain"
+    # TPI of the peak at r=1: 50 - 50/9
+    assert out[(2, 2)]["tpi_small"] == pytest.approx(50 - 50 / 9, abs=1e-5)
+
+
+def test_patch_stats_two_patches(spark):
+    from satellitetools_spark.operators.spatial import patch_stats
+    # patch A: 2x2 block labeled 0; patch B: single cell labeled 9
+    rows = [("d", 0, 0, 0), ("d", 1, 0, 0), ("d", 0, 1, 0), ("d", 1, 1, 0),
+            ("d", 5, 5, 9)]
+    lab = spark.createDataFrame(
+        rows, "doc_id string, ix long, iy long, label long")
+    r = patch_stats(lab).collect()[0]
+    assert r["n_patches"] == 2 and r["total_cells"] == 5
+    assert r["max_patch"] == 4 and r["mean_patch"] == pytest.approx(2.5)
+    assert r["lpi"] == pytest.approx(0.8)
+    # 2x2 block perimeter 8 + singleton perimeter 4 = 12
+    assert r["perimeter"] == 12
+    assert r["edge_density"] == pytest.approx(12 / 5)
