@@ -19,6 +19,7 @@ __all__ = [
     "rfm_segments", "rfm_segments_sql",
     "gini_concentration", "gini_concentration_sql",
     "basket_pairs", "basket_pairs_sql",
+    "cohort_revenue", "cohort_revenue_sql",
 ]
 
 
@@ -245,4 +246,62 @@ FROM pairs
 JOIN marg ma ON ma.it = item_a
 JOIN marg mb ON mb.it = item_b
 CROSS JOIN no
+"""
+
+
+def cohort_revenue(orders: DataFrame) -> DataFrame:
+    """Cohort retention/LTV matrix: customers grouped by first-order
+    month, revenue and active-customer counts per (cohort,
+    months-since-cohort) offset. Month arithmetic is integer
+    (year·12 + month), monetary sums DECIMAL-exact.
+
+    Shape: one customer-cardinality agg for the cohort key, one
+    co-partitioned equi-join back on the customer key (no broadcast
+    assumption — both sides scale), ONE final hash agg at
+    cohort×offset cardinality.
+    """
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) \
+        .cast("long")
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min(ym).alias("_cym")))
+    j = orders.withColumn("_ym", ym).join(first, "o_custkey")
+    return (j.groupBy(
+        F.concat_ws(
+            "-",
+            F.floor(F.col("_cym") / 12).cast("long"),
+            F.lpad((F.pmod(F.col("_cym"), F.lit(12)) + 1)
+                   .cast("int").cast("string"), 2, "0"))
+        .alias("cohort"),
+        (F.col("_ym") - F.col("_cym")).cast("long")
+        .alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").cast("long")
+             .alias("n_customers"),
+             F.count("*").cast("long").alias("n_orders"),
+             (F.round(F.sum(F.col("o_totalprice")
+                            .cast("decimal(18,2)")).cast("double"), 4)
+              + 0.0).alias("revenue")))
+
+
+def cohort_revenue_sql(table: str = "orders") -> str:
+    """DuckDB oracle: identical integer month algebra and DECIMAL
+    carry."""
+    return f"""
+WITH cym AS (
+  SELECT o_custkey, o_totalprice,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS ym
+  FROM {table}
+),
+cfirst AS (
+  SELECT o_custkey, MIN(ym) AS cym FROM cym GROUP BY o_custkey
+)
+SELECT CAST(CAST(FLOOR(f.cym / 12) AS BIGINT) AS VARCHAR) || '-'
+         || lpad(CAST((f.cym % 12) + 1 AS VARCHAR), 2, '0') AS cohort,
+       o.ym - f.cym AS month_offset,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 4) + 0.0 AS revenue
+FROM cym o JOIN cfirst f USING (o_custkey)
+GROUP BY 1, 2
 """

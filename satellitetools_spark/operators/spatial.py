@@ -3413,3 +3413,85 @@ SELECT s.*,
              / CAST(total_cells AS DOUBLE), 6) + 0.0 AS edge_density
 FROM pss s LEFT JOIN psa USING ({keys})
 """
+
+
+def change_detection(px: DataFrame,
+                     key_cols: Tuple[str, ...] = ("aoi",),
+                     time_col: str = "t", value_col: str = "v",
+                     threshold: float = 0.05,
+                     x_col: str = "x", y_col: str = "y",
+                     gsd_col: str = "gsd") -> DataFrame:
+    """Per-cell first→last change detection over a scene time stack —
+    the bitemporal raster-change classifier (gain / loss / stable by
+    ``threshold`` on Δ = last − first). ``px`` is the long pixel frame
+    (key, x, y, gsd, t, v) across MANY acquisition dates.
+
+    First/last values ride ONE hash agg as lexicographic struct
+    min/max — min(struct(t, v)) is the earliest observation with a
+    deterministic value tie-break (two scenes sharing a timestamp
+    resolve to the smaller/larger v), so no window, no self-join, no
+    second scan. The oracle recovers the same rows independently via
+    ROW_NUMBER — two formulations, one answer.
+
+    Shape at 100 TB: a single shuffle keyed on (key, cell); partial
+    map-side combine reduces each partition to one struct per cell
+    before the exchange.
+    """
+    keys = list(key_cols)
+    thr = float(threshold)
+    ix = F.floor(F.col(x_col) / F.col(gsd_col)).cast("long")
+    iy = F.floor(F.col(y_col) / F.col(gsd_col)).cast("long")
+    base = px.select(*keys, ix.alias("ix"), iy.alias("iy"),
+                     F.col(time_col).alias("_t"),
+                     F.col(value_col).cast("double").alias("_v"))
+    agg = (base.groupBy(*keys, "ix", "iy")
+           .agg(F.count("*").cast("long").alias("n_obs"),
+                F.min(F.struct("_t", "_v")).alias("_f"),
+                F.max(F.struct("_t", "_v")).alias("_l")))
+    first, last = F.col("_f._v"), F.col("_l._v")
+    delta = last - first
+    cls = (F.when(delta > thr, "gain")
+           .when(delta < -thr, "loss")
+           .otherwise("stable"))
+    return agg.select(
+        *keys, "ix", "iy", "n_obs",
+        (F.round(first, 6) + 0.0).alias("v_first"),
+        (F.round(last, 6) + 0.0).alias("v_last"),
+        (F.round(delta, 6) + 0.0).alias("delta"),
+        cls.alias("change"))
+
+
+def change_detection_sql(pixels_sql: str,
+                         key_cols: Tuple[str, ...] = ("aoi",),
+                         threshold: float = 0.05) -> str:
+    """DuckDB oracle: ROW_NUMBER first/last per cell ordered by
+    (t, v) / (t DESC, v DESC) — the window formulation of the same
+    lexicographic extremes. ``pixels_sql`` must yield
+    (key, ix, iy, t, v)."""
+    keys = ", ".join(key_cols)
+    thr = float(threshold)
+    return f"""
+WITH cdb AS ({pixels_sql}),
+cdr AS (
+  SELECT {keys}, ix, iy, CAST(v AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {keys}, ix, iy
+                            ORDER BY t ASC, v ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY {keys}, ix, iy
+                            ORDER BY t DESC, v DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY {keys}, ix, iy) AS n
+  FROM cdb
+)
+SELECT {keys}, ix, iy, CAST(MAX(n) AS BIGINT) AS n_obs,
+       ROUND(MAX(CASE WHEN rf = 1 THEN v END), 6) + 0.0 AS v_first,
+       ROUND(MAX(CASE WHEN rl = 1 THEN v END), 6) + 0.0 AS v_last,
+       ROUND(MAX(CASE WHEN rl = 1 THEN v END)
+             - MAX(CASE WHEN rf = 1 THEN v END), 6) + 0.0 AS delta,
+       CASE WHEN MAX(CASE WHEN rl = 1 THEN v END)
+                 - MAX(CASE WHEN rf = 1 THEN v END) > {thr!r}
+            THEN 'gain'
+            WHEN MAX(CASE WHEN rl = 1 THEN v END)
+                 - MAX(CASE WHEN rf = 1 THEN v END) < -{thr!r}
+            THEN 'loss'
+            ELSE 'stable' END AS change
+FROM cdr GROUP BY {keys}, ix, iy
+"""

@@ -2442,3 +2442,176 @@ maz AS (
 SELECT {keys}, {id_col}, ROUND(v, 6) + 0.0 AS value, rz
 FROM maz WHERE ABS(rz) > {threshold!r}
 """
+
+
+def markov_entropy(events: DataFrame, key: str = "user_id",
+                   type_col: str = "event_type",
+                   time_col: str = "ts") -> DataFrame:
+    """Per-state entropy of the first-order behavior Markov chain:
+    for each ``from_type``, H = −Σⱼ p·ln(p) over its outgoing
+    transition distribution, plus the state's empirical weight
+    (share of all transitions) — together the terms of the chain's
+    entropy rate Σᵢ πᵢ·Hᵢ. Low H = deterministic next-action, high
+    H = exploratory behavior.
+
+    Shape: composes :func:`transition_counts` (one key window + one
+    type² hash agg); the entropy reduction then runs at type²
+    cardinality — negligible at any input scale.
+    """
+    tc = transition_counts(events, key=key, type_col=type_col,
+                           time_col=time_col)
+    tot = Window.partitionBy("from_type")
+    p = F.col("n") / F.sum("n").over(tot)
+    per = (tc.select("from_type", "n", p.alias("_p"))
+           .groupBy("from_type")
+           .agg(F.sum("n").cast("long").alias("n_out"),
+                F.sum(-F.col("_p") * F.log("_p")).alias("_h")))
+    g = Window.partitionBy()
+    return per.select(
+        "from_type", "n_out",
+        (F.round(F.col("n_out") / F.sum("n_out").over(g).cast("double"),
+                 6) + 0.0).alias("weight"),
+        (F.round("_h", 6) + 0.0).alias("entropy"))
+
+
+def markov_entropy_sql(table: str, key: str = "user_id",
+                       type_col: str = "event_type",
+                       time_col: str = "ts") -> str:
+    """DuckDB oracle: identical lag pairs, per-state distribution, and
+    entropy sum."""
+    return f"""
+WITH mep AS (
+  SELECT lag({type_col}) OVER (PARTITION BY {key}
+                               ORDER BY epoch_us({time_col}),
+                                        {type_col}) AS from_type,
+         {type_col} AS to_type
+  FROM {table}
+),
+mec AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM mep WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+),
+mer AS (
+  SELECT from_type, n,
+         n * 1.0 / CAST(SUM(n) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS p
+  FROM mec
+),
+meh AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out,
+         SUM(-p * LN(p)) AS h
+  FROM mer GROUP BY from_type
+)
+SELECT from_type, n_out,
+       ROUND(n_out / CAST(SUM(n_out) OVER () AS DOUBLE), 6) + 0.0
+         AS weight,
+       ROUND(h, 6) + 0.0 AS entropy
+FROM meh
+"""
+
+
+def hurst_exponent(df: DataFrame,
+                   key_cols: Sequence[str] = ("event_type",),
+                   order_cols: Sequence[str] = ("ts", "event_id"),
+                   value_col: str = "value",
+                   levels: Sequence[int] = (1, 2, 4, 8)) -> DataFrame:
+    """Hurst exponent per key by the aggregated-variance method: for a
+    self-similar series, Var(k-block means) ∝ k^(2H−2), so H = 1 + s/2
+    where s is the OLS slope of ln Var against ln k over the dyadic
+    ``levels`` (complete blocks only). H ≈ 0.5 = memoryless,
+    H → 1 = long-range persistent, H < 0.5 = anti-persistent — the
+    long-memory detector for metric streams.
+
+    Shape: one ranked key window, a CONSTANT ``len(levels)``× explode,
+    one (key, level, block) hash agg, one (key, level) variance agg,
+    and a key-cardinality OLS readout — cardinality shrinks at every
+    stage; nothing driver-side. Degenerate keys (any level with ≤1
+    block or zero variance) emit NULL hurst rather than a fabricated
+    slope.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    base = df.select(*keys, *order_cols,
+                     F.col(value_col).cast("double").alias("_v"))
+    idx = base.withColumn("_i", F.row_number().over(w) - 1)
+    lv = F.explode(F.array(*[F.lit(int(k)) for k in levels])).alias("_k")
+    blocks = (idx.select(*keys, "_i", "_v", lv)
+              .groupBy(*keys, "_k", F.floor(F.col("_i") / F.col("_k"))
+                       .alias("_b"))
+              .agg(F.avg("_v").alias("_bm"),
+                   F.count("*").alias("_bn"))
+              .filter(F.col("_bn") == F.col("_k")))
+    vars = (blocks.groupBy(*keys, "_k")
+            .agg(F.var_pop("_bm").alias("_var"),
+                 F.count("*").cast("long").alias("_nb")))
+    x = F.log(F.col("_k").cast("double"))
+    y = F.when((F.col("_var") > 0) & (F.col("_nb") > 1),
+               F.log("_var"))
+    fit = (vars.select(*keys, x.alias("_x"), y.alias("_y"))
+           .groupBy(*keys)
+           .agg(F.count("_y").cast("long").alias("_n"),
+                F.sum(F.when(F.col("_y").isNotNull(), F.col("_x")))
+                .alias("_sx"),
+                F.sum("_y").alias("_sy"),
+                F.sum(F.when(F.col("_y").isNotNull(),
+                             F.col("_x") * F.col("_x"))).alias("_sxx"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy")))
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / F.when((den > 0) & (F.col("_n") == len(levels)), den))
+    return fit.select(
+        *keys, F.col("_n").alias("n_levels"),
+        (F.round(F.lit(1.0) + slope / 2.0, 6) + 0.0).alias("hurst"))
+
+
+def hurst_exponent_sql(table: str,
+                       key_cols: Sequence[str] = ("event_type",),
+                       order_cols: Sequence[str] = ("ts", "event_id"),
+                       value_col: str = "value",
+                       levels: Sequence[int] = (1, 2, 4, 8)) -> str:
+    """DuckDB oracle: identical ranked index, block means, variance
+    ladder, and closed-form OLS."""
+    keys = ", ".join(key_cols)
+    obc = ", ".join(f"{c} ASC" for c in order_cols)
+    lvs = ", ".join(str(int(k)) for k in levels)
+    return f"""
+WITH hub AS (
+  SELECT {keys},
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {obc}) - 1
+           AS i,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+),
+hublk AS (
+  SELECT {keys}, k, CAST(FLOOR(i / k) AS BIGINT) AS b,
+         AVG(v) AS bm, COUNT(*) AS bn
+  FROM hub, unnest([{lvs}]) AS l(k)
+  GROUP BY {keys}, k, CAST(FLOOR(i / k) AS BIGINT)
+),
+huv AS (
+  SELECT {keys}, k, VAR_POP(bm) AS var,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM hublk WHERE bn = k GROUP BY {keys}, k
+),
+huxy AS (
+  SELECT {keys}, LN(CAST(k AS DOUBLE)) AS x,
+         CASE WHEN var > 0 AND nb > 1 THEN LN(var) END AS y
+  FROM huv
+),
+huf AS (
+  SELECT {keys}, CAST(COUNT(y) AS BIGINT) AS n,
+         SUM(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+         SUM(y) AS sy,
+         SUM(CASE WHEN y IS NOT NULL THEN x * x END) AS sxx,
+         SUM(x * y) AS sxy
+  FROM huxy GROUP BY {keys}
+)
+SELECT {keys}, n AS n_levels,
+       ROUND(1.0 + ((n * sxy - sx * sy)
+                    / (CASE WHEN n * sxx - sx * sx > 0
+                            AND n = {len(levels)}
+                       THEN n * sxx - sx * sx END)) / 2.0, 6) + 0.0
+         AS hurst
+FROM huf
+"""

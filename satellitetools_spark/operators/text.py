@@ -1708,3 +1708,60 @@ SELECT doc_id,
          + 0.0 AS flesch
 FROM {table}
 """
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text"
+                      ) -> DataFrame:
+    """Vocabulary-richness profile per document: token count, type
+    (distinct-token) count, type–token ratio, and the hapax fraction
+    (share of types occurring exactly once) — the cheap lexical
+    sameness/templatedness signals (low TTR = repetitive boilerplate,
+    high hapax = vocabulary-dense prose).
+
+    Shape: one explode → (doc, token) hash agg (map-side combinable)
+    → doc-cardinality rollup. All counts integer-exact; floats only
+    in the two final ratios.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(text_col), r"\s+")).alias("_t"))
+    per_tok = (tok.groupBy("doc_id", "_t")
+               .agg(F.count("*").cast("long").alias("_c")))
+    per_doc = (per_tok.groupBy("doc_id")
+               .agg(F.sum("_c").cast("long").alias("n_tokens"),
+                    F.count("*").cast("long").alias("n_types"),
+                    F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+                    .cast("long").alias("n_hapax")))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_types", "n_hapax",
+        (F.round(F.col("n_types") / F.col("n_tokens").cast("double"),
+                 6) + 0.0).alias("ttr"),
+        (F.round(F.col("n_hapax") / F.col("n_types").cast("double"),
+                 6) + 0.0).alias("hapax_frac"))
+
+
+def lexical_diversity_sql(table: str = "documents",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle: identical tokenize → per-token counts → rollup."""
+    return f"""
+WITH ldt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim({text_col}),
+                                              '\\s+')) AS t
+  FROM {table}
+),
+ldc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ldt GROUP BY doc_id, t
+),
+ldd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM ldc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS ttr,
+       ROUND(n_hapax / CAST(n_types AS DOUBLE), 6) + 0.0 AS hapax_frac
+FROM ldd
+"""

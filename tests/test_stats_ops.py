@@ -1121,3 +1121,105 @@ def test_patch_stats_two_patches(spark):
     # 2x2 block perimeter 8 + singleton perimeter 4 = 12
     assert r["perimeter"] == 12
     assert r["edge_density"] == pytest.approx(12 / 5)
+
+
+# ------------------------------------------- change / entropy / hurst / ltv
+
+def test_change_detection_gain_loss_stable(spark):
+    import datetime as dt
+    t = lambda d: dt.datetime(2024, 1, d)
+    rows = []
+    for d, vs in [(1, {(0, 0): 0.1, (1, 0): 0.5, (2, 0): 0.3}),
+                  (15, {(0, 0): 0.4, (1, 0): 0.1, (2, 0): 0.31})]:
+        for (ix, iy), v in vs.items():
+            rows.append(("a", (ix + 0.5) * 10.0, (iy + 0.5) * 10.0,
+                         10.0, t(d), v))
+    px = spark.createDataFrame(
+        rows, "aoi string, x double, y double, gsd double,"
+              " t timestamp, v double")
+    out = {(r["ix"], r["iy"]): r
+           for r in SP.change_detection(px, threshold=0.05).collect()}
+    assert out[(0, 0)]["change"] == "gain"
+    assert out[(0, 0)]["delta"] == pytest.approx(0.3)
+    assert out[(1, 0)]["change"] == "loss"
+    assert out[(2, 0)]["change"] == "stable"
+    assert out[(0, 0)]["n_obs"] == 2
+
+
+def test_markov_entropy_deterministic_vs_uniform(spark):
+    import datetime as dt
+    rows = []
+    # user 1: A->B->A->B... (deterministic: H(A)=H(B)=0)
+    seq1 = ["A", "B"] * 6
+    # user 2: C followed by D, E alternating -> H(C) = ln 2
+    seq2 = ["C", "D", "C", "E"] * 3
+    for u, seq in [(1, seq1), (2, seq2)]:
+        for i, et in enumerate(seq):
+            rows.append((u, dt.datetime(2024, 1, 1, 0, i), et))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp,"
+                                     " event_type string")
+    out = {r["from_type"]: r
+           for r in TP.markov_entropy(ev).collect()}
+    assert out["A"]["entropy"] == 0.0 and out["B"]["entropy"] == 0.0
+    assert out["C"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    # weights sum to 1
+    assert sum(r["weight"] for r in out.values()) == pytest.approx(1.0)
+
+
+def test_hurst_iid_noise_near_half(spark):
+    import datetime as dt
+    import random
+    rng = random.Random(7)
+    rows = [("t", f"e{i:04d}", dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=i), rng.gauss(0, 1))
+            for i in range(512)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id string, ts timestamp,"
+              " value double")
+    r = TP.hurst_exponent(ev).collect()[0]
+    assert r["n_levels"] == 4
+    # iid noise: block-mean variance halves per doubling -> H ~ 0.5
+    assert 0.3 < r["hurst"] < 0.7
+
+
+def test_hurst_trending_series_high(spark):
+    import datetime as dt
+    rows = [("t", f"e{i:04d}", dt.datetime(2024, 1, 1)
+             + dt.timedelta(minutes=i), float(i))
+            for i in range(256)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id string, ts timestamp,"
+              " value double")
+    r = TP.hurst_exponent(ev).collect()[0]
+    assert r["hurst"] > 0.9        # pure trend: maximal persistence
+
+
+def test_lexical_diversity_counts(spark):
+    from satellitetools_spark.operators.text import lexical_diversity
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x x x x")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 3
+    assert out[1]["n_hapax"] == 2        # b, c
+    assert out[1]["ttr"] == pytest.approx(0.75)
+    assert out[1]["hapax_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["n_types"] == 1 and out[2]["n_hapax"] == 0
+
+
+def test_cohort_revenue_offsets(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.segment import cohort_revenue
+    rows = [
+        (1, 10, 100.0, dt.datetime(2024, 1, 5)),    # cohort 2024-01
+        (2, 10, 50.0, dt.datetime(2024, 3, 2)),     # offset 2
+        (3, 20, 70.0, dt.datetime(2024, 2, 9)),     # cohort 2024-02
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double,"
+              " o_orderdate timestamp")
+    out = {(r["cohort"], r["month_offset"]): r
+           for r in cohort_revenue(df).collect()}
+    assert out[("2024-01", 0)]["revenue"] == 100.0
+    assert out[("2024-01", 2)]["revenue"] == 50.0
+    assert out[("2024-02", 0)]["n_customers"] == 1
+    assert set(out) == {("2024-01", 0), ("2024-01", 2), ("2024-02", 0)}
