@@ -271,3 +271,65 @@ def test_kde_grid_equi_join_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # npts join-back
+
+
+def test_basket_pairs_equi_join_only(spark):
+    """Basket self-join must ride the order-key equi-join (bounded
+    fan-out), with the marginals broadcast — never a cartesian."""
+    from satellitetools_spark.operators.segment import basket_pairs
+    li = spark.createDataFrame(
+        [(i // 3, i % 7) for i in range(60)],
+        "l_orderkey long, l_partkey long")
+    plan = _plan(basket_pairs(li, min_support=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan      # pair join + marginals
+    # the only nested-loop is the 1-row n_orders scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_change_detection_single_shuffle(spark):
+    """First/last extremes must ride ONE hash agg (struct min/max) —
+    no window sort, no join, no second scan of the pixel frame."""
+    import datetime as dt
+    from satellitetools_spark.operators.spatial import change_detection
+    px = spark.createDataFrame(
+        [("a", 5.0, 5.0, 10.0, dt.datetime(2024, 1, 1 + i % 5), 0.1 * i)
+         for i in range(40)],
+        "aoi string, x double, y double, gsd double, t timestamp,"
+        " v double")
+    plan = _plan(change_detection(px))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_rfm_windows_after_customer_agg(spark):
+    """The three NTILE windows must sort the AGGREGATED customer table,
+    not the order fact rows: exactly one pre-window aggregate keyed on
+    the customer."""
+    import datetime as dt
+    from satellitetools_spark.operators.segment import rfm_segments
+    orders = spark.createDataFrame(
+        [(i, i % 7, 100.0 + i, dt.datetime(2024, 1, 1 + i % 20))
+         for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp")
+    plan = _plan(rfm_segments(orders))
+    assert "CartesianProduct" not in plan
+    # windows consume the agg output: HashAggregate appears before any
+    # Window node in the bottom-up plan string
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_kaplan_meier_no_row_cardinality_window(spark):
+    """KM windows run over the DURATION table (post-agg), never the
+    raw events: plan has aggregates below the windows and no join."""
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import kaplan_meier
+    ev = spark.createDataFrame(
+        [(f"u{i % 9}", dt.datetime(2024, 1, 1 + i % 25))
+         for i in range(100)],
+        "user_id string, ts timestamp")
+    plan = _plan(kaplan_meier(ev))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
