@@ -908,3 +908,120 @@ SELECT n_vecs, k_labels,
          + 0.0 AS calinski_harabasz
 FROM wss CROSS JOIN bss
 """
+
+
+def mmr_select(emb: DataFrame, query_id: int, k: int = 5,
+               lam: float = 0.7, pool: int = 50,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell–Goldstein): pick
+    ``k`` results that balance relevance to the query against
+    redundancy with what is already picked —
+    score = λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s). THE
+    diversity re-ranker for RAG context assembly and dedup-aware
+    retrieval.
+
+    Shape: the candidate pool (top-``pool`` by cosine, rank-stable via
+    round-6 + id tie-break) is computed ONCE and lazily checkpointed —
+    the k−1 refinement steps are unrolled into one lazy plan (anti-join
+    the selected ids, broadcast the ≤k selected vectors, one max-agg,
+    1-row TakeOrderedAndProject argmax each) with ZERO driver collects.
+    Every comparison runs on round-6 scores, so engine and oracle pick
+    identical argmaxes without relying on float-sum associativity.
+    """
+    lam = float(lam)
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("_qv")))
+    cand = (emb.filter(F.col(id_col) != query_id)
+            .crossJoin(F.broadcast(q))
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("_v"),
+                    (F.round(_dot(F.col(vec_col).cast("array<double>"),
+                                  F.col("_qv").cast("array<double>"))
+                             / (_norm(F.col(vec_col)
+                                      .cast("array<double>"))
+                                * _norm(F.col("_qv")
+                                        .cast("array<double>"))), 6)
+                     + 0.0).alias("rel"))
+            .orderBy(F.desc("rel"), F.asc("vec_id")).limit(int(pool))
+            .localCheckpoint(eager=False))
+    sel = (cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+           .select("vec_id", "_v", "rel",
+                   (F.round(F.lit(lam) * F.col("rel"), 6) + 0.0)
+                   .alias("score"),
+                   F.lit(1).alias("rank")))
+    for step in range(2, int(k) + 1):
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        sims = (rem.crossJoin(F.broadcast(
+                    sel.select(F.col("_v").alias("_sv"))))
+                .select("vec_id", "_v", "rel",
+                        (F.round(_dot(F.col("_v").cast("array<double>"),
+                                      F.col("_sv")
+                                      .cast("array<double>"))
+                                 / (_norm(F.col("_v")
+                                          .cast("array<double>"))
+                                    * _norm(F.col("_sv")
+                                            .cast("array<double>"))),
+                                 6) + 0.0).alias("_s"))
+                .groupBy("vec_id", "_v", "rel")
+                .agg(F.max("_s").alias("_ms")))
+        pick = (sims.select(
+                    "vec_id", "_v", "rel",
+                    (F.round(F.lit(lam) * F.col("rel")
+                             - F.lit(1.0 - lam) * F.col("_ms"), 6)
+                     + 0.0).alias("score"))
+                .orderBy(F.desc("score"), F.asc("vec_id")).limit(1)
+                .withColumn("rank", F.lit(step)))
+        sel = sel.unionByName(pick)
+    return sel.select("rank", "vec_id", "rel", "score")
+
+
+def mmr_select_sql(query_id: int, k: int = 5, lam: float = 0.7,
+                   pool: int = 50, table: str = "embeddings",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB oracle: the same greedy unrolled k layers (candidate CTE,
+    per-step NOT-IN + max-sim + argmax), every comparison on round-6
+    scores."""
+    lam = float(lam)
+    cos_q = _cos_sql(f"c.{vec_col}", "q.qv")
+    layers = [f"""
+mmq AS (SELECT {vec_col} AS qv FROM {table}
+        WHERE {id_col} = {int(query_id)}),
+mmc AS (
+  SELECT c.{id_col} AS vec_id, c.{vec_col} AS v,
+         ROUND({cos_q}, 6) + 0.0 AS rel
+  FROM {table} c, mmq q WHERE c.{id_col} <> {int(query_id)}
+  ORDER BY rel DESC, c.{id_col} ASC LIMIT {int(pool)}
+),
+mms1 AS (
+  SELECT vec_id, v, rel, ROUND({lam!r} * rel, 6) + 0.0 AS score,
+         1 AS rank
+  FROM mmc ORDER BY rel DESC, vec_id ASC LIMIT 1
+)"""]
+    cos_s = _cos_sql("c.v", "s.v")
+    for step in range(2, int(k) + 1):
+        prev = f"mms{step - 1}"
+        layers.append(f"""
+mmp{step} AS (
+  SELECT c.vec_id, c.v, c.rel,
+         MAX(ROUND({cos_s}, 6) + 0.0) AS ms
+  FROM mmc c CROSS JOIN {prev} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.v, c.rel
+),
+mms{step} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT vec_id, v, rel,
+         ROUND({lam!r} * rel - {1.0 - lam!r} * ms, 6) + 0.0 AS score,
+         {step} AS rank
+  FROM (SELECT * FROM mmp{step}
+        ORDER BY ROUND({lam!r} * rel - {1.0 - lam!r} * ms, 6) + 0.0
+                 DESC, vec_id ASC
+        LIMIT 1)
+)""")
+    body = "WITH " + ",".join(layers)
+    return (f"{body}\n"
+            f"SELECT CAST(rank AS INT) AS rank, vec_id, rel, score "
+            f"FROM mms{int(k)}")

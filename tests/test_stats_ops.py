@@ -1223,3 +1223,37 @@ def test_cohort_revenue_offsets(spark):
     assert out[("2024-01", 2)]["revenue"] == 50.0
     assert out[("2024-02", 0)]["n_customers"] == 1
     assert set(out) == {("2024-01", 0), ("2024-01", 2), ("2024-02", 0)}
+
+
+# ------------------------------------------------------------------- MMR
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from satellitetools_spark.operators.similarity import mmr_select
+    # query q=[1,0]; a and a2 nearly duplicate and most relevant;
+    # b orthogonal-ish but still relevant. At λ=0.3 the redundancy
+    # penalty (sim(a2,a) ≈ 0.9995 vs sim(b,a) ≈ 0.706) outweighs a2's
+    # relevance edge, so MMR picks a then b; pure top-k picks a, a2.
+    rows = [(0, [1.0, 0.0]),          # the query itself
+            (1, [0.99, 0.14]),        # a
+            (2, [0.985, 0.17]),       # a2 ~ duplicate of a
+            (3, [0.6, 0.8])]          # b, diverse
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    out = mmr_select(emb, query_id=0, k=2, lam=0.3, pool=3).collect()
+    picks = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert picks == [1, 3]
+    assert out[0]["rank"] == 1 and len(out) == 2
+
+
+def test_mmr_lambda_one_is_topk(spark):
+    from satellitetools_spark.operators.similarity import mmr_select
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.985, 0.17]),
+            (3, [0.6, 0.8])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    out = sorted(mmr_select(emb, query_id=0, k=3, lam=1.0,
+                            pool=3).collect(),
+                 key=lambda r: r["rank"])
+    # λ=1: redundancy term gone -> plain relevance order
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["rel"] >= out[1]["rel"] >= out[2]["rel"]
