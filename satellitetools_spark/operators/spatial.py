@@ -3495,3 +3495,111 @@ SELECT {keys}, ix, iy, CAST(MAX(n) AS BIGINT) AS n_obs,
             ELSE 'stable' END AS change
 FROM cdr GROUP BY {keys}, ix, iy
 """
+
+
+def raster_xcorr(pxa: DataFrame, pxb: DataFrame,
+                 key_cols: Tuple[str, ...] = ("aoi",),
+                 max_offset: int = 2, min_overlap: int = 16) -> DataFrame:
+    """Integer-lattice cross-correlation co-registration: slide raster
+    B over raster A by every offset in [−m, m]², compute the Pearson
+    correlation of the overlapping cells, and report the argmax offset
+    per key — the misregistration detector (a shifted acquisition
+    shows its true (dx, dy) as the correlation peak). Inputs are long
+    frames (key, ix, iy, v).
+
+    Shape: a CONSTANT (2m+1)² offset explode on A, ONE co-partitioned
+    (key, cell) equi-join against B, a hash agg at key × offset
+    cardinality carrying the five Pearson sums, and a ranked window
+    over that tiny table (round-6 r, then offset tie-break). No
+    cartesian, no window at cell cardinality.
+    """
+    keys = list(key_cols)
+    m = int(max_offset)
+    offs = [(dx, dy) for dx in range(-m, m + 1)
+            for dy in range(-m, m + 1)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])).alias("_o")
+    a = (pxa.select(*keys, "ix", "iy",
+                    F.col("v").cast("double").alias("_a"), off)
+         .select(*keys, F.col("_o.dx").alias("dx"),
+                 F.col("_o.dy").alias("dy"),
+                 (F.col("ix") + F.col("_o.dx")).alias("ix"),
+                 (F.col("iy") + F.col("_o.dy")).alias("iy"), "_a"))
+    b = pxb.select(*keys, "ix", "iy",
+                   F.col("v").cast("double").alias("_b"))
+    j = a.join(b, [*keys, "ix", "iy"])
+    agg = (j.groupBy(*keys, "dx", "dy")
+           .agg(F.count("*").cast("long").alias("n_overlap"),
+                F.sum("_a").alias("_sa"), F.sum("_b").alias("_sb"),
+                F.sum(F.col("_a") * F.col("_b")).alias("_sab"),
+                F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+                F.sum(F.col("_b") * F.col("_b")).alias("_sbb"))
+           .filter(F.col("n_overlap") >= int(min_overlap)))
+    n = F.col("n_overlap").cast("double")
+    cov = F.col("_sab") - F.col("_sa") * F.col("_sb") / n
+    va = F.col("_saa") - F.col("_sa") * F.col("_sa") / n
+    vb = F.col("_sbb") - F.col("_sb") * F.col("_sb") / n
+    r = (F.round(cov / F.sqrt(F.when((va > 0) & (vb > 0), va * vb)), 6)
+         + 0.0)
+    ranked = agg.select(*keys, "dx", "dy", "n_overlap", r.alias("corr"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("corr"), F.asc("dx"), F.asc("dy"))
+    return (ranked.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(*keys, F.col("dx").cast("int").alias("best_dx"),
+                    F.col("dy").cast("int").alias("best_dy"),
+                    "n_overlap", "corr"))
+
+
+def raster_xcorr_sql(a_sql: str, b_sql: str,
+                     key_cols: Tuple[str, ...] = ("aoi",),
+                     max_offset: int = 2,
+                     min_overlap: int = 16) -> str:
+    """DuckDB oracle: identical offset lattice, Pearson sums, and
+    round-6 argmax. ``a_sql``/``b_sql`` must yield (key, ix, iy, v)."""
+    keys = ", ".join(key_cols)
+    m = int(max_offset)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k} AS {k}" for k in key_cols)
+    span = ", ".join(str(d) for d in range(-m, m + 1))
+    return f"""
+WITH xca AS ({a_sql}),
+xcb AS ({b_sql}),
+xco AS (SELECT o1.dx, o2.dy
+        FROM unnest([{span}]) AS o1(dx), unnest([{span}]) AS o2(dy)),
+xcj AS (
+  SELECT {akeys}, o.dx, o.dy,
+         CAST(a.v AS DOUBLE) AS va, CAST(b.v AS DOUBLE) AS vb
+  FROM xca a CROSS JOIN xco o
+  JOIN xcb b ON {on}
+   AND b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+),
+xcg AS (
+  SELECT {keys}, dx, dy, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         SUM(va) AS sa, SUM(vb) AS sb, SUM(va * vb) AS sab,
+         SUM(va * va) AS saa, SUM(vb * vb) AS sbb
+  FROM xcj GROUP BY {keys}, dx, dy
+  HAVING COUNT(*) >= {int(min_overlap)}
+),
+xcr AS (
+  SELECT {keys}, dx, dy, n_overlap,
+         ROUND((sab - sa * sb / n_overlap)
+               / SQRT(CASE WHEN saa - sa * sa / n_overlap > 0
+                            AND sbb - sb * sb / n_overlap > 0
+                      THEN (saa - sa * sa / n_overlap)
+                           * (sbb - sb * sb / n_overlap) END), 6)
+           + 0.0 AS corr,
+         ROW_NUMBER() OVER (PARTITION BY {keys}
+                            ORDER BY (ROUND((sab - sa * sb / n_overlap)
+               / SQRT(CASE WHEN saa - sa * sa / n_overlap > 0
+                            AND sbb - sb * sb / n_overlap > 0
+                      THEN (saa - sa * sa / n_overlap)
+                           * (sbb - sb * sb / n_overlap) END), 6)
+               + 0.0) DESC NULLS LAST, dx ASC, dy ASC) AS rk
+  FROM xcg
+)
+SELECT {keys}, CAST(dx AS INT) AS best_dx, CAST(dy AS INT) AS best_dy,
+       n_overlap, corr
+FROM xcr WHERE rk = 1
+"""

@@ -2615,3 +2615,70 @@ SELECT {keys}, n AS n_levels,
          AS hurst
 FROM huf
 """
+
+
+def peak_detect(df: DataFrame,
+                key_cols: Sequence[str] = ("event_type",),
+                order_cols: Sequence[str] = ("ts", "event_id"),
+                value_col: str = "value",
+                min_delta: float = 0.0) -> DataFrame:
+    """Local-maximum peak detection per key: a row is a peak when its
+    value STRICTLY exceeds both time-neighbors by ≥ ``min_delta``
+    (series endpoints never qualify — a one-sided neighbor is not a
+    maximum). The alarm/spike primitive for metric streams; compose
+    with ewma/sg_smooth upstream to de-noise first.
+
+    Shape: ONE key window (lag + lead share the same sort), map-only
+    predicate — no aggregation, no join. All comparisons are raw-value
+    (no arithmetic beyond one subtraction), so engine and oracle agree
+    exactly.
+    """
+    keys = list(key_cols)
+    d = float(min_delta)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    v = F.col(value_col).cast("double")
+    base = (df.select(*keys, *order_cols, v.alias("_v"))
+            .withColumn("_pk", F.row_number().over(w))
+            .withColumn("_lg", F.lag("_v").over(w))
+            .withColumn("_ld", F.lead("_v").over(w)))
+    peak = ((F.col("_lg").isNotNull()) & (F.col("_ld").isNotNull())
+            & (F.col("_v") - F.col("_lg") >= d)
+            & (F.col("_v") - F.col("_ld") >= d)
+            & (F.col("_v") > F.col("_lg"))
+            & (F.col("_v") > F.col("_ld")))
+    return (base.filter(peak)
+            .select(*keys,
+                    F.col("_pk").cast("long").alias("pos"),
+                    (F.round("_v", 6) + 0.0).alias("value"),
+                    (F.round(F.least(F.col("_v") - F.col("_lg"),
+                                     F.col("_v") - F.col("_ld")), 6)
+                     + 0.0).alias("prominence")))
+
+
+def peak_detect_sql(table: str,
+                    key_cols: Sequence[str] = ("event_type",),
+                    order_cols: Sequence[str] = ("ts", "event_id"),
+                    value_col: str = "value",
+                    min_delta: float = 0.0) -> str:
+    """DuckDB oracle: identical lag/lead window and predicate."""
+    keys = ", ".join(key_cols)
+    obc = ", ".join(f"{c} ASC" for c in order_cols)
+    d = float(min_delta)
+    return f"""
+WITH pkb AS (
+  SELECT {keys}, CAST({value_col} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {obc}) AS pk,
+         LAG(CAST({value_col} AS DOUBLE)) OVER
+           (PARTITION BY {keys} ORDER BY {obc}) AS lg,
+         LEAD(CAST({value_col} AS DOUBLE)) OVER
+           (PARTITION BY {keys} ORDER BY {obc}) AS ld
+  FROM {table}
+)
+SELECT {keys}, CAST(pk AS BIGINT) AS pos,
+       ROUND(v, 6) + 0.0 AS value,
+       ROUND(LEAST(v - lg, v - ld), 6) + 0.0 AS prominence
+FROM pkb
+WHERE lg IS NOT NULL AND ld IS NOT NULL
+  AND v - lg >= {d!r} AND v - ld >= {d!r} AND v > lg AND v > ld
+"""

@@ -1257,3 +1257,58 @@ def test_mmr_lambda_one_is_topk(spark):
     # λ=1: redundancy term gone -> plain relevance order
     assert [r["vec_id"] for r in out] == [1, 2, 3]
     assert out[0]["rel"] >= out[1]["rel"] >= out[2]["rel"]
+
+
+# ------------------------------------------------------------ peaks / xcorr
+
+def test_peak_detect_strict_interior_peaks(spark):
+    import datetime as dt
+    rows = [("t", f"e{i}", dt.datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate([9.0, 1.0, 5.0, 1.0, 1.0, 8.0, 8.0])]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id string, ts timestamp,"
+              " value double")
+    out = TP.peak_detect(ev, min_delta=0.0).collect()
+    # only index 2 (5.0): endpoints excluded, plateau 8,8 not strict
+    assert [(r["pos"], r["value"]) for r in out] == [(3, 5.0)]
+    assert out[0]["prominence"] == 4.0
+
+
+def test_peak_detect_min_delta_filters_small_bumps(spark):
+    import datetime as dt
+    rows = [("t", f"e{i}", dt.datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate([0.0, 0.3, 0.0, 0.0, 2.0, 0.0])]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id string, ts timestamp,"
+              " value double")
+    out = TP.peak_detect(ev, min_delta=1.0).collect()
+    assert [r["value"] for r in out] == [2.0]
+
+
+def test_raster_xcorr_recovers_planted_shift(spark):
+    import math as _m
+    # raster A: smooth field; raster B: A shifted by (+1, -1)
+    f = lambda x, y: _m.sin(0.7 * x) + _m.cos(0.5 * y) + 0.1 * x * y
+    a = [("a", x, y, f(x, y)) for x in range(12) for y in range(12)]
+    b = [("a", x + 1, y - 1, f(x, y)) for x in range(12)
+         for y in range(12)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "aoi string, ix long, iy long, v double")
+    out = SP.raster_xcorr(mk(a), mk(b), max_offset=2,
+                          min_overlap=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["best_dx"], r["best_dy"]) == (1, -1)
+    assert r["corr"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_raster_xcorr_aligned_is_zero_offset(spark):
+    import math as _m
+    f = lambda x, y: _m.sin(0.9 * x) * _m.cos(0.4 * y)
+    a = [("a", x, y, f(x, y)) for x in range(10) for y in range(10)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "aoi string, ix long, iy long, v double")
+    r = SP.raster_xcorr(mk(a), mk(a), max_offset=1,
+                        min_overlap=9).collect()[0]
+    assert (r["best_dx"], r["best_dy"]) == (0, 0)
+    assert r["corr"] == pytest.approx(1.0, abs=1e-6)
