@@ -791,3 +791,80 @@ SELECT {keys}, n_obs,
          AS circ_var
 FROM csg
 """
+
+
+def chi_square_independence(df: DataFrame, a_col: str, b_col: str
+                            ) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns, plus Cramér's V effect size — "is language mix actually
+    different across sources, or just noise": χ² = Σ (O − E)²/E over
+    the FULL |A|×|B| contingency grid (zero-observed cells included —
+    omitting them biases χ² down), E = nₐ·n_b / N.
+
+    Shape: one (a, b) hash agg at contingency cardinality, two
+    marginal aggs, then a broadcast marginal cross join LEFT-joined to
+    the observed counts — every post-agg relation is alphabet-sized.
+    Counts integer-exact; E and the ratio are the only floats.
+    """
+    obs = (df.groupBy(F.col(a_col).alias("_a"),
+                      F.col(b_col).alias("_b"))
+           .agg(F.count("*").cast("long").alias("_o")))
+    ma = obs.groupBy("_a").agg(F.sum("_o").cast("long").alias("_na"))
+    mb = obs.groupBy("_b").agg(F.sum("_o").cast("long").alias("_nb"))
+    nn = obs.agg(F.sum("_o").cast("long").alias("_n"))
+    grid = (ma.crossJoin(F.broadcast(mb))
+            .join(obs, ["_a", "_b"], "left")
+            .na.fill({"_o": 0})
+            .crossJoin(F.broadcast(nn)))
+    e = (F.col("_na") * F.col("_nb")).cast("double") / F.col("_n")
+    cell = (F.col("_o") - e) * (F.col("_o") - e) / e
+    agg = grid.agg(
+        F.sum(cell).alias("_chi2"),
+        F.countDistinct("_a").cast("long").alias("_ka"),
+        F.countDistinct("_b").cast("long").alias("_kb"),
+        F.max("_n").alias("_nn"))
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    v = F.sqrt(F.col("_chi2")
+               / (F.col("_nn")
+                  * F.least(F.col("_ka") - 1, F.col("_kb") - 1)))
+    return agg.select(
+        (F.round("_chi2", 6) + 0.0).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.col("_ka").alias("k_a"), F.col("_kb").alias("k_b"),
+        F.col("_nn").alias("n"),
+        (F.round(v, 6) + 0.0).alias("cramers_v"))
+
+
+def chi_square_independence_sql(table: str, a_col: str,
+                                b_col: str) -> str:
+    """DuckDB oracle: identical full-grid contingency algebra."""
+    return f"""
+WITH xso AS (
+  SELECT {a_col} AS a, {b_col} AS b, CAST(COUNT(*) AS BIGINT) AS o
+  FROM {table} GROUP BY {a_col}, {b_col}
+),
+xsa AS (SELECT a, CAST(SUM(o) AS BIGINT) AS na FROM xso GROUP BY a),
+xsb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS nb FROM xso GROUP BY b),
+xsn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM xso),
+xsg AS (
+  SELECT xsa.a, xsb.b, xsa.na, xsb.nb, COALESCE(xso.o, 0) AS o, xsn.n
+  FROM xsa CROSS JOIN xsb
+  LEFT JOIN xso ON xso.a = xsa.a AND xso.b = xsb.b
+  CROSS JOIN xsn
+)
+SELECT ROUND(SUM((o - CAST(na * nb AS DOUBLE) / n)
+                 * (o - CAST(na * nb AS DOUBLE) / n)
+                 / (CAST(na * nb AS DOUBLE) / n)), 6) + 0.0 AS chi2,
+       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+            AS BIGINT) AS dof,
+       CAST(COUNT(DISTINCT a) AS BIGINT) AS k_a,
+       CAST(COUNT(DISTINCT b) AS BIGINT) AS k_b,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SQRT(SUM((o - CAST(na * nb AS DOUBLE) / n)
+                      * (o - CAST(na * nb AS DOUBLE) / n)
+                      / (CAST(na * nb AS DOUBLE) / n))
+                  / (MAX(n) * LEAST(COUNT(DISTINCT a) - 1,
+                                    COUNT(DISTINCT b) - 1))), 6)
+         + 0.0 AS cramers_v
+FROM xsg
+"""

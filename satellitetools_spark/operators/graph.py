@@ -172,3 +172,96 @@ per_node AS (
 SELECT d.node, COALESCE(p.n_tri, 0) AS n_tri
 FROM tdeg d LEFT JOIN per_node p ON p.node = d.node
 """
+
+
+def hits(edges: DataFrame, iters: int = 4, src_col: str = "src",
+         dst_col: str = "dst") -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over a DIRECTED edge
+    table — on a bipartite interaction graph (customer→part,
+    user→item, doc→term) the two sides get separately meaningful
+    scores: authorities = endorsed-by-good-hubs, hubs =
+    endorse-good-authorities. ``iters`` fixed mutual-reinforcement
+    rounds from the uniform start, L1-normalized each half-step (the
+    normalization keeps the unrolled oracle exactly reproducible —
+    no eigensolver).
+
+    Shape per iteration: two edge⋈vector joins + two keyed sums; the
+    score vectors are node-cardinality (broadcast or co-partitioned,
+    Catalyst's pick), the edge table is never shuffled more than once
+    per half-step. Output: one row per node and side.
+    """
+    # lazy checkpoints keep the unrolled lineage flat: without them the
+    # edge subtree re-analyzes once per half-step reference and the
+    # optimizer cost grows superlinearly in iters (same fence as
+    # region_label / mann_kendall)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst")).distinct()
+         .localCheckpoint(eager=False))
+    hubs0 = e.select("src").distinct()
+    n_h = hubs0.agg(F.count("*").alias("n"))
+    hub = (hubs0.crossJoin(F.broadcast(n_h))
+           .select(F.col("src").alias("node"),
+                   (F.lit(1.0) / F.col("n")).alias("s")))
+    auth = None
+    for _ in range(int(iters)):
+        araw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst").agg(F.sum("s").alias("_r")))
+        atot = araw.agg(F.sum("_r").alias("_t"))
+        auth = (araw.crossJoin(F.broadcast(atot))
+                .select(F.col("dst").alias("node"),
+                        (F.col("_r") / F.col("_t")).alias("s"))
+                .localCheckpoint(eager=False))
+        hraw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src").agg(F.sum("s").alias("_r")))
+        htot = hraw.agg(F.sum("_r").alias("_t"))
+        hub = (hraw.crossJoin(F.broadcast(htot))
+               .select(F.col("src").alias("node"),
+                       (F.col("_r") / F.col("_t")).alias("s"))
+               .localCheckpoint(eager=False))
+    out_h = hub.select(F.lit("hub").alias("side"), "node",
+                       (F.round("s", 9) + 0.0).alias("score"))
+    out_a = auth.select(F.lit("authority").alias("side"), "node",
+                        (F.round("s", 9) + 0.0).alias("score"))
+    return out_h.unionByName(out_a)
+
+
+def hits_sql(edges_sql: str, iters: int = 4, src_col: str = "src",
+             dst_col: str = "dst") -> str:
+    """DuckDB oracle: identical unrolled half-steps as CTE layers over
+    any edge-producing subquery."""
+    layers = []
+    prev_h = "hh0"
+    for i in range(1, int(iters) + 1):
+        # AS MATERIALIZED: DuckDB inlines plain CTEs, and every layer
+        # references its predecessor twice (value + normalizing sum) —
+        # unmaterialized, the inlined plan doubles per half-step
+        layers.append(f"""
+ha{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.s) AS r
+  FROM hedges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+),
+haa{i} AS MATERIALIZED (
+  SELECT node, r / (SELECT SUM(r) FROM ha{i}) AS s FROM ha{i}),
+hh{i}r AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.s) AS r
+  FROM hedges e JOIN haa{i} a ON a.node = e.dst GROUP BY e.src
+),
+hh{i} AS MATERIALIZED (
+  SELECT node, r / (SELECT SUM(r) FROM hh{i}r) AS s
+  FROM hh{i}r)""")
+        prev_h = f"hh{i}"
+    body = ",".join(layers)
+    return f"""
+WITH hraw AS ({edges_sql}),
+hedges AS MATERIALIZED (SELECT DISTINCT {src_col} AS src, {dst_col} AS dst
+           FROM hraw),
+hh0 AS (
+  SELECT src AS node,
+         1.0 / (SELECT COUNT(DISTINCT src) FROM hedges) AS s
+  FROM (SELECT DISTINCT src FROM hedges)
+),{body}
+SELECT 'hub' AS side, node, ROUND(s, 9) + 0.0 AS score FROM {prev_h}
+UNION ALL
+SELECT 'authority' AS side, node, ROUND(s, 9) + 0.0 AS score
+FROM haa{int(iters)}
+"""

@@ -305,3 +305,73 @@ SELECT CAST(CAST(FLOOR(f.cym / 12) AS BIGINT) AS VARCHAR) || '-'
 FROM cym o JOIN cfirst f USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+def abc_analysis(li: DataFrame, key_col: str = "l_partkey",
+                 value_col: str = "l_extendedprice",
+                 a_cut: float = 0.8, b_cut: float = 0.95) -> DataFrame:
+    """ABC (Pareto) classification of revenue keys: rank keys by
+    DECIMAL-exact revenue descending, classify by the cumulative
+    revenue share — A up to ``a_cut``, B up to ``b_cut``, C the tail.
+    The inventory-prioritization standard.
+
+    Shape: per-key agg (one shuffle), then ONE unpartitioned window
+    over the aggregated key table only (never the fact rows). The
+    cumulative share divides two exact decimals, so both engines
+    compare identical doubles at the class boundaries.
+    """
+    per = (li.groupBy(key_col)
+           .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .alias("_x")))
+    w = (Window.orderBy(F.col("_x").desc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = per.agg(F.sum("_x").alias("_t"))
+    ranked = (per.crossJoin(F.broadcast(tot))
+              .withColumn("_cum", F.sum("_x").over(w))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("_x").desc(),
+                                 F.col(key_col).asc()))))
+    share = F.col("_cum").cast("double") / F.col("_t").cast("double")
+    cls = (F.when(share <= float(a_cut), "A")
+           .when(share <= float(b_cut), "B").otherwise("C"))
+    return ranked.select(
+        F.col(key_col).alias("key"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.round(F.col("_x").cast("double"), 4) + 0.0).alias("revenue"),
+        (F.round(share, 6) + 0.0).alias("cum_share"),
+        cls.alias("abc_class"))
+
+
+def abc_analysis_sql(table: str = "lineitem",
+                     key_col: str = "l_partkey",
+                     value_col: str = "l_extendedprice",
+                     a_cut: float = 0.8, b_cut: float = 0.95) -> str:
+    """DuckDB oracle: identical DECIMAL totals, cumulative window, and
+    boundary comparisons."""
+    return f"""
+WITH abp AS (
+  SELECT {key_col} AS key,
+         SUM(CAST({value_col} AS DECIMAL(18,2))) AS x
+  FROM {table} GROUP BY {key_col}
+),
+abt AS (SELECT SUM(x) AS t FROM abp),
+abr AS (
+  SELECT key, x, t,
+         SUM(x) OVER (ORDER BY x DESC, key ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         CAST(ROW_NUMBER() OVER (ORDER BY x DESC, key ASC) AS BIGINT)
+           AS rank
+  FROM abp CROSS JOIN abt
+)
+SELECT key, rank,
+       ROUND(CAST(x AS DOUBLE), 4) + 0.0 AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+         AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                 <= CAST({float(a_cut)!r} AS DOUBLE) THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                 <= CAST({float(b_cut)!r} AS DOUBLE) THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM abr
+"""

@@ -1312,3 +1312,60 @@ def test_raster_xcorr_aligned_is_zero_offset(spark):
                         min_overlap=9).collect()[0]
     assert (r["best_dx"], r["best_dy"]) == (0, 0)
     assert r["corr"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------ hits / chi2 / abc
+
+def test_hits_bipartite_authority_ranking(spark):
+    from satellitetools_spark.operators.graph import hits
+    # part 100 bought by 3 customers, part 200 by 1 -> 100 out-ranks
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (3, 200)],
+        "src long, dst long")
+    out = {(r["side"], r["node"]): r["score"]
+           for r in hits(edges, iters=4).collect()}
+    assert out[("authority", 100)] > out[("authority", 200)]
+    # customer 3 endorses both parts -> top hub
+    hubs = {n: s for (side, n), s in out.items() if side == "hub"}
+    assert max(hubs, key=hubs.get) == 3
+    # L1 normalization on each side
+    assert sum(hubs.values()) == pytest.approx(1.0, abs=1e-6)
+    auths = {n: s for (side, n), s in out.items() if side == "authority"}
+    assert sum(auths.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chi_square_independent_is_zero(spark):
+    from satellitetools_spark.operators.checks import (
+        chi_square_independence)
+    # perfectly proportional table -> chi2 = 0
+    rows = ([("s1", "en")] * 4 + [("s1", "fr")] * 2
+            + [("s2", "en")] * 8 + [("s2", "fr")] * 4)
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = chi_square_independence(df, "source", "lang").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1
+    assert r["cramers_v"] == 0.0 and r["n"] == 18
+
+
+def test_chi_square_perfect_association(spark):
+    from satellitetools_spark.operators.checks import (
+        chi_square_independence)
+    rows = [("s1", "en")] * 5 + [("s2", "fr")] * 5
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = chi_square_independence(df, "source", "lang").collect()[0]
+    # 2x2 perfect association: chi2 = N, V = 1
+    assert r["chi2"] == pytest.approx(10.0)
+    assert r["cramers_v"] == pytest.approx(1.0)
+
+
+def test_abc_classification_cuts(spark):
+    from satellitetools_spark.operators.segment import abc_analysis
+    # revenues 70, 20, 6, 4 -> cum shares 0.70, 0.90, 0.96, 1.00
+    li = spark.createDataFrame(
+        [(1, 70.0), (2, 20.0), (3, 6.0), (4, 4.0)],
+        "l_partkey long, l_extendedprice double")
+    out = {r["key"]: r for r in abc_analysis(li).collect()}
+    assert out[1]["abc_class"] == "A" and out[1]["rank"] == 1
+    assert out[2]["abc_class"] == "B"      # 0.90 <= 0.95
+    assert out[3]["abc_class"] == "C"      # 0.96 > 0.95
+    assert out[4]["abc_class"] == "C"
+    assert out[4]["cum_share"] == pytest.approx(1.0)
