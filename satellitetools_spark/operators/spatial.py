@@ -3603,3 +3603,49 @@ SELECT {keys}, CAST(dx AS INT) AS best_dx, CAST(dy AS INT) AS best_dy,
        n_overlap, corr
 FROM xcr WHERE rk = 1
 """
+
+
+def sieve_filter(cells: DataFrame,
+                 key_cols: Tuple[str, ...] = ("doc_id",),
+                 min_size: int = 4, max_iters: int = 64,
+                 connectivity: int = 4) -> DataFrame:
+    """Sieve filter (GDAL ``SieveFilter`` semantics, drop variant):
+    remove mask patches smaller than ``min_size`` cells — the
+    classification-cleanup step between a thresholded mask and any
+    area statistic, killing salt-and-pepper speckle. Composes
+    :func:`region_label` with a patch-size LEFT SEMI join; output is
+    the surviving labeled foreground.
+
+    Shape: the labeling fixpoint (diameter-bounded rounds, see
+    region_label) + ONE patch-cardinality agg + ONE co-partitioned
+    semi-join back. Output keeps labels so downstream patch operators
+    (patch_stats) run without relabeling.
+    """
+    lab = region_label(cells, key_cols=key_cols, max_iters=max_iters,
+                       connectivity=connectivity)
+    keys = list(key_cols)
+    big = (lab.groupBy(*keys, "label")
+           .agg(F.count("*").cast("long").alias("_sz"))
+           .filter(F.col("_sz") >= int(min_size))
+           .select(*keys, "label"))
+    return lab.join(big, [*keys, "label"], "left_semi")
+
+
+def sieve_filter_sql(cells_sql: str,
+                     key_cols: Tuple[str, ...] = ("doc_id",),
+                     min_size: int = 4,
+                     connectivity: int = 4) -> str:
+    """DuckDB oracle: closure labels + identical size semi-join."""
+    keys = ", ".join(key_cols)
+    labeled = region_label_sql(cells_sql, key_cols=key_cols,
+                               connectivity=connectivity)
+    return f"""
+WITH svl AS (SELECT * FROM ({labeled})),
+svb AS (
+  SELECT {keys}, label FROM svl
+  GROUP BY {keys}, label HAVING COUNT(*) >= {int(min_size)}
+)
+SELECT l.* FROM svl l SEMI JOIN svb b
+  ON {' AND '.join(f'l.{k} = b.{k}' for k in key_cols)}
+ AND l.label = b.label
+"""

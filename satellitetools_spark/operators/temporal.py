@@ -2682,3 +2682,70 @@ FROM pkb
 WHERE lg IS NOT NULL AND ld IS NOT NULL
   AND v - lg >= {d!r} AND v - ld >= {d!r} AND v > lg AND v > ld
 """
+
+
+def forecast_backtest(df: DataFrame,
+                      key_cols: Sequence[str] = ("event_type",),
+                      order_cols: Sequence[str] = ("ts", "event_id"),
+                      value_col: str = "value",
+                      season: int = 7) -> DataFrame:
+    """One-step-ahead backtest of the two standard baseline
+    forecasters — naive (ŷₜ = yₜ₋₁) and seasonal-naive (ŷₜ = yₜ₋ₛ) —
+    reporting MAE and RMSE per key over the rows where BOTH forecasts
+    exist (fair comparison on a common support). The model-selection
+    primitive: any real forecaster must beat these numbers before it
+    earns cluster time.
+
+    Shape: ONE key window provides both lags (shared sort), one hash
+    agg at key cardinality. Errors are |y − ŷ| of raw doubles — no
+    cross-engine arithmetic hazards beyond the final averages.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    v = F.col(value_col).cast("double")
+    base = (df.select(*keys, *order_cols, v.alias("_v"))
+            .withColumn("_l1", F.lag("_v", 1).over(w))
+            .withColumn("_ls", F.lag("_v", int(season)).over(w))
+            .filter(F.col("_l1").isNotNull()
+                    & F.col("_ls").isNotNull()))
+    e1 = F.abs(F.col("_v") - F.col("_l1"))
+    es = F.abs(F.col("_v") - F.col("_ls"))
+    return (base.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_eval"),
+                 (F.round(F.avg(e1), 6) + 0.0).alias("naive_mae"),
+                 (F.round(F.sqrt(F.avg(e1 * e1)), 6) + 0.0)
+                 .alias("naive_rmse"),
+                 (F.round(F.avg(es), 6) + 0.0).alias("snaive_mae"),
+                 (F.round(F.sqrt(F.avg(es * es)), 6) + 0.0)
+                 .alias("snaive_rmse")))
+
+
+def forecast_backtest_sql(table: str,
+                          key_cols: Sequence[str] = ("event_type",),
+                          order_cols: Sequence[str] = ("ts", "event_id"),
+                          value_col: str = "value",
+                          season: int = 7) -> str:
+    """DuckDB oracle: identical shared-window lags and error
+    averages."""
+    keys = ", ".join(key_cols)
+    obc = ", ".join(f"{c} ASC" for c in order_cols)
+    return f"""
+WITH fbb AS (
+  SELECT {keys}, CAST({value_col} AS DOUBLE) AS v,
+         LAG(CAST({value_col} AS DOUBLE), 1) OVER
+           (PARTITION BY {keys} ORDER BY {obc}) AS l1,
+         LAG(CAST({value_col} AS DOUBLE), {int(season)}) OVER
+           (PARTITION BY {keys} ORDER BY {obc}) AS ls
+  FROM {table}
+)
+SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(AVG(ABS(v - l1)), 6) + 0.0 AS naive_mae,
+       ROUND(SQRT(AVG(ABS(v - l1) * ABS(v - l1))), 6) + 0.0
+         AS naive_rmse,
+       ROUND(AVG(ABS(v - ls)), 6) + 0.0 AS snaive_mae,
+       ROUND(SQRT(AVG(ABS(v - ls) * ABS(v - ls))), 6) + 0.0
+         AS snaive_rmse
+FROM fbb WHERE l1 IS NOT NULL AND ls IS NOT NULL
+GROUP BY {keys}
+"""

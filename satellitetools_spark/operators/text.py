@@ -1765,3 +1765,84 @@ SELECT doc_id, n_tokens, n_types, n_hapax,
        ROUND(n_hapax / CAST(n_types AS DOUBLE), 6) + 0.0 AS hapax_frac
 FROM ldd
 """
+
+
+def term_dispersion(docs: DataFrame, text_col: str = "text",
+                    min_df: int = 5, top_k: int = 50) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio (index of
+    dispersion) of each term's per-document count, over documents that
+    contain it ≥ 0 times (all docs in the corpus). VMR ≈ 1 = Poisson
+    (background vocabulary), VMR ≫ 1 = bursty (topical terms cluster
+    in few docs) — the content-word detector that plain DF misses.
+    Top-``top_k`` by (round-6 VMR, term) over terms with DF ≥
+    ``min_df``.
+
+    Shape: explode → (term, doc) hash agg → term-cardinality moment
+    agg (Σc, Σc² with the zero-count docs entering via N from a
+    1-row broadcast) → TakeOrderedAndProject. The fact table shuffles
+    once.
+    """
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("_nd"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"))
+    per = (tok.groupBy("term", "doc_id")
+           .agg(F.count("*").cast("long").alias("_c")))
+    mom = (per.groupBy("term")
+           .agg(F.count("*").cast("long").alias("df"),
+                F.sum("_c").cast("long").alias("_s"),
+                F.sum(F.col("_c") * F.col("_c")).cast("long")
+                .alias("_s2"))
+           .filter(F.col("df") >= int(min_df))
+           .crossJoin(F.broadcast(n_docs)))
+    # moments over ALL docs (zero counts included): mean = s/N,
+    # E[c²] = s2/N — both exact-integer ratios
+    from pyspark.sql import Window
+    mean = F.col("_s") / F.col("_nd").cast("double")
+    var = F.col("_s2") / F.col("_nd").cast("double") - mean * mean
+    vmr = (F.round(var / mean, 6) + 0.0)
+    w = Window.orderBy(F.desc("vmr"), F.asc("term"))
+    return (mom.select("term", "df",
+                       F.col("_s").alias("tf"), vmr.alias("vmr"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(top_k))
+            .select("rank", "term", "df", "tf", "vmr"))
+
+
+def term_dispersion_sql(table: str = "documents",
+                        text_col: str = "text", min_df: int = 5,
+                        top_k: int = 50) -> str:
+    """DuckDB oracle: identical per-doc counts, corpus-wide moments,
+    and ranked cut."""
+    return f"""
+WITH tdn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+             FROM {table}),
+tdt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim({text_col}),
+                                              '\\s+')) AS term
+  FROM {table}
+),
+tdp AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tdt GROUP BY term, doc_id
+),
+tdm AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM tdp GROUP BY term HAVING COUNT(*) >= {int(min_df)}
+),
+tdv AS (
+  SELECT term, df, s AS tf,
+         ROUND((s2 / CAST(nd AS DOUBLE)
+                - (s / CAST(nd AS DOUBLE)) * (s / CAST(nd AS DOUBLE)))
+               / (s / CAST(nd AS DOUBLE)), 6) + 0.0 AS vmr
+  FROM tdm CROSS JOIN tdn
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vmr DESC, term ASC) AS INT)
+         AS rank,
+       term, df, tf, vmr
+FROM tdv
+ORDER BY vmr DESC, term ASC
+LIMIT {int(top_k)}
+"""

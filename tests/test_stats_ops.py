@@ -1369,3 +1369,50 @@ def test_abc_classification_cuts(spark):
     assert out[3]["abc_class"] == "C"      # 0.96 > 0.95
     assert out[4]["abc_class"] == "C"
     assert out[4]["cum_share"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------- dispersion / backtest / sieve
+
+def test_term_dispersion_bursty_beats_uniform(spark):
+    from satellitetools_spark.operators.text import term_dispersion
+    # 'spread' once in each of 6 docs (VMR < 1, sub-Poisson);
+    # 'burst' 6 times in one doc (VMR >> 1)
+    rows = [(i, "spread " + ("burst " * 6 if i == 0 else "pad"))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in term_dispersion(
+        df, min_df=1, top_k=10).collect()}
+    assert out["burst"]["vmr"] > out["spread"]["vmr"]
+    assert out["burst"]["rank"] == 1
+    assert out["spread"]["df"] == 6 and out["spread"]["tf"] == 6
+    # uniform once-per-doc term: mean 1, E[c^2] 1 -> vmr = 0
+    assert out["spread"]["vmr"] == pytest.approx(0.0)
+
+
+def test_forecast_backtest_periodic_series(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import forecast_backtest
+    # strict period-3 series: seasonal-naive (s=3) is perfect,
+    # naive-1 always misses
+    vals = [1.0, 5.0, 9.0] * 6
+    rows = [("t", f"e{i:02d}", dt.datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id string, ts timestamp,"
+              " value double")
+    r = forecast_backtest(ev, season=3).collect()[0]
+    assert r["snaive_mae"] == 0.0 and r["snaive_rmse"] == 0.0
+    assert r["naive_mae"] > 3.0
+    assert r["n_eval"] == len(vals) - 3
+
+
+def test_sieve_filter_drops_small_patches(spark):
+    from satellitetools_spark.operators.spatial import sieve_filter
+    # 2x3 patch (6 cells) survives min_size=4; two speckles die
+    cells = ([("d", x, y) for x in range(2) for y in range(3)]
+             + [("d", 10, 10), ("d", 20, 20)])
+    df = spark.createDataFrame(cells, "doc_id string, ix long, iy long")
+    out = sieve_filter(df, min_size=4).collect()
+    assert len(out) == 6
+    assert all(r["ix"] < 10 for r in out)
+    assert len({r["label"] for r in out}) == 1
