@@ -333,3 +333,27 @@ def test_kaplan_meier_no_row_cardinality_window(spark):
     plan = _plan(kaplan_meier(ev))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_raster_xcorr_equi_join_only(spark):
+    """The offset lattice must meet raster B through ONE co-partitioned
+    cell equi-join; the argmax window runs at key × offset cardinality
+    (tiny) — never a cartesian anywhere."""
+    from satellitetools_spark.operators.spatial import raster_xcorr
+    mk = lambda: spark.createDataFrame(
+        [("a", i % 8, i // 8, float(i)) for i in range(64)],
+        "aoi string, ix long, iy long, v double")
+    plan = _plan(raster_xcorr(mk(), mk(), max_offset=1, min_overlap=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_hits_joins_stay_equi(spark):
+    """Every HITS half-step is an edge⋈vector equi-join + keyed sum —
+    the normalizing totals are 1-row broadcasts (nested-loop allowed
+    only for those scalars)."""
+    from satellitetools_spark.operators.graph import hits
+    edges = spark.createDataFrame(
+        [(i % 5, 100 + i % 7) for i in range(30)], "src long, dst long")
+    plan = _plan(hits(edges, iters=2))
+    assert "CartesianProduct" not in plan
