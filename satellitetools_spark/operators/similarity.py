@@ -1025,3 +1025,53 @@ mms{step} AS (
     return (f"{body}\n"
             f"SELECT CAST(rank AS INT) AS rank, vec_id, rel, score "
             f"FROM mms{int(k)}")
+
+
+def label_outliers(emb: DataFrame, vec_col: str = "embedding",
+                   label_col: str = "label",
+                   z_threshold: float = 2.0) -> DataFrame:
+    """Mislabel / contamination candidates: vectors whose distance to
+    their OWN label centroid is a per-label z-score outlier
+    (z = (d − μ_label)/σ_label > threshold). The embedding-space twin
+    of MAD anomaly — cheap triage before manual relabeling or
+    quarantine. Distances come from the round-6
+    :func:`label_silhouette` surface, so both engines threshold
+    identical inputs.
+
+    Shape: silhouette's broadcast-centroid pass + ONE label-cardinality
+    moment agg broadcast back; the fact rows never shuffle again.
+    """
+    sil = label_silhouette(emb, vec_col=vec_col, label_col=label_col)
+    mom = (sil.groupBy("label")
+           .agg(F.avg("dist_own").alias("_mu"),
+                F.stddev_pop("dist_own").alias("_sd")))
+    z = (F.col("dist_own") - F.col("_mu")) / F.when(F.col("_sd") > 0,
+                                                    F.col("_sd"))
+    return (sil.join(F.broadcast(mom), "label")
+            .withColumn("z", F.round(z, 6) + 0.0)
+            .filter(F.col("z") > float(z_threshold))
+            .select("label", "vec_id", "dist_own", "silhouette", "z"))
+
+
+def label_outliers_sql(table: str = "embeddings",
+                       vec_col: str = "embedding",
+                       label_col: str = "label", dim: int = 64,
+                       z_threshold: float = 2.0) -> str:
+    """DuckDB oracle: silhouette CTE + identical per-label moments and
+    threshold."""
+    sil = label_silhouette_sql(table, vec_col=vec_col,
+                               label_col=label_col, dim=dim)
+    return f"""
+WITH los AS (SELECT * FROM ({sil})),
+lom AS (
+  SELECT label, AVG(dist_own) AS mu, STDDEV_POP(dist_own) AS sd
+  FROM los GROUP BY label
+)
+SELECT s.label, s.vec_id, s.dist_own, s.silhouette,
+       ROUND((s.dist_own - m.mu)
+             / (CASE WHEN m.sd > 0 THEN m.sd END), 6) + 0.0 AS z
+FROM los s JOIN lom m ON m.label = s.label
+WHERE ROUND((s.dist_own - m.mu)
+            / (CASE WHEN m.sd > 0 THEN m.sd END), 6) + 0.0
+      > {float(z_threshold)!r}
+"""

@@ -2749,3 +2749,66 @@ SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_eval,
 FROM fbb WHERE l1 IS NOT NULL AND ls IS NOT NULL
 GROUP BY {keys}
 """
+
+
+def seasonality_strength(df: DataFrame,
+                         key_cols: Sequence[str] = ("event_type",),
+                         time_col: str = "day", value_col: str = "v",
+                         period: int = 7) -> DataFrame:
+    """Hyndman seasonality / trend strength per key over the classical
+    decomposition: Fₛ = max(0, 1 − Var(R)/Var(S+R)) and
+    Fₜ = max(0, 1 − Var(R)/Var(T+R)) — the 0..1 "how seasonal / how
+    trended is this series" scores feeding forecast-model routing.
+    Composes :func:`seasonal_decompose`; the variance readout consumes
+    the decomposition's ROUND-6 components, so both engines reduce
+    identical inputs.
+
+    Shape: the decomposition's single key window + tiny joins, then
+    ONE key-cardinality variance agg over interior rows (trend
+    non-NULL).
+    """
+    dec = seasonal_decompose(df, key_cols=key_cols, time_col=time_col,
+                             value_col=value_col, period=period)
+    keys = list(key_cols)
+    interior = dec.filter(F.col("trend").isNotNull()
+                          & F.col("seasonal").isNotNull())
+    vr = F.var_pop("resid")
+    # zero-variance denominators (flat trend / no seasonal signal) are
+    # legal inputs: strength is NULL there, and ANSI mode must never
+    # see the division
+    vs = F.when(F.var_pop(F.col("seasonal") + F.col("resid")) > 0,
+                F.var_pop(F.col("seasonal") + F.col("resid")))
+    vt = F.when(F.var_pop(F.col("trend") + F.col("resid")) > 0,
+                F.var_pop(F.col("trend") + F.col("resid")))
+    return (interior.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_obs"),
+                 (F.round(F.greatest(F.lit(0.0), 1.0 - vr / vs), 6)
+                  + 0.0).alias("seasonal_strength"),
+                 (F.round(F.greatest(F.lit(0.0), 1.0 - vr / vt), 6)
+                  + 0.0).alias("trend_strength")))
+
+
+def seasonality_strength_sql(series_sql: str,
+                             key_cols: Sequence[str] = ("event_type",),
+                             time_col: str = "day",
+                             value_col: str = "v",
+                             period: int = 7) -> str:
+    """DuckDB oracle: identical decomposition CTE + variance readout."""
+    keys = ", ".join(key_cols)
+    dec = seasonal_decompose_sql(series_sql, key_cols=key_cols,
+                                 time_col=time_col,
+                                 value_col=value_col, period=period)
+    return f"""
+WITH ssd AS (SELECT * FROM ({dec}))
+SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(GREATEST(0.0, 1.0 - VAR_POP(resid)
+                           / (CASE WHEN VAR_POP(seasonal + resid) > 0
+                              THEN VAR_POP(seasonal + resid) END)), 6)
+         + 0.0 AS seasonal_strength,
+       ROUND(GREATEST(0.0, 1.0 - VAR_POP(resid)
+                           / (CASE WHEN VAR_POP(trend + resid) > 0
+                              THEN VAR_POP(trend + resid) END)), 6)
+         + 0.0 AS trend_strength
+FROM ssd WHERE trend IS NOT NULL AND seasonal IS NOT NULL
+GROUP BY {keys}
+"""

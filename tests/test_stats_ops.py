@@ -1416,3 +1416,47 @@ def test_sieve_filter_drops_small_patches(spark):
     assert len(out) == 6
     assert all(r["ix"] < 10 for r in out)
     assert len({r["label"] for r in out}) == 1
+
+
+# --------------------------------------------- strength / label outliers
+
+def test_seasonality_strength_pure_seasonal_vs_noise(spark):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import (
+        seasonality_strength)
+    s = [3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0]
+    rows = []
+    for i in range(28):
+        day = (dt.date(2024, 1, 1) + dt.timedelta(days=i)).isoformat()
+        rows.append(("seasonal", day, 10.0 + s[i % 7]))
+        # deterministic pseudo-noise, aperiodic
+        rows.append(("noisy", day, 10.0 + ((i * 7919) % 13) - 6.0))
+    df = spark.createDataFrame(rows,
+                               "event_type string, day string, v double")
+    out = {r["event_type"]: r for r in seasonality_strength(
+        df, key_cols=("event_type",)).collect()}
+    # pure periodic + zero-mean over the period: resid ~ 0 -> Fs ~ 1
+    assert out["seasonal"]["seasonal_strength"] == pytest.approx(
+        1.0, abs=1e-6)
+    # the aperiodic series is clearly less seasonal (the mod-13 pattern
+    # aliases a little structure into the weekly phases, so not ~0)
+    assert out["noisy"]["seasonal_strength"] < 0.8
+    assert (out["noisy"]["seasonal_strength"]
+            < out["seasonal"]["seasonal_strength"])
+
+
+def test_label_outliers_flags_planted_vector(spark):
+    from satellitetools_spark.operators.similarity import label_outliers
+    import math as _m
+    rows = []
+    # label a: 12 points on a tight ring around (0,0); one far outlier
+    for i in range(12):
+        th = 2 * _m.pi * i / 12
+        rows.append((i, [_m.cos(th), _m.sin(th)], "a"))
+    rows.append((99, [30.0, 0.0], "a"))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>,"
+                                " label string")
+    out = label_outliers(emb, z_threshold=2.0).collect()
+    assert [r["vec_id"] for r in out] == [99]
+    assert out[0]["z"] > 3
