@@ -61,6 +61,10 @@ HEADLINE = [
     "docs_train_pipeline",
     "emb_cosine_topk",
     "events_hourly",
+    # round-3 additions: one representative per new family
+    "orders_rfm",
+    "docs_dice_pairs",
+    "geo_change",
 ]
 
 
