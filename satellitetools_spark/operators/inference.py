@@ -1,0 +1,573 @@
+"""Classical statistical inference over DataFrames — the hypothesis
+tests an analytics engine runs AFTER the descriptive statistics
+(`checks.spearman_corr`, `checks.ab_ztest`, `checks.chi_square_…`)
+say "something looks different": does segment A really differ from
+segment B (Welch t, Mann-Whitney U, Kolmogorov-Smirnov), do k segments
+differ at all (one-way ANOVA F, Kruskal-Wallis H), and has a scoring
+feature's distribution drifted enough to retrain (PSI)?
+
+Design rules shared by every test here:
+
+* **Moment/count aggregation only on the fact stream.** Raw rows are
+  reduced by ONE hash aggregation (map-side combined) to group moments
+  or distinct-value counts; every window sorts only the aggregated
+  table (group or distinct-value cardinality), never the facts. Rank
+  tests avoid the naive global RANK() over raw rows — midranks are
+  derived from the distinct-value histogram: midrank(v) =
+  (# obs < v) + (t_v + 1)/2, algebraically identical to
+  RANK + (ties−1)/2 but computed on a table the size of the value
+  alphabet.
+* **Both engines evaluate the same algebra.** Statistics round to 6
+  with `+0.0` signed-zero normalization so the driver's stringify-hash
+  compares bit-for-bit; guarded denominators return NULL (ANSI) rather
+  than NaN.
+* **Asymptotic p-values, stated as such.** z/F/H are the exact
+  statistics; where a p-value is emitted it is the standard large-n
+  approximation (KS: the one-term Kolmogorov series), which is the
+  convention at row counts where these pipelines operate.
+
+At 10^12 rows the distinct-value histogram of a continuous double is
+itself data-sized; the documented scale path is the same one the
+quantile sketch takes — bin values first (`checks.histogram` /
+`binned_quantiles`), then run the identical rank algebra on bin ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _r6(col):
+    return F.round(col, 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (two groups)
+# ---------------------------------------------------------------------------
+
+def welch_ttest(df: DataFrame, group_expr: str, value_col: str
+                ) -> DataFrame:
+    """Welch's t-test between the two groups ``group_expr`` (any SQL
+    expression evaluating to 0/1) splits ``value_col`` into — the
+    difference-in-means readout that does NOT assume equal variances,
+    so a heavy-tailed treatment arm cannot masquerade as significant.
+    Returns one row: per-group n/mean, mean difference, t statistic,
+    and the Welch–Satterthwaite degrees of freedom.
+
+    Shape: ONE map-side-combined hash agg collapses the fact stream to
+    two (n, Σv, Σv²) triples; the readout is a 1-row conditional agg.
+    Nothing is sorted, nothing is quadratic — the cheapest test in the
+    family and the first to reach for at corpus scale.
+    """
+    g = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("g")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("s2")))
+    out = g.agg(
+        F.sum(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+        F.sum(F.when(F.col("g") == 0, F.col("s2"))).alias("q0"),
+        F.sum(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.sum(F.when(F.col("g") == 1, F.col("s2"))).alias("q1"))
+    m0 = F.col("s0") / F.col("n0")
+    m1 = F.col("s1") / F.col("n1")
+    # unbiased sample variance via the moment identity (n/(n-1) factor)
+    v0 = (F.col("q0") / F.col("n0") - m0 * m0) \
+        * (F.col("n0") / (F.col("n0") - 1.0))
+    v1 = (F.col("q1") / F.col("n1") - m1 * m1) \
+        * (F.col("n1") / (F.col("n1") - 1.0))
+    a = v0 / F.col("n0")
+    b = v1 / F.col("n1")
+    se = F.sqrt(a + b)
+    dof = ((a + b) * (a + b)
+           / (a * a / (F.col("n0") - 1.0) + b * b / (F.col("n1") - 1.0)))
+    return out.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(m0).alias("mean0"),
+        _r6(m1).alias("mean1"),
+        _r6(m1 - m0).alias("diff"),
+        _r6((m1 - m0) / F.when(se != 0, se)).alias("t_stat"),
+        _r6(dof).alias("dof"))
+
+
+def welch_ttest_sql(table: str, group_expr: str, value_col: str) -> str:
+    """DuckDB oracle: identical moments and Welch–Satterthwaite
+    algebra."""
+    return f"""
+WITH wtg AS (
+  SELECT CAST({group_expr} AS INT) AS g,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM({value_col}) AS s, SUM({value_col} * {value_col}) AS s2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+wtp AS (
+  SELECT SUM(CASE WHEN g = 0 THEN n END) AS n0,
+         SUM(CASE WHEN g = 0 THEN s END) AS s0,
+         SUM(CASE WHEN g = 0 THEN s2 END) AS q0,
+         SUM(CASE WHEN g = 1 THEN n END) AS n1,
+         SUM(CASE WHEN g = 1 THEN s END) AS s1,
+         SUM(CASE WHEN g = 1 THEN s2 END) AS q1
+  FROM wtg
+),
+wtv AS (
+  SELECT n0, n1, s0 / n0 AS m0, s1 / n1 AS m1,
+         (q0 / n0 - (s0 / n0) * (s0 / n0)) * (n0 / (n0 - 1.0)) / n0 AS a,
+         (q1 / n1 - (s1 / n1) * (s1 / n1)) * (n1 / (n1 - 1.0)) / n1 AS b
+  FROM wtp
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(m0, 6) + 0.0 AS mean0, ROUND(m1, 6) + 0.0 AS mean1,
+       ROUND(m1 - m0, 6) + 0.0 AS diff,
+       ROUND((m1 - m0) / (CASE WHEN SQRT(a + b) <> 0
+                          THEN SQRT(a + b) END), 6) + 0.0 AS t_stat,
+       ROUND((a + b) * (a + b)
+             / (a * a / (n0 - 1.0) + b * b / (n1 - 1.0)), 6) + 0.0
+         AS dof
+FROM wtv
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (k groups)
+# ---------------------------------------------------------------------------
+
+def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA: does ``value_col``'s mean differ across the
+    levels of ``group_col`` at all? F = (SSB/(k−1)) / (SSW/(N−k)) from
+    the between/within sum-of-squares decomposition — the screening
+    test run before pairwise comparisons (and their multiplicity
+    corrections) are worth the compute.
+
+    Shape: ONE hash agg to k (n, Σv, Σv²) rows, then a 1-row fold —
+    SSB = Σ s_g²/n_g − (Σs)²/N and SSW = Σ(q_g − s_g²/n_g) are both
+    linear in the group table. Identical cost profile to the profiler.
+    """
+    g = (df.select(F.col(group_col).alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("g")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("q")))
+    out = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"))
+    ssb = F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("sb")
+    msb = ssb / (F.col("k") - 1.0)
+    msw = ssw / (F.col("nn") - F.col("k"))
+    return out.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_obs"),
+        _r6(ssb).alias("ss_between"),
+        _r6(ssw).alias("ss_within"),
+        _r6(msb / F.when(msw != 0, msw)).alias("f_stat"))
+
+
+def anova_f_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle: identical decomposition."""
+    return f"""
+WITH afg AS (
+  SELECT {group_col} AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM({value_col}) AS s,
+         SUM({value_col} * {value_col}) AS q
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+afp AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS nn, SUM(s) AS ss,
+         SUM(q) AS qq, SUM(s * s / n) AS sb
+  FROM afg
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_obs,
+       ROUND(sb - ss * ss / nn, 6) + 0.0 AS ss_between,
+       ROUND(qq - sb, 6) + 0.0 AS ss_within,
+       ROUND(((sb - ss * ss / nn) / (k - 1.0))
+             / (CASE WHEN (qq - sb) / (nn - k) <> 0
+                THEN (qq - sb) / (nn - k) END), 6) + 0.0 AS f_stat
+FROM afp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-value midrank scaffold (shared by MW-U and KW)
+# ---------------------------------------------------------------------------
+# midrank(v) = (# obs with value < v) + (t_v + 1)/2 over the pooled
+# sample — derived from the distinct-value histogram so the only sort
+# is over the value alphabet, never the fact rows.
+
+def _mwu_formula(n0: str = "n0", n1: str = "n1", nn: str = "nn",
+                 u1: str = "u1", ts: str = "tie_s") -> str:
+    """Shared expression text for the tie-corrected MW-U z — parsed by
+    both engines so the algebra cannot drift."""
+    mu = f"({n0} * {n1} / 2.0)"
+    sig = (f"SQRT(({n0} * {n1} / 12.0) * (({nn} + 1.0) "
+           f"- {ts} / ({nn} * ({nn} - 1.0))))")
+    return f"(({u1}) - {mu}) / (CASE WHEN {sig} <> 0 THEN {sig} END)"
+
+
+def mann_whitney_u(df: DataFrame, group_expr: str, value_col: str
+                   ) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two groups of
+    ``group_expr`` — the nonparametric two-sample test that compares
+    entire distributions by rank, immune to outliers and monotone
+    rescaling. Returns one row: n0, n1, u0, u1, and the tie-corrected
+    normal-approximation ``z`` (no continuity correction, stated —
+    both engines must evaluate the same formula).
+
+    Shape: ONE hash agg to the distinct-value histogram (t_v and the
+    group-1 share per value), one cumulative window over THAT table
+    (value-alphabet cardinality), one 1-row fold: R1 = Σ c1_v·midrank(v)
+    with midrank(v) = cum_before(v) + (t_v+1)/2 — algebraically equal to
+    average-tie ranks over the raw rows, without ever sorting them. The
+    tie term Σ(t³−t) rides the same histogram.
+    """
+    from pyspark.sql import Window as _W
+    h = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("v")
+         .agg(F.count("*").cast("double").alias("t"),
+              F.sum(F.col("g")).cast("double").alias("c1")))
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, -1)
+    ranked = h.withColumn("before", F.coalesce(F.sum("t").over(w),
+                                               F.lit(0.0)))
+    mid = F.col("before") + (F.col("t") + 1.0) / 2.0
+    agg = ranked.agg(
+        F.sum("t").alias("nn"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c1") * mid).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_s"))
+    out = agg.select(
+        (F.col("nn") - F.col("n1")).alias("n0"), "n1", "nn", "tie_s",
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0)
+        .alias("u1"))
+    z = F.expr(_mwu_formula())
+    return out.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n0") * F.col("n1") - F.col("u1")).cast("double")
+        .alias("u0"),
+        F.col("u1").cast("double").alias("u1"),
+        _r6(z).alias("z"))
+
+
+def mann_whitney_u_sql(table: str, group_expr: str, value_col: str
+                       ) -> str:
+    """DuckDB oracle: identical histogram-midrank construction and the
+    same z expression text."""
+    z = _mwu_formula()
+    return f"""
+WITH mwh AS (
+  SELECT {value_col} AS v, CAST(COUNT(*) AS DOUBLE) AS t,
+         CAST(SUM(CAST({group_expr} AS INT)) AS DOUBLE) AS c1
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+mwr AS (
+  SELECT v, t, c1,
+         COALESCE(SUM(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS before
+  FROM mwh
+),
+mwa AS (
+  SELECT SUM(t) AS nn, SUM(c1) AS n1,
+         SUM(c1 * (before + (t + 1.0) / 2.0)) AS r1,
+         SUM(t * t * t - t) AS tie_s
+  FROM mwr
+),
+mwo AS (
+  SELECT nn - n1 AS n0, n1, nn, tie_s,
+         r1 - n1 * (n1 + 1.0) / 2.0 AS u1
+  FROM mwa
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(n0 * n1 - u1 AS DOUBLE) AS u0, CAST(u1 AS DOUBLE) AS u1,
+       ROUND({z}, 6) + 0.0 AS z
+FROM mwo
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (k groups)
+# ---------------------------------------------------------------------------
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str
+                   ) -> DataFrame:
+    """Kruskal-Wallis H: the k-group generalization of Mann-Whitney —
+    do ANY of the groups stochastically dominate? H = 12/(N(N+1)) ·
+    Σ R_g²/n_g − 3(N+1), divided by the tie correction
+    1 − Σ(t³−t)/(N³−N). Returns one row (n_obs, k_groups, h, h_adj);
+    under H₀, H ~ χ²(k−1).
+
+    Shape: one hash agg to the (value, group) histogram, the SAME
+    distinct-value cumulative window as :func:`mann_whitney_u` (values
+    table only — per-group midrank sums come from the per-(value,group)
+    counts joined onto it), one k-row agg, one 1-row readout.
+    """
+    from pyspark.sql import Window as _W
+    vg = (df.select(F.col(group_col).alias("g"),
+                    F.col(value_col).alias("v"))
+          .filter(F.col("v").isNotNull())
+          .groupBy("v", "g")
+          .agg(F.count("*").cast("double").alias("c")))
+    # value-level totals carry the cumulative rank base and tie term
+    w = _W.partitionBy().orderBy("v").rowsBetween(
+        _W.unboundedPreceding, -1)
+    vt = (vg.groupBy("v").agg(F.sum("c").alias("t"))
+          .withColumn("before",
+                      F.coalesce(F.sum("t").over(w), F.lit(0.0))))
+    mid = F.col("before") + (F.col("t") + 1.0) / 2.0
+    per_g = (vg.join(vt, "v")
+             .groupBy("g")
+             .agg(F.sum("c").alias("ng"),
+                  F.sum(F.col("c") * mid).alias("rg")))
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_s"))
+    agg = (per_g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("ng").alias("nn"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("rr"))
+        .crossJoin(F.broadcast(ties)))
+    h = (12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("rr")
+         - 3.0 * (F.col("nn") + 1.0))
+    corr = 1.0 - F.col("tie_s") / (F.col("nn") * F.col("nn")
+                                   * F.col("nn") - F.col("nn"))
+    return agg.select(
+        F.col("nn").cast("long").alias("n_obs"),
+        F.col("k").cast("long").alias("k_groups"),
+        _r6(h).alias("h"),
+        _r6(h / F.when(corr != 0, corr)).alias("h_adj"))
+
+
+def kruskal_wallis_sql(table: str, group_col: str, value_col: str
+                       ) -> str:
+    """DuckDB oracle: identical histogram, midranks, and correction."""
+    return f"""
+WITH kwvg AS (
+  SELECT {value_col} AS v, {group_col} AS g,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+),
+kwvt AS (
+  SELECT v, SUM(c) AS t,
+         COALESCE(SUM(SUM(c)) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS before
+  FROM kwvg GROUP BY v
+),
+kwg AS (
+  SELECT g, SUM(c) AS ng,
+         SUM(c * (before + (t + 1.0) / 2.0)) AS rg
+  FROM kwvg JOIN kwvt USING (v) GROUP BY g
+),
+kwt AS (SELECT SUM(t * t * t - t) AS tie_s FROM kwvt),
+kwa AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(ng) AS nn,
+         SUM(rg * rg / ng) AS rr
+  FROM kwg
+)
+SELECT CAST(nn AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS k_groups,
+       ROUND(12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0), 6)
+         + 0.0 AS h,
+       ROUND((12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0))
+             / (CASE WHEN 1.0 - tie_s / (nn * nn * nn - nn) <> 0
+                THEN 1.0 - tie_s / (nn * nn * nn - nn) END), 6) + 0.0
+         AS h_adj
+FROM kwa, kwt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+def ks_test(df: DataFrame, group_expr: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = sup_x |F₀(x) − F₁(x)| between
+    the empirical CDFs of the two groups — the distribution-shape test
+    that catches what a mean test misses (variance shifts, bimodality).
+    Returns one row: n0, n1, d, and the one-term asymptotic p-value
+    ``2·exp(−2 D² n0 n1 / (n0+n1))`` (an upper-tail bound, the standard
+    large-sample readout).
+
+    Shape: the ECDFs step only at observed values, so D is exact from
+    the distinct-value histogram: one fact-stream hash agg, one
+    cumulative window + max over the value alphabet, a 1-row readout.
+    """
+    from pyspark.sql import Window as _W
+    h = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("v")
+         .agg(F.sum(F.when(F.col("g") == 0, 1.0).otherwise(0.0))
+              .alias("c0"),
+              F.sum(F.when(F.col("g") == 1, 1.0).otherwise(0.0))
+              .alias("c1")))
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    wall = _W.partitionBy()
+    cum = (h.withColumn("f0", F.sum("c0").over(w))
+           .withColumn("f1", F.sum("c1").over(w))
+           .withColumn("tn0", F.sum("c0").over(wall))
+           .withColumn("tn1", F.sum("c1").over(wall)))
+    agg = cum.agg(
+        F.max("tn0").alias("n0"), F.max("tn1").alias("n1"),
+        F.max(F.abs(F.col("f0") / F.col("tn0")
+                    - F.col("f1") / F.col("tn1"))).alias("d"))
+    p = 2.0 * F.exp(-2.0 * F.col("d") * F.col("d") * F.col("n0")
+                    * F.col("n1") / (F.col("n0") + F.col("n1")))
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(F.col("d")).alias("d"),
+        _r6(F.least(p, F.lit(1.0))).alias("p_approx"))
+
+
+def ks_test_sql(table: str, group_expr: str, value_col: str) -> str:
+    """DuckDB oracle: identical histogram-CDF construction."""
+    return f"""
+WITH ksh AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS c0,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS c1
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+ksc AS (
+  SELECT SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f0,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f1
+  FROM ksh
+),
+ksn AS (SELECT MAX(f0) AS n0, MAX(f1) AS n1 FROM ksc),
+ksd AS (
+  SELECT MAX(ABS(f0 / (SELECT n0 FROM ksn)
+                 - f1 / (SELECT n1 FROM ksn))) AS d
+  FROM ksc
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(d, 6) + 0.0 AS d,
+       ROUND(LEAST(2.0 * EXP(-2.0 * d * d * n0 * n1 / (n0 + n1)),
+                   1.0), 6) + 0.0 AS p_approx
+FROM ksd, ksn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (binned numeric drift)
+# ---------------------------------------------------------------------------
+
+def psi(df: DataFrame, slice_expr: str, value_col: str,
+        lo: float, hi: float, n_bins: int = 10,
+        smooth: float = 0.5) -> DataFrame:
+    """Population Stability Index between the expected (``slice_expr``
+    = 0, e.g. the training window) and actual (= 1, the serving window)
+    distributions of a numeric feature — the model-monitoring
+    convention: PSI = Σ_b (p_a − p_e)·ln(p_a/p_e) over fixed bins,
+    with add-``smooth`` Laplace smoothing so an empty bin cannot emit
+    ±∞. <0.1 stable, 0.1–0.25 drifting, >0.25 retrain — the same
+    decision thresholds every scoring pipeline documents. Returns one
+    row per bin (shares + contribution) plus the total repeated, so
+    both the alarm number and the per-bin attribution come from one
+    query.
+
+    Shape: one fact-stream hash agg at (bin, slice) cardinality, the
+    bin-completion join from :func:`checks.histogram`'s playbook, and
+    windows over the ≤(n_bins+2)-row bin table only.
+    """
+    if n_bins < 1:
+        raise ValueError("psi: n_bins must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError(f"psi: hi ({hi}) must be > lo ({lo})")
+    from pyspark.sql import Window as _W
+    v = F.col(value_col)
+    width = (float(hi) - float(lo)) / n_bins
+    raw = F.floor((v - float(lo)) / F.lit(width)).cast("long")
+    bin_ = (F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(n_bins))
+            .otherwise(F.least(raw, F.lit(n_bins - 1))).cast("int"))
+    counts = (df.filter(v.isNotNull())
+              .select(bin_.alias("bin"),
+                      F.expr(slice_expr).cast("int").alias("sl"))
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("sl") == 0, 1.0).otherwise(0.0))
+                   .alias("ce"),
+                   F.sum(F.when(F.col("sl") == 1, 1.0).otherwise(0.0))
+                   .alias("ca")))
+    spark = df.sparkSession
+    bins = spark.range(-1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin"))
+    full = (bins.join(counts, "bin", "left")
+            .select("bin", F.coalesce("ce", F.lit(0.0)).alias("ce"),
+                    F.coalesce("ca", F.lit(0.0)).alias("ca")))
+    wall = _W.partitionBy()
+    nb = float(n_bins + 2)
+    pe = ((F.col("ce") + float(smooth))
+          / (F.sum("ce").over(wall) + float(smooth) * nb))
+    pa = ((F.col("ca") + float(smooth))
+          / (F.sum("ca").over(wall) + float(smooth) * nb))
+    contrib = (pa - pe) * F.log(pa / pe)
+    return (full
+            .withColumn("p_expected", _r6(pe))
+            .withColumn("p_actual", _r6(pa))
+            .withColumn("contrib", _r6(contrib))
+            .withColumn("psi_total",
+                        _r6(F.sum(contrib).over(wall)))
+            .select("bin", F.col("ce").cast("long").alias("n_expected"),
+                    F.col("ca").cast("long").alias("n_actual"),
+                    "p_expected", "p_actual", "contrib", "psi_total"))
+
+
+def psi_sql(table: str, slice_expr: str, value_col: str,
+            lo: float, hi: float, n_bins: int = 10,
+            smooth: float = 0.5) -> str:
+    """DuckDB oracle: identical binning, smoothing, and folds."""
+    width = (float(hi) - float(lo)) / n_bins
+    nb = float(n_bins + 2)
+    return f"""
+WITH psic AS (
+  SELECT CAST(CASE WHEN {value_col} < {lo!r} THEN -1
+              WHEN {value_col} >= {hi!r} THEN {n_bins}
+              ELSE LEAST(CAST(FLOOR(({value_col} - {lo!r}) / {width!r})
+                              AS BIGINT), {n_bins - 1}) END AS INT)
+           AS bin,
+         SUM(CASE WHEN CAST({slice_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS ce,
+         SUM(CASE WHEN CAST({slice_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS ca
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+psib AS (SELECT CAST(u.b AS INT) AS bin
+         FROM unnest(generate_series(-1, {n_bins})) u(b)),
+psif AS (
+  SELECT bin, COALESCE(ce, 0.0) AS ce, COALESCE(ca, 0.0) AS ca
+  FROM psib LEFT JOIN psic USING (bin)
+),
+psip AS (
+  SELECT bin, ce, ca,
+         (ce + {float(smooth)!r})
+           / (SUM(ce) OVER () + {float(smooth)!r} * {nb!r}) AS pe,
+         (ca + {float(smooth)!r})
+           / (SUM(ca) OVER () + {float(smooth)!r} * {nb!r}) AS pa
+  FROM psif
+)
+SELECT bin, CAST(ce AS BIGINT) AS n_expected,
+       CAST(ca AS BIGINT) AS n_actual,
+       ROUND(pe, 6) + 0.0 AS p_expected,
+       ROUND(pa, 6) + 0.0 AS p_actual,
+       ROUND((pa - pe) * LN(pa / pe), 6) + 0.0 AS contrib,
+       ROUND(SUM((pa - pe) * LN(pa / pe)) OVER (), 6) + 0.0
+         AS psi_total
+FROM psip
+"""

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from satellitetools_spark.operators import checks as CHK
+from satellitetools_spark.operators import inference as INF
 from satellitetools_spark.operators import spatial as SP
 from satellitetools_spark.operators import temporal as TP
 from satellitetools_spark.operators import text as TX
@@ -1460,3 +1461,122 @@ def test_label_outliers_flags_planted_vector(spark):
     out = label_outliers(emb, z_threshold=2.0).collect()
     assert [r["vec_id"] for r in out] == [99]
     assert out[0]["z"] > 3
+
+
+# ------------------------------------------------- classical inference
+
+def test_welch_ttest_known_values(spark):
+    # group 0: [1, 2, 3] (mean 2, var 1); group 1: [4, 6, 8, 10]
+    # (mean 7, var 20/3). t = 5 / sqrt(1/3 + (20/3)/4) = 5 / sqrt(2)
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0),
+         (1, 4.0), (1, 6.0), (1, 8.0), (1, 10.0)], "g int, v double")
+    out = INF.welch_ttest(df, "g", "v").collect()[0]
+    assert (out["n0"], out["n1"]) == (3, 4)
+    assert out["mean0"] == 2.0 and out["mean1"] == 7.0
+    assert out["t_stat"] == pytest.approx(5.0 / math.sqrt(2.0), abs=1e-6)
+    a, b = 1.0 / 3, (20.0 / 3) / 4
+    dof = (a + b) ** 2 / (a * a / 2 + b * b / 3)
+    assert out["dof"] == pytest.approx(dof, abs=1e-6)
+
+
+def test_anova_f_identical_groups_zero(spark):
+    # identical group means -> SSB = 0 -> F = 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)],
+        "g string, v double")
+    out = INF.anova_f(df, "g", "v").collect()[0]
+    assert out["ss_between"] == 0.0
+    assert out["f_stat"] == 0.0
+
+
+def test_anova_f_textbook(spark):
+    # groups [1,2,3], [4,5,6]: grand mean 3.5, SSB = 2*(1.5^2)*... ->
+    # SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5, SSW = 2 + 2 = 4
+    # F = (13.5/1) / (4/4) = 13.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0)], "g string, v double")
+    out = INF.anova_f(df, "g", "v").collect()[0]
+    assert out["ss_between"] == pytest.approx(13.5, abs=1e-6)
+    assert out["ss_within"] == pytest.approx(4.0, abs=1e-6)
+    assert out["f_stat"] == pytest.approx(13.5, abs=1e-6)
+
+
+def test_mann_whitney_u_no_overlap(spark):
+    # group 1 strictly above group 0: U1 = n0*n1 (max), U0 = 0
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0), (1, 10.0), (1, 11.0)],
+        "g int, v double")
+    out = INF.mann_whitney_u(df, "g", "v").collect()[0]
+    assert (out["n0"], out["n1"]) == (3, 2)
+    assert out["u1"] == 6.0 and out["u0"] == 0.0
+    # z = (6 - 3) / sqrt(3*2/12 * (6)) = 3 / sqrt(3)
+    assert out["z"] == pytest.approx(3.0 / math.sqrt(3.0), abs=1e-6)
+
+
+def test_mann_whitney_u_ties_midranks(spark):
+    # pooled [1, 2, 2, 3]: midranks 1, 2.5, 2.5, 4. group1 = {2, 3} ->
+    # R1 = 2.5 + 4 = 6.5, U1 = 6.5 - 2*3/2 = 3.5
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0)], "g int, v double")
+    out = INF.mann_whitney_u(df, "g", "v").collect()[0]
+    assert out["u1"] == 3.5
+    # tie term: one tie of size 2 -> sum(t^3 - t) = 6
+    sig = math.sqrt(2 * 2 / 12 * ((4 + 1) - 6 / (4 * 3)))
+    assert out["z"] == pytest.approx((3.5 - 2.0) / sig, abs=1e-6)
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    # 3 groups, no ties: [1,2], [3,4], [5,6] - ranks 1..6
+    # R = [3, 7, 11], H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+         ("c", 5.0), ("c", 6.0)], "g string, v double")
+    out = INF.kruskal_wallis(df, "g", "v").collect()[0]
+    h = 12.0 / 42 * ((9 + 49 + 121) / 2.0) - 21
+    assert out["h"] == pytest.approx(h, abs=1e-6)
+    assert out["h_adj"] == pytest.approx(h, abs=1e-6)  # no ties
+
+
+def test_ks_test_disjoint_supports(spark):
+    # completely separated samples -> D = 1
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 5.0), (1, 6.0)], "g int, v double")
+    out = INF.ks_test(df, "g", "v").collect()[0]
+    assert out["d"] == 1.0
+    p = min(1.0, 2.0 * math.exp(-2.0 * 1.0 * 4.0 / 4.0))
+    assert out["p_approx"] == pytest.approx(p, abs=1e-6)
+
+
+def test_ks_test_identical_samples(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 1.0), (1, 2.0)], "g int, v double")
+    out = INF.ks_test(df, "g", "v").collect()[0]
+    assert out["d"] == 0.0
+    assert out["p_approx"] == 1.0
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    rows = [(s, float(v)) for s in (0, 1) for v in (5, 15, 25, 35, 45)]
+    df = spark.createDataFrame(rows, "sl int, v double")
+    out = INF.psi(df, "sl", "v", 0.0, 50.0, n_bins=5).collect()
+    total = out[0]["psi_total"]
+    assert abs(total) < 1e-9
+
+
+def test_psi_shifted_distribution_flags(spark):
+    # expected mass in low bins, actual mass in high bins -> PSI large
+    rows = ([(0, 5.0)] * 50 + [(0, 15.0)] * 50
+            + [(1, 35.0)] * 50 + [(1, 45.0)] * 50)
+    df = spark.createDataFrame(rows, "sl int, v double")
+    out = INF.psi(df, "sl", "v", 0.0, 50.0, n_bins=5).collect()
+    assert out[0]["psi_total"] > 0.25
+    # bin rows complete: -1 .. 5 inclusive
+    assert sorted(r["bin"] for r in out) == list(range(-1, 6))
+
+
+def test_psi_validates_bounds(spark):
+    df = spark.createDataFrame([(0, 1.0)], "sl int, v double")
+    with pytest.raises(ValueError):
+        INF.psi(df, "sl", "v", 5.0, 5.0)
