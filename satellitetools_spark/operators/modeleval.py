@@ -1,0 +1,863 @@
+"""Model-evaluation and information-theoretic readouts — the metrics a
+training-data pipeline computes when a scored corpus comes back from a
+classifier: does the score rank positives above negatives (ROC-AUC /
+Gini), is it honest as a probability (calibration bins, ECE/MCE, the
+Murphy decomposition of the Brier score), how much of the corpus must
+be read to capture the positives (cumulative gains / lift), how much
+do two labelings share (mutual information, Cramér's V), have two
+corpora drifted apart (Jensen-Shannon), which of many per-segment
+tests survive multiple comparison (Benjamini-Hochberg FDR), and what
+is the uncertainty on a corpus mean without a second pass (one-pass
+deterministic Poisson bootstrap).
+
+Design rules shared with `inference.py`:
+
+* **Alphabet-sized state.** Every rank/CDF construction reduces the
+  fact stream with ONE map-side-combined hash aggregation to a
+  distinct-value (or bin/cell) histogram and runs windows only over
+  that table — AUC never sorts raw rows, gains never `ntile`s the
+  corpus, MI never joins facts to facts.
+* **Both engines evaluate the same algebra.** Statistics round to 6
+  with `+0.0` signed-zero normalization; guarded denominators return
+  NULL; where a formula is numerically delicate (the normal CDF, the
+  Poisson inverse) one shared formula STRING is rendered into both the
+  Spark plan and the DuckDB oracle so the arithmetic is textually
+  identical.
+* **Determinism over raw speed for the bootstrap.** Replicate weights
+  are a pure function of (key, replicate, seed) through a portable
+  modular LCG hash, so the confidence interval is bit-stable across
+  runs, partitionings, and cluster sizes.
+
+At 10^12 rows: the histograms here are value-alphabet- or
+bin-cardinality-sized (scores are rounded/binned upstream exactly as
+`inference.py` documents for its rank tests); the bootstrap's
+`explode(B)` is reduced map-side to B partial rows per task before the
+only shuffle, so the wire carries O(B × tasks), not O(B × rows).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _r6(col):
+    return F.round(col, 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the rank (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+def roc_auc(df: DataFrame, label_expr: str, score_expr: str) -> DataFrame:
+    """Area under the ROC curve of ``score_expr`` against the binary
+    ``label_expr`` via the Mann-Whitney identity
+    ``AUC = (R₁ − n₁(n₁+1)/2) / (n₀ n₁)`` where R₁ is the positives'
+    midrank sum — the tie-correct trapezoidal AUC, computed without
+    ever sorting a raw row.
+
+    Midranks come from the distinct-score histogram exactly as
+    `inference.mann_whitney_u` builds them: midrank(v) =
+    (# obs < v) + (t_v + 1)/2. One fact-stream hash agg, one
+    cumulative window over the score alphabet, a 1-row readout with
+    ``auc`` and ``gini = 2·AUC − 1``.
+    """
+    h = (df.select(F.expr(label_expr).cast("int").alias("y"),
+                   F.expr(score_expr).alias("s"))
+         .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+         .groupBy("s")
+         .agg(F.sum(F.when(F.col("y") == 0, 1.0).otherwise(0.0))
+              .alias("c0"),
+              F.sum(F.when(F.col("y") == 1, 1.0).otherwise(0.0))
+              .alias("c1")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.withColumn(
+        "below", F.coalesce(F.sum(F.col("c0") + F.col("c1")).over(w),
+                            F.lit(0.0)))
+    mid = F.col("below") + (F.col("c0") + F.col("c1") + 1.0) / 2.0
+    agg = cum.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
+                  F.sum(F.col("c1") * mid).alias("r1"))
+    auc = ((F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0)
+           / (F.col("n0") * F.col("n1")))
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(auc).alias("auc"),
+        _r6(2.0 * auc - 1.0).alias("gini"))
+
+
+def roc_auc_sql(table: str, label_expr: str, score_expr: str) -> str:
+    """DuckDB oracle: identical midrank-histogram construction."""
+    return f"""
+WITH rah AS (
+  SELECT {score_expr} AS s,
+         SUM(CASE WHEN CAST({label_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS c0,
+         SUM(CASE WHEN CAST({label_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS c1
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+rac AS (
+  SELECT c0, c1,
+         COALESCE(SUM(c0 + c1) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS below
+  FROM rah
+),
+raa AS (
+  SELECT SUM(c0) AS n0, SUM(c1) AS n1,
+         SUM(c1 * (below + (c0 + c1 + 1.0) / 2.0)) AS r1
+  FROM rac
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND((r1 - n1 * (n1 + 1.0) / 2.0) / (n0 * n1), 6) + 0.0 AS auc,
+       ROUND(2.0 * (r1 - n1 * (n1 + 1.0) / 2.0) / (n0 * n1) - 1.0, 6)
+         + 0.0 AS gini
+FROM raa
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins + ECE
+# ---------------------------------------------------------------------------
+
+def calibration_bins(df: DataFrame, label_expr: str, score_expr: str,
+                     lo: float = 0.0, hi: float = 1.0,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram table: scores bucketed into ``n_bins`` fixed
+    bins over [lo, hi) (out-of-range clamped to the edge bins — a
+    probability score has hard edges, unlike `checks.histogram`'s
+    open-ended under/overflow), each bin reporting count, mean score
+    (confidence), positive fraction (accuracy), and the signed gap.
+    One hash agg to n_bins rows; nothing else.
+    """
+    if hi <= lo:
+        raise ValueError(f"calibration_bins: need lo < hi, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"calibration_bins: n_bins must be >= 1, got {n_bins}")
+    width = (hi - lo) / n_bins
+    s = F.expr(score_expr)
+    b = F.least(F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)),
+                           F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    out = (df.select(F.expr(label_expr).cast("double").alias("y"),
+                     s.alias("s"), b.alias("bin"))
+           .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.avg("s").alias("avg_score"),
+                F.avg("y").alias("frac_pos")))
+    return out.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        _r6(F.col("avg_score")).alias("avg_score"),
+        _r6(F.col("frac_pos")).alias("frac_pos"),
+        _r6(F.col("frac_pos") - F.col("avg_score")).alias("gap"))
+
+
+def calibration_bins_sql(table: str, label_expr: str, score_expr: str,
+                         lo: float = 0.0, hi: float = 1.0,
+                         n_bins: int = 10) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+WITH cbh AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(({score_expr} - {lo!r}) / {width!r}),
+                             0), {n_bins - 1}) AS INT) AS bin,
+         CAST({label_expr} AS DOUBLE) AS y, {score_expr} AS s
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) + 0.0 AS avg_score,
+       ROUND(AVG(y), 6) + 0.0 AS frac_pos,
+       ROUND(AVG(y) - AVG(s), 6) + 0.0 AS gap
+FROM cbh GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition + ECE/MCE
+# ---------------------------------------------------------------------------
+
+def brier_decomposition(df: DataFrame, label_expr: str, score_expr: str,
+                        lo: float = 0.0, hi: float = 1.0,
+                        n_bins: int = 10) -> DataFrame:
+    """One-row probability-quality readout: the exact Brier score
+    ``mean((s−y)²)`` plus its binned Murphy decomposition —
+    reliability Σ (n_k/N)(s̄_k − ȳ_k)², resolution Σ (n_k/N)(ȳ_k − ȳ)²,
+    uncertainty ȳ(1 − ȳ) — and the calibration summaries
+    ECE = Σ (n_k/N)|ȳ_k − s̄_k| and MCE = max_k |ȳ_k − s̄_k|.
+
+    ``brier ≈ reliability − resolution + uncertainty`` holds only up
+    to the within-bin score variance (the standard binned-estimator
+    residual); the exact Brier column is the ground truth.
+
+    Shape: one fact agg to the n_bins calibration table (Brier's Σ(s−y)²
+    rides along as a bin-level partial), then a 1-row fold — two
+    aggregations total, both map-side combined.
+    """
+    if hi <= lo:
+        raise ValueError(f"brier_decomposition: need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    s = F.expr(score_expr)
+    b = F.least(F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)),
+                           F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    binned = (df.select(F.expr(label_expr).cast("double").alias("y"),
+                        s.alias("s"), b.alias("bin"))
+              .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+              .groupBy("bin")
+              .agg(F.count("*").cast("double").alias("nk"),
+                   F.avg("s").alias("sk"),
+                   F.avg("y").alias("yk"),
+                   F.sum((F.col("s") - F.col("y"))
+                         * (F.col("s") - F.col("y"))).alias("sq")))
+    wall = Window.partitionBy()
+    g = (binned
+         .withColumn("n", F.sum("nk").over(wall))
+         .withColumn("ybar", F.sum(F.col("nk") * F.col("yk")).over(wall)
+                     / F.col("n")))
+    agg = g.agg(
+        F.max("n").alias("n"), F.max("ybar").alias("ybar"),
+        F.sum("sq").alias("sq"),
+        F.sum(F.col("nk") * (F.col("sk") - F.col("yk"))
+              * (F.col("sk") - F.col("yk"))).alias("rel_n"),
+        F.sum(F.col("nk") * (F.col("yk") - F.col("ybar"))
+              * (F.col("yk") - F.col("ybar"))).alias("res_n"),
+        F.sum(F.col("nk") * F.abs(F.col("yk") - F.col("sk")))
+        .alias("ece_n"),
+        F.max(F.abs(F.col("yk") - F.col("sk"))).alias("mce"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("sq") / F.col("n")).alias("brier"),
+        _r6(F.col("rel_n") / F.col("n")).alias("reliability"),
+        _r6(F.col("res_n") / F.col("n")).alias("resolution"),
+        _r6(F.col("ybar") * (1.0 - F.col("ybar"))).alias("uncertainty"),
+        _r6(F.col("ece_n") / F.col("n")).alias("ece"),
+        _r6(F.col("mce")).alias("mce"))
+
+
+def brier_decomposition_sql(table: str, label_expr: str, score_expr: str,
+                            lo: float = 0.0, hi: float = 1.0,
+                            n_bins: int = 10) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+WITH bdh AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(({score_expr} - {lo!r}) / {width!r}),
+                             0), {n_bins - 1}) AS INT) AS bin,
+         CAST({label_expr} AS DOUBLE) AS y, {score_expr} AS s
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+),
+bdb AS (
+  SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk, AVG(s) AS sk, AVG(y) AS yk,
+         SUM((s - y) * (s - y)) AS sq
+  FROM bdh GROUP BY bin
+),
+bdg AS (
+  SELECT *, SUM(nk) OVER () AS n,
+         SUM(nk * yk) OVER () / SUM(nk) OVER () AS ybar
+  FROM bdb
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(sq) / MAX(n), 6) + 0.0 AS brier,
+       ROUND(SUM(nk * (sk - yk) * (sk - yk)) / MAX(n), 6) + 0.0
+         AS reliability,
+       ROUND(SUM(nk * (yk - ybar) * (yk - ybar)) / MAX(n), 6) + 0.0
+         AS resolution,
+       ROUND(MAX(ybar) * (1.0 - MAX(ybar)), 6) + 0.0 AS uncertainty,
+       ROUND(SUM(nk * ABS(yk - sk)) / MAX(n), 6) + 0.0 AS ece,
+       ROUND(MAX(ABS(yk - sk)), 6) + 0.0 AS mce
+FROM bdg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift
+# ---------------------------------------------------------------------------
+
+def cumulative_gains(df: DataFrame, label_expr: str, score_expr: str,
+                     n_buckets: int = 10) -> DataFrame:
+    """Gains table: reading the corpus in descending-score order, what
+    fraction of all positives has been captured after each 1/n_buckets
+    slice — with ``lift`` = captured fraction ÷ read fraction.
+
+    Bucket boundaries are drawn on the distinct-score histogram, never
+    by `ntile` over raw rows: a score value whose cumulative count ends
+    in slice d puts its WHOLE tie group in bucket d
+    (``CEIL(n_buckets · cum_n / N)``), so ties never straddle a
+    boundary and the result is independent of physical row order.
+    Buckets are therefore approximately, not exactly, equal-sized in
+    the presence of heavy ties — documented behavior, determinism wins.
+    """
+    h = (df.select(F.expr(label_expr).cast("int").alias("y"),
+                   F.expr(score_expr).alias("s"))
+         .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+         .groupBy("s")
+         .agg(F.count("*").cast("double").alias("cn"),
+              F.sum(F.col("y").cast("double")).alias("cp")))
+    w = Window.orderBy(F.col("s").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (h.withColumn("cum_n", F.sum("cn").over(w))
+           .withColumn("n", F.sum("cn").over(wall)))
+    bucket = F.least(
+        F.ceil(F.lit(float(n_buckets)) * F.col("cum_n") / F.col("n")),
+        F.lit(n_buckets)).cast("int")
+    byb = (cum.withColumn("bucket", bucket)
+           .groupBy("bucket")
+           .agg(F.sum("cn").alias("bn"), F.sum("cp").alias("bp")))
+    w2 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = (byb.withColumn("cum_n", F.sum("bn").over(w2))
+           .withColumn("cum_pos", F.sum("bp").over(w2))
+           .withColumn("n", F.sum("bn").over(wall))
+           .withColumn("npos", F.sum("bp").over(wall)))
+    gain = F.col("cum_pos") / F.col("npos")
+    readf = F.col("cum_n") / F.col("n")
+    return out.select(
+        "bucket",
+        F.col("bn").cast("long").alias("n"),
+        F.col("bp").cast("long").alias("n_pos"),
+        _r6(readf).alias("read_frac"),
+        _r6(gain).alias("gain"),
+        _r6(gain / readf).alias("lift"))
+
+
+def cumulative_gains_sql(table: str, label_expr: str, score_expr: str,
+                         n_buckets: int = 10) -> str:
+    return f"""
+WITH cgh AS (
+  SELECT {score_expr} AS s, CAST(COUNT(*) AS DOUBLE) AS cn,
+         SUM(CAST(CAST({label_expr} AS INT) AS DOUBLE)) AS cp
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+cgc AS (
+  SELECT cn, cp,
+         SUM(cn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_n,
+         SUM(cn) OVER () AS n
+  FROM cgh
+),
+cgb AS (
+  SELECT CAST(LEAST(CEIL({float(n_buckets)} * cum_n / n),
+                    {n_buckets}) AS INT) AS bucket,
+         SUM(cn) AS bn, SUM(cp) AS bp
+  FROM cgc GROUP BY 1
+),
+cgo AS (
+  SELECT bucket, bn, bp,
+         SUM(bn) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_n,
+         SUM(bp) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_pos,
+         SUM(bn) OVER () AS n, SUM(bp) OVER () AS npos
+  FROM cgb
+)
+SELECT bucket, CAST(bn AS BIGINT) AS n, CAST(bp AS BIGINT) AS n_pos,
+       ROUND(cum_n / n, 6) + 0.0 AS read_frac,
+       ROUND(cum_pos / npos, 6) + 0.0 AS gain,
+       ROUND((cum_pos / npos) / (cum_n / n), 6) + 0.0 AS lift
+FROM cgo
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / entropies between two categorical columns
+# ---------------------------------------------------------------------------
+
+def mutual_information(df: DataFrame, a_expr: str, b_expr: str
+                       ) -> DataFrame:
+    """Mutual information (nats) between two categorical expressions,
+    with marginal entropies and the geometric-mean-normalized NMI —
+    the label-agreement readout (how much does `source` tell you about
+    `lang`) that chi² significance alone does not give.
+
+    Shape: ONE joint-histogram hash agg (|A|·|B| cells), marginals via
+    two windows over the cell table, a 1-row fold. Zero-count cells
+    simply never appear, which is exactly the 0·log 0 = 0 convention.
+    """
+    j = (df.select(F.expr(a_expr).alias("a"), F.expr(b_expr).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .groupBy("a", "b").agg(F.count("*").cast("double").alias("c")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    g = (j.withColumn("ca", F.sum("c").over(wa))
+         .withColumn("cb", F.sum("c").over(wb))
+         .withColumn("n", F.sum("c").over(wall)))
+    p = F.col("c") / F.col("n")
+    agg = g.agg(
+        F.max("n").alias("n"),
+        F.sum(p * F.log(F.col("c") * F.col("n")
+                        / (F.col("ca") * F.col("cb")))).alias("mi"),
+        # H(A): each cell carries −p_ab·ln p_a; summing over b collapses
+        # to −Σ p_a ln p_a exactly (same trick for H(B), H(A,B))
+        (-F.sum(p * F.log(F.col("ca") / F.col("n")))).alias("h_a"),
+        (-F.sum(p * F.log(F.col("cb") / F.col("n")))).alias("h_b"),
+        (-F.sum(p * F.log(p))).alias("h_ab"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("h_a")).alias("h_a"),
+        _r6(F.col("h_b")).alias("h_b"),
+        _r6(F.col("h_ab")).alias("h_ab"),
+        _r6(F.col("mi")).alias("mi"),
+        _r6(F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")))
+        .alias("nmi"))
+
+
+def mutual_information_sql(table: str, a_expr: str, b_expr: str) -> str:
+    return f"""
+WITH mij AS (
+  SELECT {a_expr} AS a, {b_expr} AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+mig AS (
+  SELECT c, SUM(c) OVER (PARTITION BY a) AS ca,
+         SUM(c) OVER (PARTITION BY b) AS cb,
+         SUM(c) OVER () AS n
+  FROM mij
+),
+mia AS (
+  SELECT MAX(n) AS n,
+         SUM((c / n) * LN(c * n / (ca * cb))) AS mi,
+         -SUM((c / n) * LN(ca / n)) AS h_a,
+         -SUM((c / n) * LN(cb / n)) AS h_b,
+         -SUM((c / n) * LN(c / n)) AS h_ab
+  FROM mig
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(h_a, 6) + 0.0 AS h_a, ROUND(h_b, 6) + 0.0 AS h_b,
+       ROUND(h_ab, 6) + 0.0 AS h_ab, ROUND(mi, 6) + 0.0 AS mi,
+       ROUND(mi / SQRT(h_a * h_b), 6) + 0.0 AS nmi
+FROM mia
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (effect size for categorical association)
+# ---------------------------------------------------------------------------
+
+def cramers_v(df: DataFrame, a_expr: str, b_expr: str) -> DataFrame:
+    """Cramér's V = sqrt(χ² / (N·(min(r,c)−1))) between two categorical
+    expressions — the [0,1] effect size that
+    `checks.chi_square_independence`'s raw χ² (which grows with N)
+    cannot provide at corpus scale. Same joint-histogram shape as
+    `mutual_information`; zero-observed cells enter through the
+    identity ``χ² = N·Σ_present c²/(cₐ·c_b) − N`` (expand (c−e)²/e and
+    note Σ_all e = Σ_all c = N), so no full-grid join is needed —
+    unlike the direct Σ(O−E)²/E over present cells only, which biases
+    χ² down whenever the contingency table is sparse.
+    """
+    j = (df.select(F.expr(a_expr).alias("a"), F.expr(b_expr).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .groupBy("a", "b").agg(F.count("*").cast("double").alias("c")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    g = (j.withColumn("ca", F.sum("c").over(wa))
+         .withColumn("cb", F.sum("c").over(wb))
+         .withColumn("n", F.sum("c").over(wall)))
+    agg = g.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").cast("double").alias("r"),
+        F.countDistinct("b").cast("double").alias("cc"),
+        (F.max("n") * F.sum(F.col("c") * F.col("c")
+                            / (F.col("ca") * F.col("cb")))
+         - F.max("n")).alias("chi2"))
+    v = F.sqrt(F.col("chi2")
+               / (F.col("n") * (F.least("r", "cc") - 1.0)))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_rows"),
+        F.col("cc").cast("long").alias("n_cols"),
+        _r6(F.col("chi2")).alias("chi2"),
+        _r6(v).alias("v"))
+
+
+def cramers_v_sql(table: str, a_expr: str, b_expr: str) -> str:
+    return f"""
+WITH cvj AS (
+  SELECT {a_expr} AS a, {b_expr} AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+cvg AS (
+  SELECT a, b, c, SUM(c) OVER (PARTITION BY a) AS ca,
+         SUM(c) OVER (PARTITION BY b) AS cb,
+         SUM(c) OVER () AS n
+  FROM cvj
+),
+cva AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT b) AS DOUBLE) AS cc,
+         MAX(n) * SUM(c * c / (ca * cb)) - MAX(n) AS chi2
+  FROM cvg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows,
+       CAST(cc AS BIGINT) AS n_cols,
+       ROUND(chi2, 6) + 0.0 AS chi2,
+       ROUND(SQRT(chi2 / (n * (LEAST(r, cc) - 1.0))), 6) + 0.0 AS v
+FROM cva
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two categorical distributions
+# ---------------------------------------------------------------------------
+
+def js_divergence(df: DataFrame, group_expr: str, cat_expr: str
+                  ) -> DataFrame:
+    """Jensen-Shannon divergence between the ``cat_expr`` distributions
+    of the two groups ``group_expr`` splits the stream into — the
+    symmetric, bounded ([0, ln 2] nats) drift readout that, unlike KL
+    or PSI, needs NO smoothing: a category present in only one group
+    contributes through the mixture M = (P+Q)/2, never a division by
+    zero. Categories absent from one side get their p·ln(p/m) term
+    guarded to 0 by construction (c=0 ⇒ term 0).
+
+    One category-histogram agg, a 1-row fold. Emits nats and bits.
+    """
+    h = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.expr(cat_expr).alias("k"))
+         .filter(F.col("k").isNotNull())
+         .groupBy("k")
+         .agg(F.sum(F.when(F.col("g") == 0, 1.0).otherwise(0.0))
+              .alias("c0"),
+              F.sum(F.when(F.col("g") == 1, 1.0).otherwise(0.0))
+              .alias("c1")))
+    wall = Window.partitionBy()
+    g = (h.withColumn("n0", F.sum("c0").over(wall))
+         .withColumn("n1", F.sum("c1").over(wall)))
+    p = F.col("c0") / F.col("n0")
+    q = F.col("c1") / F.col("n1")
+    m = (p + q) / 2.0
+    term_p = F.when(F.col("c0") > 0, p * F.log(p / m)).otherwise(0.0)
+    term_q = F.when(F.col("c1") > 0, q * F.log(q / m)).otherwise(0.0)
+    agg = g.agg(F.max("n0").alias("n0"), F.max("n1").alias("n1"),
+                (0.5 * F.sum(term_p) + 0.5 * F.sum(term_q)).alias("jsd"))
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(F.col("jsd")).alias("jsd_nats"),
+        _r6(F.col("jsd") / float(0.6931471805599453)).alias("jsd_bits"))
+
+
+def js_divergence_sql(table: str, group_expr: str, cat_expr: str) -> str:
+    return f"""
+WITH jsh AS (
+  SELECT {cat_expr} AS k,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS c0,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS c1
+  FROM {table} WHERE ({cat_expr}) IS NOT NULL GROUP BY 1
+),
+jsg AS (
+  SELECT c0, c1, SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1
+  FROM jsh
+),
+jsa AS (
+  SELECT MAX(n0) AS n0, MAX(n1) AS n1,
+         0.5 * SUM(CASE WHEN c0 > 0 THEN (c0 / n0)
+             * LN((c0 / n0) / ((c0 / n0 + c1 / n1) / 2.0))
+             ELSE 0.0 END)
+         + 0.5 * SUM(CASE WHEN c1 > 0 THEN (c1 / n1)
+             * LN((c1 / n1) / ((c0 / n0 + c1 / n1) / 2.0))
+             ELSE 0.0 END) AS jsd
+  FROM jsg
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(jsd, 6) + 0.0 AS jsd_nats,
+       ROUND(jsd / 0.6931471805599453, 6) + 0.0 AS jsd_bits
+FROM jsa
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group vs-rest Welch t + normal p, and Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7),
+# rendered as ONE formula string into both engines so the arithmetic is
+# textually identical. {z} must be a non-negative expression.
+_ERF_FMT = ("(1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " - 1.453152027) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " + 1.421413741) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " - 0.284496736) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " + 0.254829592) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " * EXP(-(({z}) * ({z})))))")
+
+
+def _two_sided_p_fmt(t_expr: str) -> str:
+    """p = 2·(1 − Φ(|t|)) = 1 − erf(|t|/√2), via the shared erf string."""
+    z = f"(ABS({t_expr}) / 1.4142135623730951)"
+    return f"(1.0 - {_ERF_FMT.format(z=z)})"
+
+
+def group_vs_rest_ttest(df: DataFrame, group_col: str, value_col: str
+                        ) -> DataFrame:
+    """For EVERY group simultaneously: Welch's t of the group's values
+    against the rest of the corpus, with the large-n normal two-sided
+    p — the screening stage that feeds `bh_adjust`. One hash agg to
+    per-group (n, Σv, Σv²), global moments by a window over the group
+    table, k rows out. The p-value uses the A&S 7.1.26 erf polynomial
+    (|err| < 1.5e-7) rendered identically into both engines.
+    """
+    g = (df.select(F.col(group_col).alias("grp"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull() & F.col("grp").isNotNull())
+         .groupBy("grp")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("s2")))
+    wall = Window.partitionBy()
+    g = (g.withColumn("tn", F.sum("n").over(wall))
+         .withColumn("ts", F.sum("s").over(wall))
+         .withColumn("ts2", F.sum("s2").over(wall)))
+    nr = F.col("tn") - F.col("n")
+    sr = F.col("ts") - F.col("s")
+    qr = F.col("ts2") - F.col("s2")
+    m1 = F.col("s") / F.col("n")
+    mr = sr / nr
+    v1 = (F.col("s2") / F.col("n") - m1 * m1) \
+        * (F.col("n") / (F.col("n") - 1.0))
+    vr = (qr / nr - mr * mr) * (nr / (nr - 1.0))
+    se2 = v1 / F.col("n") + vr / nr
+    t = (m1 - mr) / F.sqrt(se2)
+    out = g.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        _r6(m1).alias("mean"),
+        _r6(mr).alias("mean_rest"),
+        _r6(t).alias("t"))
+    # p from the ROUNDED t so both engines feed the erf polynomial the
+    # identical double — the statistic, not the p, is the precise output
+    return out.withColumn(
+        "p_approx", _r6(F.expr(_two_sided_p_fmt("t"))))
+
+
+def group_vs_rest_ttest_sql(table: str, group_col: str, value_col: str
+                            ) -> str:
+    p = _two_sided_p_fmt("t")
+    return f"""
+WITH gvr0 AS (
+  SELECT {group_col} AS grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM({value_col}) AS s,
+         SUM({value_col} * {value_col}) AS s2
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1
+),
+gvr1 AS (
+  SELECT *, SUM(n) OVER () AS tn, SUM(s) OVER () AS ts,
+         SUM(s2) OVER () AS ts2
+  FROM gvr0
+),
+gvr2 AS (
+  SELECT grp, n, s / n AS m1, (ts - s) / (tn - n) AS mr,
+         (s2 / n - (s / n) * (s / n)) * (n / (n - 1.0)) AS v1,
+         ((ts2 - s2) / (tn - n) - ((ts - s) / (tn - n))
+          * ((ts - s) / (tn - n))) * ((tn - n) / (tn - n - 1.0)) AS vr,
+         tn - n AS nr
+  FROM gvr1
+),
+gvr3 AS (
+  SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n,
+         ROUND(m1, 6) + 0.0 AS mean,
+         ROUND(mr, 6) + 0.0 AS mean_rest,
+         ROUND((m1 - mr) / SQRT(v1 / n + vr / nr), 6) + 0.0 AS t
+  FROM gvr2
+)
+SELECT *, ROUND({p}, 6) + 0.0 AS p_approx FROM gvr3
+"""
+
+
+def bh_adjust(df: DataFrame, key_col: str, p_col: str = "p_approx",
+              alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment over a table of
+    per-test p-values (one row per test): rank ascending by p (key as
+    the deterministic tie-break), raw_i = p_(i)·m/i, adjusted p = the
+    running minimum of raw from the largest rank down, capped at 1,
+    ``rejected`` = adjusted ≤ alpha. The input is already
+    test-cardinality (k rows), so the two windows here sort k rows —
+    the fact stream was reduced by whatever screening test produced p.
+    """
+    wall = Window.partitionBy()
+    wr = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    wmin = (Window.orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    g = (df.withColumn("m", F.count("*").over(wall))
+         .withColumn("rank", F.row_number().over(wr))
+         .withColumn("raw", F.col(p_col) * F.col("m") / F.col("rank")))
+    out = g.withColumn("p_adj", F.least(F.min("raw").over(wmin),
+                                        F.lit(1.0)))
+    return (out.select(
+        F.col(key_col),
+        F.col(p_col),
+        F.col("rank").cast("long").alias("rank"),
+        _r6(F.col("p_adj")).alias("p_adj"),
+        F.when(_r6(F.col("p_adj")) <= alpha, 1).otherwise(0)
+        .alias("rejected")))
+
+
+def bh_adjust_sql(inner_sql: str, key_col: str, p_col: str = "p_approx",
+                  alpha: float = 0.05) -> str:
+    """DuckDB oracle over any inner query emitting (key, p)."""
+    return f"""
+WITH bhin AS ({inner_sql}),
+bhr AS (
+  SELECT {key_col}, {p_col},
+         COUNT(*) OVER () AS m,
+         ROW_NUMBER() OVER (ORDER BY {p_col} ASC, {key_col} ASC) AS rank
+  FROM bhin
+),
+bha AS (
+  SELECT {key_col}, {p_col}, rank,
+         LEAST(MIN({p_col} * m / rank) OVER (ORDER BY rank DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+           AS p_adj
+  FROM bhr
+)
+SELECT {key_col}, {p_col}, CAST(rank AS BIGINT) AS rank,
+       ROUND(p_adj, 6) + 0.0 AS p_adj,
+       CASE WHEN ROUND(p_adj, 6) + 0.0 <= {alpha!r} THEN 1 ELSE 0 END
+         AS rejected
+FROM bha
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass deterministic Poisson bootstrap for a mean
+# ---------------------------------------------------------------------------
+
+_LCG_M = 2147483647          # 2^31 − 1 (Mersenne prime)
+_LCG_A = 48271               # MINSTD multiplier
+_LCG_R = 69621               # replicate mixing multiplier
+
+# Poisson(1) inverse-CDF thresholds: cumulative e^{-1}·Σ 1/k!
+_POIS_CUM = (0.36787944117144233, 0.7357588823428847,
+             0.9196986029286058, 0.9810118431238462,
+             0.9963401531726563, 0.9994058151824183,
+             0.9999167588507119, 0.999989750803325)
+
+
+def _pois_fmt(u_expr: str) -> str:
+    """CASE chain mapping a uniform in [0,1) to Poisson(1) — shared
+    formula string; weights > 8 (P ≈ 1e-6) are clamped to 8."""
+    whens = " ".join(
+        f"WHEN ({u_expr}) < {c!r} THEN {k}.0"
+        for k, c in enumerate(_POIS_CUM))
+    return f"(CASE {whens} ELSE 8.0 END)"
+
+
+def _boot_u_fmt(key_expr: str, rep_expr: str, seed: int) -> str:
+    """Uniform in [0,1) from a portable modular hash of (key, replicate):
+    THREE chained MINSTD multiplicative steps — a single multiply mod M
+    does not wrap the modulus for small consecutive keys (k·A < M for
+    k < 44486), which leaves u confined to a sliver and starves whole
+    replicates of weight; after the second multiply every key has
+    wrapped many times. Pure 64-bit-safe integer arithmetic both
+    engines share — every intermediate < 2^47."""
+    s0 = f"((({key_expr}) + {seed}) % {_LCG_M})"
+    s1 = f"(({s0} * {_LCG_A}) % {_LCG_M})"
+    s2 = f"((({s1} + ({rep_expr}) * {_LCG_R}) * {_LCG_A}) % {_LCG_M})"
+    s3 = f"(({s2} * {_LCG_A}) % {_LCG_M})"
+    return f"((CAST({s3} AS DOUBLE) + 0.5) / {_LCG_M}.0)"
+
+
+def poisson_bootstrap_mean(df: DataFrame, value_col: str,
+                           key_expr: str, n_boot: int = 64,
+                           seed: int = 1787, ci: float = 0.95
+                           ) -> DataFrame:
+    """Bootstrap confidence interval for the corpus mean in ONE pass:
+    each row enters replicate r with weight ~ Poisson(1) drawn
+    deterministically from a portable modular hash of (key, r, seed) —
+    the streaming bootstrap (Poisson approximation to multinomial
+    resampling, exact as n → ∞), so the CI is bit-stable across runs,
+    partitionings, and cluster sizes.
+
+    Shape: rows explode ×n_boot, but the per-replicate (Σw, Σwv)
+    partials combine map-side, so the single shuffle carries
+    O(n_boot × tasks) rows, not O(n_boot × n). The replicate means
+    (n_boot of them) then fold to one row: exact point mean, bootstrap
+    mean, the bootstrap SE (stddev of replicate means), and the
+    percentile CI (linear interpolation, identical in both engines).
+    """
+    lo_q, hi_q = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    w = _pois_fmt(_boot_u_fmt("k", "r", seed))
+    rep = (df.select(F.expr(key_expr).alias("k"),
+                     F.col(value_col).alias("v"))
+           .filter(F.col("v").isNotNull())
+           .select("k", "v",
+                   F.explode(F.sequence(
+                       F.lit(0), F.lit(n_boot - 1))).alias("r"))
+           .withColumn("w", F.expr(w).cast("double"))
+           .groupBy("r")
+           .agg(F.sum("w").alias("sw"),
+                F.sum(F.col("w") * F.col("v")).alias("swv"),
+                F.sum(F.when(F.col("r") == 0, 1.0).otherwise(0.0))
+                .alias("cnt"),
+                F.sum(F.when(F.col("r") == 0, F.col("v"))
+                      .otherwise(0.0)).alias("sv")))
+    means = rep.select(
+        (F.col("swv") / F.col("sw")).alias("bm"),
+        F.col("cnt").alias("cnt"), F.col("sv").alias("sv"))
+    agg = means.agg(
+        F.sum("cnt").alias("n"),
+        (F.sum("sv") / F.sum("cnt")).alias("point_mean"),
+        F.avg("bm").alias("boot_mean"),
+        F.stddev_samp("bm").alias("se"),
+        F.percentile(F.col("bm"), F.lit(lo_q)).alias("ci_lo"),
+        F.percentile(F.col("bm"), F.lit(hi_q)).alias("ci_hi"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(n_boot).alias("n_boot"),
+        _r6(F.col("point_mean")).alias("point_mean"),
+        _r6(F.col("boot_mean")).alias("boot_mean"),
+        _r6(F.col("se")).alias("se"),
+        _r6(F.col("ci_lo")).alias("ci_lo"),
+        _r6(F.col("ci_hi")).alias("ci_hi"))
+
+
+def poisson_bootstrap_mean_sql(table: str, value_col: str,
+                               key_expr: str, n_boot: int = 64,
+                               seed: int = 1787, ci: float = 0.95
+                               ) -> str:
+    lo_q, hi_q = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    w = _pois_fmt(_boot_u_fmt("k", "r", seed))
+    return f"""
+WITH pbx AS (
+  SELECT {key_expr} AS k, {value_col} AS v, r
+  FROM {table}, (SELECT UNNEST(generate_series(0, {n_boot - 1})) AS r)
+  WHERE {value_col} IS NOT NULL
+),
+pbr AS (
+  SELECT r, SUM({w}) AS sw,
+         SUM({w} * v) AS swv,
+         SUM(CASE WHEN r = 0 THEN 1.0 ELSE 0.0 END) AS cnt,
+         SUM(CASE WHEN r = 0 THEN v ELSE 0.0 END) AS sv
+  FROM pbx GROUP BY r
+),
+pbm AS (SELECT swv / sw AS bm, cnt, sv FROM pbr),
+pba AS (
+  SELECT SUM(cnt) AS n, SUM(sv) / SUM(cnt) AS point_mean,
+         AVG(bm) AS boot_mean, STDDEV_SAMP(bm) AS se,
+         quantile_cont(bm, {lo_q!r}) AS ci_lo,
+         quantile_cont(bm, {hi_q!r}) AS ci_hi
+  FROM pbm
+)
+SELECT CAST(n AS BIGINT) AS n, {n_boot} AS n_boot,
+       ROUND(point_mean, 6) + 0.0 AS point_mean,
+       ROUND(boot_mean, 6) + 0.0 AS boot_mean,
+       ROUND(se, 6) + 0.0 AS se,
+       ROUND(ci_lo, 6) + 0.0 AS ci_lo,
+       ROUND(ci_hi, 6) + 0.0 AS ci_hi
+FROM pba
+"""

@@ -1,0 +1,244 @@
+"""Model-evaluation / information-theory operators: ROC-AUC,
+calibration + Brier decomposition, cumulative gains, MI / Cramér's V /
+JSD, Benjamini-Hochberg FDR, deterministic Poisson bootstrap.
+
+Each test checks SEMANTICS against a planted ground truth or an
+independent NumPy computation — oracle-twin equality is the gate's job
+(scripts/check_correctness.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from satellitetools_spark.operators import modeleval as ME
+
+
+def _scored(spark, ys, ss):
+    return spark.createDataFrame(
+        [(float(y), float(s)) for y, s in zip(ys, ss)],
+        "y double, s double")
+
+
+# ---------------------------------------------------------------- ROC-AUC
+
+def test_roc_auc_perfect_separation(spark):
+    df = _scored(spark, [0, 0, 0, 1, 1], [0.1, 0.2, 0.3, 0.8, 0.9])
+    out = ME.roc_auc(df, "y", "s").collect()[0]
+    assert out["auc"] == 1.0 and out["gini"] == 1.0
+    assert out["n0"] == 3 and out["n1"] == 2
+
+
+def test_roc_auc_matches_numpy_rank_formula(spark):
+    rng = np.random.RandomState(7)
+    y = (rng.rand(200) < 0.4).astype(int)
+    s = np.round(rng.rand(200) * 0.5 + 0.4 * y, 2)  # ties guaranteed
+    # independent midrank computation via scipy-free numpy
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # midrank, 1-based
+        i = j
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2.0) / (n0 * n1)
+    out = ME.roc_auc(_scored(spark, y, s), "y", "s").collect()[0]
+    assert out["auc"] == pytest.approx(auc, abs=1e-6)
+
+
+def test_roc_auc_ties_give_half_credit(spark):
+    # all scores equal -> AUC exactly 0.5 regardless of labels
+    df = _scored(spark, [0, 0, 1, 1], [0.5, 0.5, 0.5, 0.5])
+    assert ME.roc_auc(df, "y", "s").collect()[0]["auc"] == 0.5
+
+
+# ------------------------------------------------- calibration + Brier
+
+def test_calibration_bins_planted(spark):
+    # bin 0: scores .05/.05 labels 0,1 -> frac_pos .5, avg_score .05
+    df = _scored(spark, [0, 1, 1, 1], [0.05, 0.05, 0.95, 0.95])
+    rows = {r["bin"]: r for r in
+            ME.calibration_bins(df, "y", "s", 0.0, 1.0, 10).collect()}
+    assert rows[0]["n"] == 2 and rows[0]["frac_pos"] == 0.5
+    assert rows[0]["gap"] == pytest.approx(0.45)
+    assert rows[9]["n"] == 2 and rows[9]["frac_pos"] == 1.0
+    assert rows[9]["gap"] == pytest.approx(0.05)
+
+
+def test_calibration_edge_clamp_and_validation(spark):
+    df = _scored(spark, [1, 0], [1.0, -0.2])  # 1.0 and out-of-range
+    rows = {r["bin"]: r for r in
+            ME.calibration_bins(df, "y", "s", 0.0, 1.0, 10).collect()}
+    assert rows[9]["n"] == 1 and rows[0]["n"] == 1  # clamped to edges
+    with pytest.raises(ValueError):
+        ME.calibration_bins(df, "y", "s", 1.0, 1.0, 10)
+    with pytest.raises(ValueError):
+        ME.brier_decomposition(df, "y", "s", 2.0, 1.0, 10)
+
+
+def test_brier_decomposition_identities(spark):
+    rng = np.random.RandomState(11)
+    s = np.round(rng.rand(500), 3)
+    y = (rng.rand(500) < s).astype(float)  # well-calibrated scores
+    out = ME.brier_decomposition(_scored(spark, y, s), "y", "s",
+                                 0.0, 1.0, 10).collect()[0]
+    brier = float(np.mean((s - y) ** 2))
+    assert out["brier"] == pytest.approx(brier, abs=1e-6)
+    ybar = float(np.mean(y))
+    assert out["uncertainty"] == pytest.approx(ybar * (1 - ybar), abs=1e-6)
+    # calibrated scores -> tiny reliability, ECE small
+    assert out["reliability"] < 0.01
+    assert out["ece"] < 0.1
+    # Murphy identity holds up to the within-bin score variance
+    assert out["brier"] == pytest.approx(
+        out["reliability"] - out["resolution"] + out["uncertainty"],
+        abs=0.02)
+
+
+# ------------------------------------------------------ cumulative gains
+
+def test_cumulative_gains_monotone_and_total(spark):
+    rng = np.random.RandomState(3)
+    y = (rng.rand(300) < 0.3).astype(int)
+    s = np.round(rng.rand(300) + 0.5 * y, 2)
+    rows = sorted(ME.cumulative_gains(_scored(spark, y, s), "y", "s", 10)
+                  .collect(), key=lambda r: r["bucket"])
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains)           # monotone nondecreasing
+    assert gains[-1] == 1.0                 # captures everything
+    assert rows[-1]["read_frac"] == 1.0
+    assert sum(r["n"] for r in rows) == 300
+    assert sum(r["n_pos"] for r in rows) == int(y.sum())
+    # informative score -> first decile beats random
+    assert rows[0]["lift"] > 1.5
+
+
+def test_cumulative_gains_tie_group_stays_together(spark):
+    # 10 rows all same score -> single bucket 10, not ten slices
+    df = _scored(spark, [1, 0] * 5, [0.5] * 10)
+    rows = ME.cumulative_gains(df, "y", "s", 10).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 10
+    assert rows[0]["n"] == 10
+
+
+# ----------------------------------------------------- MI / V / JSD
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "a string, b string")
+
+
+def test_mutual_information_independent_and_identical(spark):
+    # independent uniform 2x2 -> MI = 0
+    ind = _pairs(spark, [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")])
+    out = ME.mutual_information(ind, "a", "b").collect()[0]
+    assert out["mi"] == 0.0
+    # b == a -> MI = H(A) = ln 2, NMI = 1
+    same = _pairs(spark, [("x", "x"), ("y", "y")] * 3)
+    out = ME.mutual_information(same, "a", "b").collect()[0]
+    assert out["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert out["h_ab"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_cramers_v_extremes(spark):
+    ind = _pairs(spark, [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")])
+    assert ME.cramers_v(ind, "a", "b").collect()[0]["v"] == 0.0
+    same = _pairs(spark, [("x", "x"), ("y", "y")] * 5)
+    out = ME.cramers_v(same, "a", "b").collect()[0]
+    assert out["v"] == pytest.approx(1.0, abs=1e-6)
+    assert out["chi2"] == pytest.approx(out["n"], abs=1e-6)  # phi=1
+
+
+def test_js_divergence_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (1, "b"), (1, "b")], "g int, k string")
+    out = ME.js_divergence(df, "g", "k").collect()[0]
+    # disjoint supports -> maximal JSD = ln 2 nats = 1 bit
+    assert out["jsd_nats"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["jsd_bits"] == pytest.approx(1.0, abs=1e-6)
+    ident = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (0, "b"), (1, "b")], "g int, k string")
+    assert ME.js_divergence(ident, "g", "k").collect()[0]["jsd_nats"] == 0.0
+
+
+# ----------------------------------------------------------- FDR (BH)
+
+def test_bh_adjust_matches_manual_stepup(spark):
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216]  # Benjamini-Hochberg 1995 worked example shape
+    df = spark.createDataFrame(
+        [(f"t{i}", p) for i, p in enumerate(ps)], "key string, p double")
+    out = {r["key"]: r for r in
+           ME.bh_adjust(df, "key", "p", alpha=0.05).collect()}
+    m = len(ps)
+    raw = [p * m / (i + 1) for i, p in enumerate(ps)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    for i, p in enumerate(ps):
+        assert out[f"t{i}"]["p_adj"] == pytest.approx(
+            min(adj[i], 1.0), abs=1e-6)
+    # step-up: largest k with p_(k) <= k·alpha/m is k=2 (0.008 <= 0.01);
+    # 0.039 > 0.015 and every later ratio fails, so exactly t0, t1 reject
+    rejected = [k for k, r in out.items() if r["rejected"] == 1]
+    assert set(rejected) == {"t0", "t1"}
+
+
+def test_group_vs_rest_ttest_symmetry_two_groups(spark):
+    # with exactly two groups, each group's "rest" is the other group:
+    # t statistics must be equal and opposite, p identical
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5]] + \
+           [("b", float(v)) for v in [6, 7, 8, 9, 10, 11]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           ME.group_vs_rest_ttest(df, "g", "v").collect()}
+    assert out["a"]["t"] == pytest.approx(-out["b"]["t"], abs=1e-6)
+    assert out["a"]["p_approx"] == pytest.approx(
+        out["b"]["p_approx"], abs=1e-6)
+    assert out["a"]["mean"] == 3.0 and out["a"]["mean_rest"] == 8.5
+
+
+def test_normal_p_approximation_accuracy():
+    # the shared A&S erf polynomial vs math.erf, across the usual range
+    for t in (0.0, 0.5, 1.0, 1.96, 2.58, 4.0):
+        exact = 1.0 - math.erf(t / math.sqrt(2.0))
+        approx = eval(
+            ME._two_sided_p_fmt(repr(t))
+            .replace("ABS", "abs").replace("EXP", "math.exp"),
+            {"math": math, "abs": abs})
+        assert approx == pytest.approx(exact, abs=3e-7)
+
+
+# ------------------------------------------------------------ bootstrap
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    rows = [(i, float(np.random.RandomState(i).rand()))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = ME.poisson_bootstrap_mean(df, "v", "id", n_boot=32).collect()[0]
+    b = ME.poisson_bootstrap_mean(
+        df.repartition(7), "v", "id", n_boot=32).collect()[0]
+    assert a == b  # bit-stable under repartitioning
+    mean = sum(v for _, v in rows) / len(rows)
+    assert a["point_mean"] == pytest.approx(mean, abs=1e-6)
+    assert a["ci_lo"] < mean < a["ci_hi"]
+    # CI width ~ 2*1.96*sigma/sqrt(n); sanity band, not exactness
+    sigma = float(np.std([v for _, v in rows]))
+    half = 1.96 * sigma / math.sqrt(len(rows))
+    assert (a["ci_hi"] - a["ci_lo"]) == pytest.approx(2 * half, rel=0.6)
+    assert a["n"] == 400 and a["n_boot"] == 32
+
+
+def test_poisson_weights_mean_one(spark):
+    # the planted Poisson(1) inverse: empirical mean weight ~ 1
+    df = spark.range(2000).select(F.col("id"), F.lit(1.0).alias("v"))
+    w = ME._pois_fmt(ME._boot_u_fmt("id", "0", 99))
+    avg = df.select(F.avg(F.expr(w).cast("double"))
+                    .alias("m")).collect()[0]["m"]
+    assert avg == pytest.approx(1.0, abs=0.08)
