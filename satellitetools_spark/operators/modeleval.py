@@ -861,3 +861,561 @@ SELECT CAST(n AS BIGINT) AS n, {n_boot} AS n_boot,
        ROUND(ci_hi, 6) + 0.0 AS ci_hi
 FROM pba
 """
+
+
+# ---------------------------------------------------------------------------
+# Average precision (area under the PR curve, step-interpolated)
+# ---------------------------------------------------------------------------
+
+def average_precision(df: DataFrame, label_expr: str, score_expr: str
+                      ) -> DataFrame:
+    """Average precision ``AP = Σ_k (R_k − R_{k−1})·P_k`` over the
+    descending distinct-score thresholds (the step interpolation —
+    never the optimistic trapezoid, which overstates AP on skewed
+    corpora). Each distinct score is one threshold, so a tie group
+    enters as a single PR point, exactly as a ranked retrieval would
+    release it.
+
+    Shape: the same distinct-score histogram as `roc_auc`, one
+    descending cumulative window over the alphabet, a 1-row fold.
+    """
+    h = (df.select(F.expr(label_expr).cast("int").alias("y"),
+                   F.expr(score_expr).alias("s"))
+         .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+         .groupBy("s")
+         .agg(F.count("*").cast("double").alias("cn"),
+              F.sum(F.col("y").cast("double")).alias("cp")))
+    w = Window.orderBy(F.col("s").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (h.withColumn("tp", F.sum("cp").over(w))
+           .withColumn("nn", F.sum("cn").over(w))
+           .withColumn("npos", F.sum("cp").over(wall))
+           .withColumn("n", F.sum("cn").over(wall)))
+    # ΔR·P per threshold: (cp/npos) · (tp/nn)
+    agg = cum.agg(
+        F.max("n").alias("n"), F.max("npos").alias("npos"),
+        F.sum((F.col("cp") / F.col("npos"))
+              * (F.col("tp") / F.col("nn"))).alias("ap"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("npos").cast("long").alias("n_pos"),
+        _r6(F.col("ap")).alias("ap"),
+        # the no-skill baseline AP equals prevalence
+        _r6(F.col("npos") / F.col("n")).alias("prevalence"))
+
+
+def average_precision_sql(table: str, label_expr: str, score_expr: str
+                          ) -> str:
+    return f"""
+WITH aph AS (
+  SELECT {score_expr} AS s, CAST(COUNT(*) AS DOUBLE) AS cn,
+         SUM(CAST(CAST({label_expr} AS INT) AS DOUBLE)) AS cp
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+apc AS (
+  SELECT cn, cp,
+         SUM(cp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS tp,
+         SUM(cn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS nn,
+         SUM(cp) OVER () AS npos, SUM(cn) OVER () AS n
+  FROM aph
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(npos) AS BIGINT) AS n_pos,
+       ROUND(SUM((cp / npos) * (tp / nn)), 6) + 0.0 AS ap,
+       ROUND(MAX(npos) / MAX(n), 6) + 0.0 AS prevalence
+FROM apc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix at a threshold + F1 / MCC
+# ---------------------------------------------------------------------------
+
+def confusion_at_threshold(df: DataFrame, label_expr: str,
+                           score_expr: str, threshold: float = 0.5
+                           ) -> DataFrame:
+    """Confusion counts at ``score ≥ threshold`` plus the derived
+    single-number summaries: accuracy, precision, recall, F1, and the
+    Matthews correlation coefficient (the balanced summary that stays
+    honest under class skew — a 99%-negative corpus scores MCC ≈ 0 for
+    the always-negative classifier that gets 0.99 accuracy).
+
+    ONE conditional hash agg over the facts; counts are integer-exact,
+    MCC's 4-way product is folded in doubles to dodge BIGINT overflow
+    at corpus scale.
+    """
+    y = F.expr(label_expr).cast("int")
+    p = (F.expr(score_expr) >= F.lit(threshold)).cast("int")
+    base = (df.select(y.alias("y"), p.alias("p"))
+            .filter(F.col("y").isNotNull() & F.col("p").isNotNull()))
+    agg = base.agg(
+        F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("double"))
+        .alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 1)).cast("double"))
+        .alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("p") == 0)).cast("double"))
+        .alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 0)).cast("double"))
+        .alias("tn"))
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    mcc_den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    mcc = F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den) \
+        .otherwise(F.lit(0.0))
+    return agg.select(
+        tp.cast("long").alias("tp"), fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"), tn.cast("long").alias("tn"),
+        _r6((tp + tn) / n).alias("accuracy"),
+        _r6(prec).alias("precision"),
+        _r6(rec).alias("recall"),
+        _r6(2.0 * prec * rec / (prec + rec)).alias("f1"),
+        _r6(mcc).alias("mcc"))
+
+
+def confusion_at_threshold_sql(table: str, label_expr: str,
+                               score_expr: str, threshold: float = 0.5
+                               ) -> str:
+    return f"""
+WITH cmb AS (
+  SELECT CAST({label_expr} AS INT) AS y,
+         CAST({score_expr} >= {threshold!r} AS INT) AS p
+  FROM {table}
+  WHERE ({label_expr}) IS NOT NULL AND ({score_expr}) IS NOT NULL
+),
+cma AS (
+  SELECT SUM(CASE WHEN y = 1 AND p = 1 THEN 1.0 ELSE 0.0 END) AS tp,
+         SUM(CASE WHEN y = 0 AND p = 1 THEN 1.0 ELSE 0.0 END) AS fp,
+         SUM(CASE WHEN y = 1 AND p = 0 THEN 1.0 ELSE 0.0 END) AS fn,
+         SUM(CASE WHEN y = 0 AND p = 0 THEN 1.0 ELSE 0.0 END) AS tn
+  FROM cmb
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND((tp + tn) / (tp + fp + fn + tn), 6) + 0.0 AS accuracy,
+       ROUND(tp / (tp + fp), 6) + 0.0 AS precision,
+       ROUND(tp / (tp + fn), 6) + 0.0 AS recall,
+       ROUND(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+             / (tp / (tp + fp) + tp / (tp + fn)), 6) + 0.0 AS f1,
+       ROUND(CASE WHEN SQRT((tp + fp) * (tp + fn) * (tn + fp)
+                            * (tn + fn)) > 0
+             THEN (tp * tn - fp * fn)
+                  / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+             ELSE 0.0 END, 6) + 0.0 AS mcc
+FROM cma
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (inter-annotator agreement)
+# ---------------------------------------------------------------------------
+
+def cohens_kappa(df: DataFrame, a_expr: str, b_expr: str) -> DataFrame:
+    """Cohen's κ between two categorical labelings (annotator A vs B,
+    or model vs gold): ``κ = (p_o − p_e)/(1 − p_e)`` with chance
+    agreement p_e = Σ_k p_A(k)·p_B(k) — the raw-agreement correction a
+    labeling-quality audit needs before trusting crowd labels. Same
+    joint-histogram shape as `mutual_information`; the diagonal is the
+    cells where the two expressions coincide.
+    """
+    j = (df.select(F.expr(a_expr).alias("a"), F.expr(b_expr).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .groupBy("a", "b").agg(F.count("*").cast("double").alias("c")))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    g = (j.withColumn("ca", F.sum("c").over(wa))
+         .withColumn("cb", F.sum("c").over(wb))
+         .withColumn("n", F.sum("c").over(wall)))
+    # p_e = Σ_k p_A(k) p_B(k): spread each (k,k) product over the cells
+    # of its row so one fold computes it — c/ca · (ca/n)(cb/n) summed
+    # over a row's cells gives (ca·cb)/n² once per present row-pair;
+    # simpler and exact: sum over DISTINCT diagonal categories via the
+    # per-cell identity below (cells with a=b carry their own marginals)
+    agg = g.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(0.0)).alias("agree"),
+        F.sum(F.when(F.col("a") == F.col("b"),
+                     F.col("ca") * F.col("cb"))
+              .otherwise(0.0)).alias("pe_num"))
+    po = F.col("agree") / F.col("n")
+    pe = F.col("pe_num") / (F.col("n") * F.col("n"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(po).alias("p_observed"),
+        _r6(pe).alias("p_chance"),
+        _r6((po - pe) / (1.0 - pe)).alias("kappa"))
+
+
+def cohens_kappa_sql(table: str, a_expr: str, b_expr: str) -> str:
+    return f"""
+WITH ckj AS (
+  SELECT {a_expr} AS a, {b_expr} AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+ckg AS (
+  SELECT a, b, c, SUM(c) OVER (PARTITION BY a) AS ca,
+         SUM(c) OVER (PARTITION BY b) AS cb,
+         SUM(c) OVER () AS n
+  FROM ckj
+),
+cka AS (
+  SELECT MAX(n) AS n,
+         SUM(CASE WHEN a = b THEN c ELSE 0.0 END) AS agree,
+         SUM(CASE WHEN a = b THEN ca * cb ELSE 0.0 END) AS pe_num
+  FROM ckg
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(agree / n, 6) + 0.0 AS p_observed,
+       ROUND(pe_num / (n * n), 6) + 0.0 AS p_chance,
+       ROUND((agree / n - pe_num / (n * n))
+             / (1.0 - pe_num / (n * n)), 6) + 0.0 AS kappa
+FROM cka
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b (ordinal association, tie-corrected)
+# ---------------------------------------------------------------------------
+
+def kendall_tau_b(df: DataFrame, x_expr: str, y_expr: str) -> DataFrame:
+    """Kendall's τ-b between two ORDINAL expressions:
+    ``τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))`` with concordant C,
+    discordant D, n₀ = n(n−1)/2, and the x-/y-tie corrections n₁/n₂ —
+    the rank correlation whose tie handling Spearman lacks.
+
+    Shape: the naive statistic is O(n²) over facts; here the facts
+    collapse to the (x, y) joint histogram (|X|·|Y| cells) and C/D are
+    pair-counted over the CELL table's self-join restricted to x₁ < x₂
+    — O(cells²) work, independent of n. The inputs are therefore
+    expected to be bounded-alphabet ordinals (hour-of-day, a binned
+    measure, a rating); bin a continuous double first, as the rank
+    tests in `inference.py` document.
+    """
+    j = (df.select(F.expr(x_expr).alias("x"), F.expr(y_expr).alias("y"))
+         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+         .groupBy("x", "y").agg(F.count("*").cast("double").alias("c")))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    g = (j.withColumn("cx", F.sum("c").over(wx))
+         .withColumn("cy", F.sum("c").over(wy))
+         .withColumn("n", F.sum("c").over(wall)))
+    left = g.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
+                    F.col("c").alias("c1"))
+    right = g.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                     F.col("c").alias("c2"))
+    pairs = left.join(right, F.col("x1") < F.col("x2"))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"),
+                     F.col("c1") * F.col("c2")).otherwise(0.0))
+        .alias("conc"),
+        F.sum(F.when(F.col("y1") > F.col("y2"),
+                     F.col("c1") * F.col("c2")).otherwise(0.0))
+        .alias("disc"))
+    # tie sums from the marginal windows: Σ t(t−1)/2 per distinct value;
+    # cells within one x share cx, so divide the row-sum by the row's
+    # cell count — cleaner: aggregate marginals separately
+    tx = (j.groupBy("x").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1.0) / 2.0).alias("n1"),
+               F.sum(F.col("t")).alias("nn")))
+    ty = (j.groupBy("y").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1.0) / 2.0).alias("n2")))
+    out = cd.crossJoin(tx).crossJoin(ty)
+    n0 = F.col("nn") * (F.col("nn") - 1.0) / 2.0
+    tau = ((F.col("conc") - F.col("disc"))
+           / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))))
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        _r6(tau).alias("tau_b"))
+
+
+def kendall_tau_b_sql(table: str, x_expr: str, y_expr: str) -> str:
+    return f"""
+WITH ktj AS (
+  SELECT {x_expr} AS x, {y_expr} AS y, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM {table}
+  WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+ktcd AS (
+  SELECT SUM(CASE WHEN l.y < r.y THEN l.c * r.c ELSE 0.0 END) AS conc,
+         SUM(CASE WHEN l.y > r.y THEN l.c * r.c ELSE 0.0 END) AS disc
+  FROM ktj l JOIN ktj r ON l.x < r.x
+),
+ktx AS (
+  SELECT SUM(t * (t - 1.0) / 2.0) AS n1, SUM(t) AS nn
+  FROM (SELECT SUM(c) AS t FROM ktj GROUP BY x)
+),
+kty AS (
+  SELECT SUM(t * (t - 1.0) / 2.0) AS n2
+  FROM (SELECT SUM(c) AS t FROM ktj GROUP BY y)
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       ROUND((conc - disc) / SQRT((nn * (nn - 1.0) / 2.0 - n1)
+             * (nn * (nn - 1.0) / 2.0 - n2)), 6) + 0.0 AS tau_b
+FROM ktcd, ktx, kty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value per category
+# ---------------------------------------------------------------------------
+
+def woe_iv(df: DataFrame, label_expr: str, cat_expr: str,
+           smooth: float = 0.5) -> DataFrame:
+    """Weight of Evidence per category of ``cat_expr`` against the
+    binary ``label_expr`` — ``WoE = ln(p_cat|pos / p_cat|neg)`` with
+    Laplace ``smooth`` on both numerators (a category seen only among
+    positives must not emit ±∞) — plus each category's Information
+    Value contribution; Σ iv over the output is the feature's total IV
+    (the credit-scoring screening number: <0.02 useless, >0.3 strong).
+
+    One category-histogram agg, totals by a window over the category
+    table, |categories| rows out.
+    """
+    h = (df.select(F.expr(label_expr).cast("int").alias("y"),
+                   F.expr(cat_expr).alias("k"))
+         .filter(F.col("k").isNotNull() & F.col("y").isNotNull())
+         .groupBy("k")
+         .agg(F.sum(F.when(F.col("y") == 1, 1.0).otherwise(0.0))
+              .alias("pos"),
+              F.sum(F.when(F.col("y") == 0, 1.0).otherwise(0.0))
+              .alias("neg")))
+    wall = Window.partitionBy()
+    kk = F.count("*").over(wall).cast("double")
+    g = (h.withColumn("tp", F.sum("pos").over(wall))
+         .withColumn("tn", F.sum("neg").over(wall))
+         .withColumn("kk", kk))
+    # smoothed conditional shares (denominator balanced so they sum to 1)
+    pp = (F.col("pos") + smooth) / (F.col("tp") + smooth * F.col("kk"))
+    pn = (F.col("neg") + smooth) / (F.col("tn") + smooth * F.col("kk"))
+    woe = F.log(pp / pn)
+    return g.select(
+        F.col("k").alias("category"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        _r6(woe).alias("woe"),
+        _r6((pp - pn) * woe).alias("iv"))
+
+
+def woe_iv_sql(table: str, label_expr: str, cat_expr: str,
+               smooth: float = 0.5) -> str:
+    return f"""
+WITH wih AS (
+  SELECT {cat_expr} AS k,
+         SUM(CASE WHEN CAST({label_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS pos,
+         SUM(CASE WHEN CAST({label_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS neg
+  FROM {table}
+  WHERE ({cat_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+wig AS (
+  SELECT k, pos, neg, SUM(pos) OVER () AS tp, SUM(neg) OVER () AS tn,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS kk
+  FROM wih
+)
+SELECT k AS category, CAST(pos AS BIGINT) AS n_pos,
+       CAST(neg AS BIGINT) AS n_neg,
+       ROUND(LN(((pos + {smooth!r}) / (tp + {smooth!r} * kk))
+             / ((neg + {smooth!r}) / (tn + {smooth!r} * kk))), 6) + 0.0
+         AS woe,
+       ROUND(((pos + {smooth!r}) / (tp + {smooth!r} * kk)
+              - (neg + {smooth!r}) / (tn + {smooth!r} * kk))
+             * LN(((pos + {smooth!r}) / (tp + {smooth!r} * kk))
+                  / ((neg + {smooth!r}) / (tn + {smooth!r} * kk))), 6)
+         + 0.0 AS iv
+FROM wig
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group-fairness report
+# ---------------------------------------------------------------------------
+
+def fairness_report(df: DataFrame, label_expr: str, pred_expr: str,
+                    group_expr: str) -> DataFrame:
+    """Per-group classification-fairness rates against a binary
+    prediction: selection rate P(ŷ=1 | g) (demographic parity),
+    TPR P(ŷ=1 | y=1, g) (equal opportunity), FPR P(ŷ=1 | y=0, g),
+    each with its gap to the OVERALL rate — the audit table a
+    data-curation pipeline emits before a filter model ships (is the
+    quality classifier throttling one source/language?).
+
+    ONE conditional hash agg per group + overall rates by a window over
+    the group table; |groups| rows out. A group with no positives
+    reports NULL tpr (ANSI division), not a fake 0.
+    """
+    base = (df.select(F.expr(group_expr).alias("g"),
+                      F.expr(label_expr).cast("int").alias("y"),
+                      F.expr(pred_expr).cast("int").alias("p"))
+            .filter(F.col("g").isNotNull() & F.col("y").isNotNull()
+                    & F.col("p").isNotNull()))
+    h = (base.groupBy("g")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum(F.col("p").cast("double")).alias("sel"),
+              F.sum(((F.col("y") == 1) & (F.col("p") == 1))
+                    .cast("double")).alias("tp"),
+              F.sum((F.col("y") == 1).cast("double")).alias("pos"),
+              F.sum(((F.col("y") == 0) & (F.col("p") == 1))
+                    .cast("double")).alias("fpp")))
+    wall = Window.partitionBy()
+    g = (h.withColumn("tn_", F.sum("n").over(wall))
+         .withColumn("tsel", F.sum("sel").over(wall))
+         .withColumn("ttp", F.sum("tp").over(wall))
+         .withColumn("tpos", F.sum("pos").over(wall))
+         .withColumn("tfpp", F.sum("fpp").over(wall)))
+    sel = F.col("sel") / F.col("n")
+    tpr = F.col("tp") / F.col("pos")
+    fpr = F.col("fpp") / (F.col("n") - F.col("pos"))
+    osel = F.col("tsel") / F.col("tn_")
+    otpr = F.col("ttp") / F.col("tpos")
+    ofpr = F.col("tfpp") / (F.col("tn_") - F.col("tpos"))
+    return g.select(
+        F.col("g").alias("grp"),
+        F.col("n").cast("long").alias("n"),
+        _r6(sel).alias("selection_rate"),
+        _r6(sel - osel).alias("parity_gap"),
+        _r6(tpr).alias("tpr"),
+        _r6(tpr - otpr).alias("tpr_gap"),
+        _r6(fpr).alias("fpr"),
+        _r6(fpr - ofpr).alias("fpr_gap"))
+
+
+def fairness_report_sql(table: str, label_expr: str, pred_expr: str,
+                        group_expr: str) -> str:
+    return f"""
+WITH frb AS (
+  SELECT {group_expr} AS g, CAST({label_expr} AS INT) AS y,
+         CAST({pred_expr} AS INT) AS p
+  FROM {table}
+  WHERE ({group_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+    AND ({pred_expr}) IS NOT NULL
+),
+frh AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(p AS DOUBLE)) AS sel,
+         SUM(CASE WHEN y = 1 AND p = 1 THEN 1.0 ELSE 0.0 END) AS tp,
+         SUM(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS pos,
+         SUM(CASE WHEN y = 0 AND p = 1 THEN 1.0 ELSE 0.0 END) AS fpp
+  FROM frb GROUP BY g
+),
+frg AS (
+  SELECT *, SUM(n) OVER () AS tn_, SUM(sel) OVER () AS tsel,
+         SUM(tp) OVER () AS ttp, SUM(pos) OVER () AS tpos,
+         SUM(fpp) OVER () AS tfpp
+  FROM frh
+)
+SELECT g AS grp, CAST(n AS BIGINT) AS n,
+       ROUND(sel / n, 6) + 0.0 AS selection_rate,
+       ROUND(sel / n - tsel / tn_, 6) + 0.0 AS parity_gap,
+       ROUND(tp / pos, 6) + 0.0 AS tpr,
+       ROUND(tp / pos - ttp / tpos, 6) + 0.0 AS tpr_gap,
+       ROUND(fpp / (n - pos), 6) + 0.0 AS fpr,
+       ROUND(fpp / (n - pos) - tfpp / (tn_ - tpos), 6) + 0.0 AS fpr_gap
+FROM frg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval
+# ---------------------------------------------------------------------------
+
+def conformal_interval(df: DataFrame, pred_expr: str, actual_expr: str,
+                       calib_expr: str, alpha: float = 0.1
+                       ) -> DataFrame:
+    """Split-conformal calibration: on the calibration slice
+    (``calib_expr`` true — typically a hash split, so membership is
+    deterministic), take the ⌈(n+1)(1−α)⌉-th smallest absolute
+    residual as the half-width q̂; the guarantee is
+    P(|y − ŷ| ≤ q̂) ≥ 1 − α on exchangeable test rows, distribution-
+    free. Reports q̂, both split sizes, and the EMPIRICAL coverage of
+    ±q̂ on the non-calibration slice — the check that the guarantee
+    survived whatever drift the split hides.
+
+    Shape: q̂ is an exact order statistic read from the distinct-
+    residual histogram (one agg + one cumulative window at alphabet
+    size, as every rank construction here); coverage is a second
+    conditional fold over the same residual stream. No raw-row sort.
+    """
+    base = (df.select(
+        F.abs(F.expr(actual_expr) - F.expr(pred_expr)).alias("r"),
+        F.expr(calib_expr).cast("boolean").alias("is_cal"))
+        .filter(F.col("r").isNotNull()))
+    h = (base.groupBy("r")
+         .agg(F.sum(F.when(F.col("is_cal"), 1.0).otherwise(0.0))
+              .alias("cc"),
+              F.sum(F.when(~F.col("is_cal"), 1.0).otherwise(0.0))
+              .alias("ct")))
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (h.withColumn("cum", F.sum("cc").over(w))
+           .withColumn("nc", F.sum("cc").over(wall)))
+    # rank of the conformal quantile: k = ceil((n+1)(1-alpha)), capped
+    k = F.least(F.ceil((F.col("nc") + 1.0) * F.lit(1.0 - alpha)),
+                F.col("nc"))
+    qhat = cum.filter(F.col("cum") >= k).agg(F.min("r").alias("qhat"))
+    cov = (base.crossJoin(F.broadcast(qhat))
+           .agg(F.max("qhat").alias("qhat"),
+                F.sum(F.when(F.col("is_cal"), 1.0).otherwise(0.0))
+                .alias("n_calib"),
+                F.sum(F.when(~F.col("is_cal"), 1.0).otherwise(0.0))
+                .alias("n_test"),
+                F.sum(F.when((~F.col("is_cal"))
+                             & (F.col("r") <= F.col("qhat")), 1.0)
+                      .otherwise(0.0)).alias("covered")))
+    return cov.select(
+        F.col("n_calib").cast("long").alias("n_calib"),
+        F.col("n_test").cast("long").alias("n_test"),
+        _r6(F.col("qhat")).alias("qhat"),
+        _r6(F.col("covered") / F.col("n_test")).alias("test_coverage"))
+
+
+def conformal_interval_sql(table: str, pred_expr: str, actual_expr: str,
+                           calib_expr: str, alpha: float = 0.1) -> str:
+    return f"""
+WITH cfb AS (
+  SELECT ABS(({actual_expr}) - ({pred_expr})) AS r,
+         CAST({calib_expr} AS BOOLEAN) AS is_cal
+  FROM {table}
+  WHERE ABS(({actual_expr}) - ({pred_expr})) IS NOT NULL
+),
+cfh AS (
+  SELECT r, SUM(CASE WHEN is_cal THEN 1.0 ELSE 0.0 END) AS cc
+  FROM cfb GROUP BY r
+),
+cfc AS (
+  SELECT r, SUM(cc) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+         SUM(cc) OVER () AS nc
+  FROM cfh
+),
+cfq AS (
+  SELECT MIN(r) AS qhat FROM cfc
+  WHERE cum >= LEAST(CEIL((nc + 1.0) * {1.0 - alpha!r}), nc)
+)
+SELECT CAST(SUM(CASE WHEN is_cal THEN 1.0 ELSE 0.0 END) AS BIGINT)
+         AS n_calib,
+       CAST(SUM(CASE WHEN NOT is_cal THEN 1.0 ELSE 0.0 END) AS BIGINT)
+         AS n_test,
+       ROUND(MAX(qhat), 6) + 0.0 AS qhat,
+       ROUND(SUM(CASE WHEN NOT is_cal AND r <= qhat
+                 THEN 1.0 ELSE 0.0 END)
+             / SUM(CASE WHEN NOT is_cal THEN 1.0 ELSE 0.0 END), 6)
+         + 0.0 AS test_coverage
+FROM cfb, cfq
+"""

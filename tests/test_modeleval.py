@@ -242,3 +242,119 @@ def test_poisson_weights_mean_one(spark):
     avg = df.select(F.avg(F.expr(w).cast("double"))
                     .alias("m")).collect()[0]["m"]
     assert avg == pytest.approx(1.0, abs=0.08)
+
+
+# ----------------------------------------------------- batch 2: AP etc.
+
+def test_average_precision_extremes(spark):
+    perfect = _scored(spark, [0, 0, 1, 1], [0.1, 0.2, 0.8, 0.9])
+    out = ME.average_precision(perfect, "y", "s").collect()[0]
+    assert out["ap"] == 1.0
+    # all scores tied -> single PR point at (R=1, P=prevalence)
+    tied = _scored(spark, [0, 1, 0, 1], [0.5] * 4)
+    out = ME.average_precision(tied, "y", "s").collect()[0]
+    assert out["ap"] == out["prevalence"] == 0.5
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    rng = np.random.RandomState(5)
+    y = (rng.rand(150) < 0.35).astype(int)
+    s = np.round(rng.rand(150) + 0.6 * y, 2)
+    # step-interpolated AP over distinct thresholds, numpy reference
+    order = np.argsort(-s, kind="mergesort")
+    ys, ss = y[order], s[order]
+    ap, tp, seen = 0.0, 0, 0
+    i = 0
+    while i < len(ys):
+        j = i
+        while j < len(ys) and ss[j] == ss[i]:
+            j += 1
+        dtp = int(ys[i:j].sum())
+        tp += dtp
+        seen = j
+        if dtp:
+            ap += (dtp / y.sum()) * (tp / seen)
+        i = j
+    out = ME.average_precision(_scored(spark, y, s), "y", "s").collect()[0]
+    assert out["ap"] == pytest.approx(ap, abs=1e-6)
+
+
+def test_confusion_and_mcc(spark):
+    # planted: tp=2 fp=1 fn=1 tn=2 at thr .5
+    df = _scored(spark, [1, 1, 1, 0, 0, 0],
+                 [0.9, 0.8, 0.1, 0.7, 0.2, 0.3])
+    out = ME.confusion_at_threshold(df, "y", "s", 0.5).collect()[0]
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (2, 1, 1, 2)
+    assert out["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    mcc = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
+    assert out["mcc"] == pytest.approx(mcc, abs=1e-6)
+
+
+def test_cohens_kappa_extremes(spark):
+    same = _pairs(spark, [("x", "x"), ("y", "y")] * 4)
+    out = ME.cohens_kappa(same, "a", "b").collect()[0]
+    assert out["kappa"] == 1.0 and out["p_observed"] == 1.0
+    # independence at 50/50 marginals -> p_o == p_e == .5 -> kappa 0
+    ind = _pairs(spark, [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")])
+    assert ME.cohens_kappa(ind, "a", "b").collect()[0]["kappa"] == 0.0
+
+
+def test_kendall_tau_b_known_values(spark):
+    # perfectly monotone -> tau_b = 1; reversed -> -1
+    up = spark.createDataFrame([(i, i) for i in range(6)], "x int, y int")
+    assert ME.kendall_tau_b(up, "x", "y").collect()[0]["tau_b"] == 1.0
+    dn = spark.createDataFrame([(i, -i) for i in range(6)],
+                               "x int, y int")
+    assert ME.kendall_tau_b(dn, "x", "y").collect()[0]["tau_b"] == -1.0
+    # tie-corrected case, scipy.stats.kendalltau reference value:
+    # x=[1,1,2,2,3], y=[1,2,1,2,3]: C=5 D=1 n1=2 n2=2 n0=10
+    # tau_b = 4/sqrt(64) = 0.5
+    t = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 3)], "x int, y int")
+    out = ME.kendall_tau_b(t, "x", "y").collect()[0]
+    assert out["concordant"] == 5 and out["discordant"] == 1
+    assert out["tau_b"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_woe_iv_signs_and_smoothing(spark):
+    # category 'a' is pure positive, 'b' pure negative: WoE(a) > 0 >
+    # WoE(b), both finite thanks to smoothing; iv contributions positive
+    rows = [("a", 1)] * 8 + [("b", 0)] * 8
+    df = spark.createDataFrame(rows, "k string, y int")
+    out = {r["category"]: r for r in
+           ME.woe_iv(df, "y", "k").collect()}
+    assert out["a"]["woe"] > 0 > out["b"]["woe"]
+    assert math.isfinite(out["a"]["woe"])
+    assert out["a"]["iv"] > 0 and out["b"]["iv"] > 0
+
+
+def test_fairness_report_planted_gap(spark):
+    # group g1 selected at 100%, g2 at 0% -> parity gaps +/-0.5
+    rows = [("g1", 1, 1), ("g1", 0, 1), ("g2", 1, 0), ("g2", 0, 0)]
+    df = spark.createDataFrame(rows, "g string, y int, p int")
+    out = {r["grp"]: r for r in
+           ME.fairness_report(df, "y", "p", "g").collect()}
+    assert out["g1"]["selection_rate"] == 1.0
+    assert out["g2"]["selection_rate"] == 0.0
+    assert out["g1"]["parity_gap"] == pytest.approx(0.5)
+    assert out["g2"]["parity_gap"] == pytest.approx(-0.5)
+    assert out["g1"]["tpr"] == 1.0 and out["g2"]["tpr"] == 0.0
+
+
+def test_conformal_interval_guarantee(spark):
+    # residuals are |N(0,1)|-ish via planted values; coverage on the
+    # test slice must be >= 1 - alpha - small slack (exchangeable here)
+    rng = np.random.RandomState(17)
+    rows = [(int(i), float(x), float(x + rng.randn()))
+            for i, x in enumerate(rng.rand(1000) * 10)]
+    df = spark.createDataFrame(rows, "id long, pred double, act double")
+    out = ME.conformal_interval(df, "pred", "act", "id % 5 = 0",
+                                alpha=0.1).collect()[0]
+    assert out["n_calib"] == 200 and out["n_test"] == 800
+    assert out["test_coverage"] >= 0.85
+    # qhat is the exact ceil((n+1)*.9)-th smallest calibration residual
+    calib = sorted(abs(a - p) for i, p, a in rows if i % 5 == 0)
+    k = math.ceil(201 * 0.9)
+    assert out["qhat"] == pytest.approx(calib[k - 1], abs=1e-6)
