@@ -357,3 +357,57 @@ def test_hits_joins_stay_equi(spark):
         [(i % 5, 100 + i % 7) for i in range(30)], "src long, dst long")
     plan = _plan(hits(edges, iters=2))
     assert "CartesianProduct" not in plan
+
+
+def test_roc_auc_single_fact_agg_no_raw_sort(spark):
+    # the only Sort allowed is the window over the distinct-score
+    # histogram (post-aggregation); the fact stream is reduced by one
+    # partial+final HashAggregate pair before any Exchange
+    from satellitetools_spark.operators.modeleval import roc_auc
+    df = spark.createDataFrame(
+        [(i % 2, (i % 37) / 37.0) for i in range(500)], ["y", "s"])
+    plan = _plan(roc_auc(df, "y", "s"))
+    assert "Join" not in plan
+    # facts hit a partial HashAggregate before the only Exchange
+    # (map-side combine -> alphabet-sized shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_poisson_bootstrap_single_shuffle_to_b_rows(spark):
+    from satellitetools_spark.operators.modeleval import (
+        poisson_bootstrap_mean)
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(300)], ["id", "v"])
+    plan = _plan(poisson_bootstrap_mean(df, "v", "id", n_boot=8))
+    # explode(B) must NOT become a join; the per-replicate partials
+    # combine map-side (partial HashAggregate below the Exchange)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kendall_cell_join_is_cell_sized_nljoin_not_fact_join(spark):
+    # tau-b's C/D pair count self-joins the CELL table (theta x1<x2):
+    # a nested-loop over alphabet-sized sides is the DESIGNED shape;
+    # what must never happen is the join running over raw facts —
+    # both join inputs must sit above a HashAggregate.
+    from satellitetools_spark.operators.modeleval import kendall_tau_b
+    df = spark.createDataFrame(
+        [(i % 6, (i * 7) % 5) for i in range(400)], ["x", "y"])
+    plan = _plan(kendall_tau_b(df, "x", "y"))
+    # crude but effective: both theta-join inputs sit above partial+
+    # final HashAggregate pairs (>= 4 in total), and the facts are
+    # never sort-merge-joined
+    assert plan.count("HashAggregate") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_conformal_qhat_is_broadcast_not_shuffle_join(spark):
+    from satellitetools_spark.operators.modeleval import conformal_interval
+    df = spark.createDataFrame(
+        [(i, float(i % 17), float(i % 17) + (i % 3) * 0.1)
+         for i in range(400)], ["id", "pred", "act"])
+    plan = _plan(conformal_interval(df, "pred", "act", "id % 5 = 0"))
+    # the 1-row qhat joins back by broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
