@@ -238,3 +238,129 @@ SELECT grp AS {group_col}, {k} AS k, n_kept, kth_hash,
        exact_distinct
 FROM kksk JOIN kkex USING (grp)
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-pass Misra-Gries heavy hitters over tokens
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(docs: DataFrame, text_col: str = "text",
+                  phi: float = 0.01) -> DataFrame:
+    """All tokens occupying ≥ ``phi`` of the corpus token stream, with
+    their EXACT counts — the φ-heavy-hitters a tokenizer/vocab audit
+    needs, computed without ever shuffling the full token alphabet.
+
+    Two passes, the classic sketch-then-verify shape:
+
+    1. **Candidates** (map-only + tiny shuffle): each partition runs a
+       Misra-Gries summary with k = ⌈2/φ⌉ counters over its token
+       stream (a Python dict inside `mapInPandas`, O(k) memory,
+       Arrow-batched). MG undercounts any token by ≤ n_p/k, and the
+       per-partition summaries MERGE by simple addition with the
+       errors adding: merged(t) ≥ true(t) − n/k ≥ true(t) − φn/2. So
+       keeping merged ≥ φn/2 can never drop a true φ-heavy token —
+       the guarantee is deterministic, not probabilistic. The shuffle
+       carries ≤ k·partitions candidate rows, not the alphabet.
+    2. **Exact verify**: one more scan counts ONLY the candidate
+       tokens (broadcast hash semi-join on the exploded stream — no
+       alphabet-sized state), and the φn cut is applied to exact
+       counts. Output = exact counts of exactly the true heavy
+       hitters; the sketch decides what's cheap to count, never what's
+       true.
+
+    At 10^12 rows this is the only honest shape: a direct
+    `groupBy(token)` shuffles the full vocabulary (billions of keys,
+    hot-token skew); here pass 1's wire traffic is bounded by k·tasks
+    and pass 2's by |candidates| ≤ 2/φ.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"heavy_hitters: phi must be in (0,1), got {phi}")
+    k = int(2.0 / phi) + 1
+    import pandas as pd  # local import: keep module import light
+
+    def _mg(batches):
+        import re
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                toks = re.split(r"\s+", text.strip())
+                total += len(toks)
+                for t in toks:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        # decrement-all step, dropping zeroed counters
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"token": list(counters.keys()) + ["\x00__total__"],
+             "lb": list(counters.values()) + [total]})
+
+    summary = docs.select(text_col).mapInPandas(
+        _mg, schema="token string, lb long")
+    merged = (summary.groupBy("token")
+              .agg(F.sum("lb").alias("lb")))
+    total = (merged.filter(F.col("token") == "\x00__total__")
+             .select(F.col("lb").alias("n_tokens")))
+    cand = (merged.filter(F.col("token") != "\x00__total__")
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("lb") >= F.lit(phi / 2.0) * F.col("n_tokens"))
+            .select("token"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("token"))
+    # one verify scan produces BOTH the exact candidate counts and the
+    # exact global token total: non-candidates collapse into a single
+    # NULL-keyed bucket (broadcast left join + conditional group key),
+    # so the threshold and the share use the SAME tokenization the
+    # oracle sees — the MG pass's Python-side total only steered the
+    # candidate cut, where an off-by-a-few is absorbed by the φn/2 slack
+    exact = (toks.join(F.broadcast(cand.withColumn("m", F.lit(1))),
+                       "token", "left")
+             .groupBy(F.when(F.col("m").isNotNull(), F.col("token"))
+                      .alias("tk"))
+             .agg(F.count("*").cast("long").alias("cnt")))
+    from pyspark.sql import Window as _W
+    wall = _W.partitionBy()
+    out = exact.withColumn("n_tokens",
+                           F.sum("cnt").over(wall).cast("double"))
+    return (out
+            .filter(F.col("tk").isNotNull()
+                    & (F.col("cnt").cast("double")
+                       >= F.lit(phi) * F.col("n_tokens")))
+            .select(F.col("tk").alias("token"), F.col("cnt"),
+                    (F.round(F.col("cnt").cast("double")
+                             / F.col("n_tokens"), 6) + 0.0)
+                    .alias("share")))
+
+
+def heavy_hitters_sql(table: str = "documents", text_col: str = "text",
+                      phi: float = 0.01) -> str:
+    """DuckDB oracle: the heavy-hitter SET and counts are exact, so the
+    oracle is the direct (alphabet-shuffling) computation the operator
+    exists to avoid — exact counts HAVING cnt ≥ φ·n."""
+    return f"""
+WITH hht AS (
+  SELECT unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS token
+  FROM {table}
+),
+hhn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens FROM hht),
+hhc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hht GROUP BY token
+)
+SELECT token, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / n_tokens, 6) + 0.0 AS share
+FROM hhc, hhn
+WHERE CAST(cnt AS DOUBLE) >= {phi!r} * n_tokens
+"""

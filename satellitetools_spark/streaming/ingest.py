@@ -373,3 +373,83 @@ def streaming_cusum(events: DataFrame, key: str = "user_id",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _psi_bin(v, lo: float, hi: float, n_bins: int):
+    """The batch `inference.psi` bin rule verbatim: [-1] underflow,
+    [n_bins] overflow, else floor((v−lo)/width) clamped to the top bin."""
+    width = (float(hi) - float(lo)) / n_bins
+    raw = F.floor((v - float(lo)) / F.lit(width)).cast("long")
+    return (F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(n_bins))
+            .otherwise(F.least(raw, F.lit(n_bins - 1))).cast("int"))
+
+
+def psi_reference(calib: DataFrame, value_col: str, lo: float,
+                  hi: float, n_bins: int = 10,
+                  smooth: float = 0.5) -> list:
+    """Build the FIXED expected-distribution vector a streaming PSI
+    monitor compares against: the Laplace-smoothed bin fractions of a
+    batch calibration slice (the training window), one float per bin
+    including under/overflow — (n_bins + 2) numbers, collected to the
+    driver because that IS the deployment artifact (it ships with the
+    model, not with the stream)."""
+    v = F.col(value_col)
+    counts = (calib.filter(v.isNotNull())
+              .groupBy(_psi_bin(v, lo, hi, n_bins).alias("bin"))
+              .agg(F.count("*").cast("double").alias("c")))
+    got = {r["bin"]: r["c"] for r in counts.collect()}
+    nb = float(n_bins + 2)
+    tot = sum(got.values())
+    return [(got.get(b, 0.0) + smooth) / (tot + smooth * nb)
+            for b in range(-1, n_bins + 1)]
+
+
+def streaming_psi(events: DataFrame, expected: list,
+                  value_col: str = "value", ts_col: str = "ts",
+                  lo: float = 0.0, hi: float = 200.0, n_bins: int = 10,
+                  smooth: float = 0.5, window: str = "1 day",
+                  watermark: str = "2 days") -> DataFrame:
+    """Streaming model-monitoring drift: per event-time window, the
+    Population Stability Index of ``value_col``'s binned distribution
+    against the fixed calibration vector from :func:`psi_reference` —
+    the stateful analog of the batch ``inference.psi`` (which compares
+    two slices of one bounded table; a stream compares each window to
+    the shipped reference).
+
+    State: ONE windowed aggregation whose row is (n_bins + 2)
+    conditional counters — constant per window, watermark-evicted;
+    the PSI fold over those counters is a stateless projection with
+    the expected fractions inlined as literals (they are deployment
+    constants, not data). Append mode emits each window's PSI once,
+    when the watermark closes it. Same decision thresholds as batch:
+    <0.1 stable, 0.1–0.25 drifting, >0.25 retrain.
+    """
+    if len(expected) != n_bins + 2:
+        raise ValueError(
+            f"streaming_psi: expected vector must have n_bins+2="
+            f"{n_bins + 2} entries, got {len(expected)}")
+    v = F.col(value_col)
+    b = _psi_bin(v, lo, hi, n_bins)
+    bins = list(range(-1, n_bins + 1))
+    counts = (events.filter(v.isNotNull())
+              .withWatermark(ts_col, watermark)
+              .groupBy(F.window(F.col(ts_col), window).alias("w"))
+              .agg(*[F.sum(F.when(b == bb, 1.0).otherwise(0.0))
+                     .alias(f"c_{i}") for i, bb in enumerate(bins)]))
+    nb = float(n_bins + 2)
+    total = sum((F.col(f"c_{i}") for i in range(len(bins))),
+                F.lit(0.0))
+    n_obs = total
+    psi_terms = []
+    for i, bb in enumerate(bins):
+        pa = (F.col(f"c_{i}") + float(smooth)) \
+            / (total + float(smooth) * nb)
+        pe = float(expected[i])
+        psi_terms.append((pa - pe) * F.log(pa / F.lit(pe)))
+    psi = sum(psi_terms[1:], psi_terms[0])
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n_obs.cast("long").alias("n_obs"),
+        (F.round(psi, 6) + 0.0).alias("psi"))

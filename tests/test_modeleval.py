@@ -358,3 +358,34 @@ def test_conformal_interval_guarantee(spark):
     calib = sorted(abs(a - p) for i, p, a in rows if i % 5 == 0)
     k = math.ceil(201 * 0.9)
     assert out["qhat"] == pytest.approx(calib[k - 1], abs=1e-6)
+
+
+# ------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_guarantee_on_skewed_stream(spark):
+    from satellitetools_spark.operators import sketch as SK
+    # big alphabet (600 rare singleton tokens across docs) + two truly
+    # heavy tokens; MG counters k = 2/phi + 1 = 41 << alphabet, so the
+    # sketch must actually evict — and still may not drop a heavy token
+    rows = []
+    for i in range(100):
+        rare = " ".join(f"rare{i}_{j}" for j in range(6))
+        rows.append((i, f"hot {rare} warm" if i % 2 else f"hot {rare}"))
+    df = spark.createDataFrame(rows, "id long, text string").repartition(5)
+    out = {r["token"]: r for r in
+           SK.heavy_hitters(df, "text", phi=0.05).collect()}
+    n_tokens = 100 * 7 + 50  # 6 rare + hot per doc, warm on half
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["cnt"] == 100
+    assert out["warm"]["cnt"] == 50
+    assert out["hot"]["share"] == pytest.approx(100 / n_tokens, abs=1e-6)
+
+
+def test_heavy_hitters_empty_below_threshold(spark):
+    from satellitetools_spark.operators import sketch as SK
+    # uniform alphabet where nothing reaches phi
+    rows = [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    assert SK.heavy_hitters(df, "text", phi=0.05).count() == 0
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "text", phi=0.0)

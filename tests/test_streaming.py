@@ -6,6 +6,8 @@ import glob
 import os
 import shutil
 
+import pytest
+
 from satellitetools_spark.sources import read_documents
 from satellitetools_spark.sources.decode import qi_percentages
 from satellitetools_spark.streaming import (
@@ -383,3 +385,67 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
              .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
     assert got.equals(batch)
     assert len(got) == 6 * 5   # 25 tokens, stride 6 -> starts 0,6,12,18,24
+
+
+def test_streaming_psi_matches_batch_single_window(spark, tmp_path):
+    """Streaming PSI against a psi_reference calibration vector equals
+    the batch inference.psi total when one event-time window covers the
+    whole actual slice (same bins, same smoothing, same fold)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+
+    from satellitetools_spark.operators.inference import psi as batch_psi
+    from satellitetools_spark.streaming.ingest import (psi_reference,
+                                                       streaming_psi)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rng = np.random.RandomState(13)
+    base = pd.Timestamp("2024-01-02")
+    # calibration: N(50,10); serving: drifted N(80,15)
+    cal = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(120)],
+        "value": rng.normal(50, 10, 120), "sl": 0})
+    act = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(90)],
+        "value": rng.normal(80, 15, 90), "sl": 1})
+    both = spark.createDataFrame(pd.concat([cal, act]))
+    want = (batch_psi(both, "sl", "value", 0.0, 200.0, n_bins=10)
+            .select("psi_total").distinct().collect()[0]["psi_total"])
+
+    expected = psi_reference(spark.createDataFrame(cal), "value",
+                             0.0, 200.0, n_bins=10)
+    feed = tmp_path / "psi_feed"
+    feed.mkdir()
+    chunks = [act.iloc[:30], act.iloc[30:70], act.iloc[70:]]
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"psi_chunk_{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+    stream = (spark.readStream
+              .schema(spark.createDataFrame(act).schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_psi(stream, expected, value_col="value", ts_col="ts",
+                       lo=0.0, hi=200.0, n_bins=10,
+                       window="3650 days", watermark="1 hour")
+         .writeStream.format("memory").queryName("psi_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM psi_stream").collect()
+    assert len(got) == 1
+    assert got[0]["n_obs"] == 90
+    assert got[0]["psi"] == pytest.approx(want, abs=1e-6)
+    assert got[0]["psi"] > 0.25  # the planted drift is a retrain alarm
+
+
+def test_streaming_psi_validates_reference_length(spark):
+    from satellitetools_spark.streaming.ingest import streaming_psi
+    df = spark.readStream.format("rate").load() \
+        .selectExpr("timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    with pytest.raises(ValueError):
+        streaming_psi(df, [0.1, 0.2], n_bins=10)
