@@ -690,7 +690,11 @@ def bh_adjust(df: DataFrame, key_col: str, p_col: str = "p_approx",
     the fact stream was reduced by whatever screening test produced p.
     """
     wall = Window.partitionBy()
-    wr = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    # NULLS LAST explicitly: Spark's ASC default is nulls-first while
+    # DuckDB's is nulls-last — an undefined p (degenerate group) must
+    # rank identically in both engines
+    wr = Window.orderBy(F.col(p_col).asc_nulls_last(),
+                        F.col(key_col).asc())
     wmin = (Window.orderBy(F.col("rank").desc())
             .rowsBetween(Window.unboundedPreceding, 0))
     g = (df.withColumn("m", F.count("*").over(wall))
@@ -715,7 +719,8 @@ WITH bhin AS ({inner_sql}),
 bhr AS (
   SELECT {key_col}, {p_col},
          COUNT(*) OVER () AS m,
-         ROW_NUMBER() OVER (ORDER BY {p_col} ASC, {key_col} ASC) AS rank
+         ROW_NUMBER() OVER (ORDER BY {p_col} ASC NULLS LAST,
+                            {key_col} ASC) AS rank
   FROM bhin
 ),
 bha AS (
