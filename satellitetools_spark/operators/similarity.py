@@ -1075,3 +1075,174 @@ WHERE ROUND((s.dist_own - m.mu)
             / (CASE WHEN m.sd > 0 THEN m.sd END), 6) + 0.0
       > {float(z_threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics: precision@k / MRR / NDCG@k, and ANN recall
+# ---------------------------------------------------------------------------
+
+def retrieval_metrics(emb: DataFrame, query_ids: List[int], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Label-relevance audit of exact cosine top-k retrieval: for each
+    query, with rel(doc) = [label(doc) = label(query)], the standard
+    ranking metrics — precision@k, reciprocal rank of the first
+    relevant hit (the MRR numerator), DCG@k = Σ rel/log₂(rank+1), the
+    ideal DCG over min(k, R) positions where R = the query's total
+    relevant corpus size (own-label count minus self), and NDCG@k.
+    The "does nearest-neighbor search actually retrieve same-class
+    items" readout an embedding-quality pipeline runs before trusting
+    ANN dedup or dataset balancing.
+
+    Shape: the top-k table is k·|Q| rows, so neighbor labels come from
+    ONE broadcast of the top-k INTO the label projection (the big side
+    is never shuffled); R comes from the label-histogram (one hash
+    agg) broadcast-joined to the |Q| query rows. IDCG's fold runs over
+    a ≤k-element `sequence` per query row — JVM expression, identical
+    `aggregate` fold in DuckDB.
+    """
+    topk = cosine_topk(emb, query_ids, k, id_col, vec_col)
+    qlab = (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(label_col).alias("qlabel")))
+    nlab = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(label_col).alias("nlabel"))
+    j = (nlab.join(F.broadcast(topk), "neighbor_id")
+         .join(F.broadcast(qlab), "query_id")
+         .withColumn("rel", (F.col("nlabel") == F.col("qlabel"))
+                     .cast("double")))
+    per_q = (j.groupBy("query_id", "qlabel")
+             .agg(F.sum("rel").alias("hits"),
+                  F.sum(F.col("rel")
+                        / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+                  F.min(F.when(F.col("rel") == 1.0, F.col("rank")))
+                  .alias("first_rel")))
+    lab_counts = (emb.groupBy(F.col(label_col).alias("qlabel"))
+                  .agg(F.count("*").cast("double").alias("lc")))
+    g = (per_q.join(F.broadcast(lab_counts), "qlabel")
+         .withColumn("n_rel", F.col("lc") - 1.0))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1),
+                   F.least(F.lit(k), F.col("n_rel").cast("int"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0))
+    rr = F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
+    return (g.withColumn("idcg", idcg)
+            .select(
+                "query_id",
+                F.col("n_rel").cast("long").alias("n_rel"),
+                F.col("hits").cast("long").alias("hits"),
+                (F.round(F.col("hits") / float(k), 6) + 0.0)
+                .alias("precision_k"),
+                (F.round(rr, 6) + 0.0).alias("rr"),
+                (F.round(F.col("dcg"), 6) + 0.0).alias("dcg"),
+                (F.round(F.col("idcg"), 6) + 0.0).alias("idcg"),
+                (F.round(F.when(F.col("idcg") > 0,
+                                F.col("dcg") / F.col("idcg"))
+                         .otherwise(0.0), 6) + 0.0).alias("ndcg")))
+
+
+def retrieval_metrics_sql(query_ids: List[int], k: int = 10,
+                          table: str = "embeddings") -> str:
+    """DuckDB oracle: the cosine_topk construction + identical
+    relevance joins and folds."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+  FROM {table} WHERE vec_id IN ({ids})
+),
+pairs AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+         e.label AS nlabel,
+         list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qvec::DOUBLE[],
+                                    q.qvec::DOUBLE[]))) AS cosine
+  FROM {table} e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+  FROM pairs
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+perq AS (
+  SELECT query_id, qlabel,
+         SUM(CASE WHEN nlabel = qlabel THEN 1.0 ELSE 0.0 END) AS hits,
+         SUM(CASE WHEN nlabel = qlabel
+             THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg,
+         MIN(CASE WHEN nlabel = qlabel THEN rank END) AS first_rel
+  FROM topk GROUP BY query_id, qlabel
+),
+lc AS (
+  SELECT label AS qlabel, CAST(COUNT(*) AS DOUBLE) AS lcn
+  FROM {table} GROUP BY label
+),
+g AS (
+  SELECT perq.*, lc.lcn - 1.0 AS n_rel,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(
+                 1, LEAST({k}, CAST(lc.lcn - 1.0 AS INT))),
+               i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))),
+           (acc, x) -> acc + x) AS idcg
+  FROM perq JOIN lc USING (qlabel)
+)
+SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+       CAST(hits AS BIGINT) AS hits,
+       ROUND(hits / {float(k)!r}, 6) + 0.0 AS precision_k,
+       ROUND(COALESCE(1.0 / first_rel, 0.0), 6) + 0.0 AS rr,
+       ROUND(dcg, 6) + 0.0 AS dcg,
+       ROUND(idcg, 6) + 0.0 AS idcg,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) + 0.0
+         AS ndcg
+FROM g
+"""
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int = 10
+               ) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact top-k (both as (query_id, neighbor_id[, …]) tables): the
+    overlap count over k — the single number that certifies an ANN
+    index (IVF/PQ/LSH) before it replaces brute force in a dedup or
+    balancing pipeline. Both inputs are k·|Q|-row readouts already, so
+    this is a tiny inner join + one agg; a missing query (the ANN
+    pruned everything) reports recall 0, not a dropped row.
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hit = (e.join(a, ["query_id", "neighbor_id"])
+           .groupBy("query_id")
+           .agg(F.count("*").cast("double").alias("n_overlap")))
+    base = e.select("query_id").distinct()
+    return (base.join(hit, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_overlap"), F.lit(0.0))
+                    .cast("long").alias("n_overlap"),
+                    (F.round(F.coalesce(F.col("n_overlap"), F.lit(0.0))
+                             / float(k), 6) + 0.0).alias("recall")))
+
+
+def ann_recall_sql(approx_sql: str, exact_sql: str, k: int = 10) -> str:
+    """DuckDB oracle: the same join of the two inner constructions."""
+    return f"""
+WITH apx AS ({approx_sql}),
+exc AS ({exact_sql}),
+hit AS (
+  SELECT e.query_id, CAST(COUNT(*) AS DOUBLE) AS n_overlap
+  FROM exc e JOIN apx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (SELECT DISTINCT query_id FROM exc)
+SELECT base.query_id,
+       CAST(COALESCE(hit.n_overlap, 0.0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(hit.n_overlap, 0.0) / {float(k)!r}, 6) + 0.0
+         AS recall
+FROM base LEFT JOIN hit ON base.query_id = hit.query_id
+"""

@@ -389,3 +389,62 @@ def test_heavy_hitters_empty_below_threshold(spark):
     assert SK.heavy_hitters(df, "text", phi=0.05).count() == 0
     with pytest.raises(ValueError):
         SK.heavy_hitters(df, "text", phi=0.0)
+
+
+# --------------------------------------------------- retrieval metrics
+
+def _emb_clusters(spark):
+    # two tight clusters in 4-d: label 0 near e1, label 1 near e2;
+    # within-cluster vectors are closer to each other than cross-cluster
+    rows = []
+    for i in range(8):
+        eps = 0.01 * i
+        rows.append((i, [1.0, eps, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 0.0, 1.0, eps], 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_retrieval_metrics_perfect_cluster_retrieval(spark):
+    from satellitetools_spark.operators import similarity as SIM
+    emb = _emb_clusters(spark)
+    out = {r["query_id"]: r for r in
+           SIM.retrieval_metrics(emb, [0, 100], k=7).collect()}
+    # 7 own-cluster neighbors exist (8 per cluster minus self): all hits
+    for q in (0, 100):
+        assert out[q]["n_rel"] == 7
+        assert out[q]["hits"] == 7
+        assert out[q]["precision_k"] == 1.0
+        assert out[q]["rr"] == 1.0
+        assert out[q]["ndcg"] == 1.0
+
+
+def test_retrieval_metrics_ndcg_penalizes_late_hits(spark):
+    from satellitetools_spark.operators import similarity as SIM
+    # query 0's cluster has only 2 relevant; k=5 pulls 3 cross-cluster
+    rows = [(0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0),
+            (2, [0.98, 0.02], 0)]
+    rows += [(10 + i, [0.5, 0.5 + 0.01 * i], 1) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["query_id"]: r for r in
+           SIM.retrieval_metrics(emb, [0], k=5).collect()}
+    r = out[0]
+    assert r["n_rel"] == 2 and r["hits"] == 2
+    assert r["precision_k"] == pytest.approx(0.4)
+    assert r["rr"] == 1.0                       # best hit ranks first
+    assert r["ndcg"] == 1.0                     # both rels rank 1-2
+    # idcg over min(k, R)=2 positions
+    assert r["idcg"] == pytest.approx(1.0 + 1.0 / math.log2(3), abs=1e-6)
+
+
+def test_ann_recall_overlap_and_missing_query(spark):
+    from satellitetools_spark.operators import similarity as SIM
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, neighbor_id long")
+    out = {r["query_id"]: r for r in
+           SIM.ann_recall(approx, exact, k=2).collect()}
+    assert out[1]["recall"] == 0.5
+    assert out[2]["recall"] == 0.0 and out[2]["n_overlap"] == 0
