@@ -571,3 +571,255 @@ SELECT bin, CAST(ce AS BIGINT) AS n_expected,
          AS psi_total
 FROM psip
 """
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth-mover) distance between two 1-d distributions
+# ---------------------------------------------------------------------------
+
+def wasserstein_1(df: DataFrame, group_expr: str, value_col: str
+                  ) -> DataFrame:
+    """Exact 1-d earth-mover distance between the two groups' value
+    distributions: ``W₁ = ∫ |F₀ − F₁| dv`` — the INTEGRAL drift metric
+    that complements KS's supremum (KS sees the worst single gap; W₁
+    sees total transported mass, so a long small shift registers even
+    when no single quantile gap is large).
+
+    On empirical distributions the integrand is a step function that
+    changes only at observed values, so the integral is EXACT from the
+    distinct-value histogram: Σᵢ |F₀(vᵢ) − F₁(vᵢ)|·(vᵢ₊₁ − vᵢ). Same
+    one-agg + alphabet-window shape as `ks_test`; the lead(v) term
+    makes the final row contribute 0 naturally (no next value).
+    """
+    from pyspark.sql import Window as _W
+    h = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("v")
+         .agg(F.sum(F.when(F.col("g") == 0, 1.0).otherwise(0.0))
+              .alias("c0"),
+              F.sum(F.when(F.col("g") == 1, 1.0).otherwise(0.0))
+              .alias("c1")))
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    wlead = _W.orderBy("v")
+    wall = _W.partitionBy()
+    cum = (h.withColumn("f0", F.sum("c0").over(w))
+           .withColumn("f1", F.sum("c1").over(w))
+           .withColumn("nv", F.lead("v").over(wlead))
+           .withColumn("n0", F.sum("c0").over(wall))
+           .withColumn("n1", F.sum("c1").over(wall)))
+    seg = (F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))
+           * (F.coalesce(F.col("nv"), F.col("v")) - F.col("v")))
+    agg = cum.agg(F.max("n0").alias("n0"), F.max("n1").alias("n1"),
+                  F.sum(seg).alias("w1"))
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(F.col("w1")).alias("w1"))
+
+
+def wasserstein_1_sql(table: str, group_expr: str, value_col: str
+                      ) -> str:
+    return f"""
+WITH wsh AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 0
+             THEN 1.0 ELSE 0.0 END) AS c0,
+         SUM(CASE WHEN CAST({group_expr} AS INT) = 1
+             THEN 1.0 ELSE 0.0 END) AS c1
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+wsc AS (
+  SELECT v, LEAD(v) OVER (ORDER BY v) AS nv,
+         SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f0,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f1,
+         SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1
+  FROM wsh
+)
+SELECT CAST(MAX(n0) AS BIGINT) AS n0, CAST(MAX(n1) AS BIGINT) AS n1,
+       ROUND(SUM(ABS(f0 / n0 - f1 / n1)
+                 * (COALESCE(nv, v) - v)), 6) + 0.0 AS w1
+FROM wsc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g effect size (two groups)
+# ---------------------------------------------------------------------------
+
+def cohens_d(df: DataFrame, group_expr: str, value_col: str
+             ) -> DataFrame:
+    """Standardized mean difference between the two groups: Cohen's
+    ``d = (m₁ − m₀)/s_pooled`` with the pooled unbiased SD, plus
+    Hedges' small-sample correction ``g = d·(1 − 3/(4(n₀+n₁) − 9))``
+    — the EFFECT SIZE a corpus-scale t-test must be paired with
+    (at 10⁹ rows everything is "significant"; d says whether it
+    matters: 0.2 small / 0.5 medium / 0.8 large). Same single
+    moment-agg shape as `welch_ttest`.
+    """
+    g = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(value_col).alias("v"))
+         .filter(F.col("v").isNotNull())
+         .groupBy("g")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("s2")))
+    out = g.agg(
+        F.sum(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+        F.sum(F.when(F.col("g") == 0, F.col("s2"))).alias("q0"),
+        F.sum(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.sum(F.when(F.col("g") == 1, F.col("s2"))).alias("q1"))
+    m0 = F.col("s0") / F.col("n0")
+    m1 = F.col("s1") / F.col("n1")
+    ss0 = F.col("q0") - F.col("n0") * m0 * m0   # Σ(v−m)² via moments
+    ss1 = F.col("q1") - F.col("n1") * m1 * m1
+    sp = F.sqrt((ss0 + ss1) / (F.col("n0") + F.col("n1") - 2.0))
+    d = (m1 - m0) / sp
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n0") + F.col("n1")) - 9.0)
+    return out.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        _r6(m1 - m0).alias("mean_diff"),
+        _r6(sp).alias("pooled_sd"),
+        _r6(d).alias("d"),
+        _r6(d * corr).alias("hedges_g"))
+
+
+def cohens_d_sql(table: str, group_expr: str, value_col: str) -> str:
+    return f"""
+WITH cdg AS (
+  SELECT CAST({group_expr} AS INT) AS g,
+         CAST(COUNT(*) AS DOUBLE) AS n, SUM({value_col}) AS s,
+         SUM({value_col} * {value_col}) AS s2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+cda AS (
+  SELECT SUM(CASE WHEN g = 0 THEN n END) AS n0,
+         SUM(CASE WHEN g = 0 THEN s END) AS s0,
+         SUM(CASE WHEN g = 0 THEN s2 END) AS q0,
+         SUM(CASE WHEN g = 1 THEN n END) AS n1,
+         SUM(CASE WHEN g = 1 THEN s END) AS s1,
+         SUM(CASE WHEN g = 1 THEN s2 END) AS q1
+  FROM cdg
+),
+cdd AS (
+  SELECT n0, n1, s1 / n1 - s0 / n0 AS md,
+         SQRT(((q0 - n0 * (s0 / n0) * (s0 / n0))
+               + (q1 - n1 * (s1 / n1) * (s1 / n1)))
+              / (n0 + n1 - 2.0)) AS sp
+  FROM cda
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(md, 6) + 0.0 AS mean_diff,
+       ROUND(sp, 6) + 0.0 AS pooled_sd,
+       ROUND(md / sp, 6) + 0.0 AS d,
+       ROUND(md / sp * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6) + 0.0
+         AS hedges_g
+FROM cdd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test (k groups)
+# ---------------------------------------------------------------------------
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str
+                   ) -> DataFrame:
+    """Brown-Forsythe test of variance equality across k groups: the
+    one-way ANOVA F computed on ``z = |v − median_g|`` — the robust
+    Levene variant (median centers, so heavy tails don't masquerade as
+    variance differences). A mean test says the groups' centers agree;
+    this says their SPREADS do — the other half of a drift audit.
+
+    Shape: per-group medians from per-group distinct-value histograms
+    (one (g, v) hash agg + a cumulative window partitioned by group —
+    alphabet-sized per group, never a raw sort), broadcast back onto
+    the facts for the |v − med| pass, then the standard SSB/SSW fold
+    at group cardinality. Two fact scans total; the median is the
+    lower median (cum ≥ ⌈n_g/2⌉), identically in both engines.
+    """
+    from pyspark.sql import Window as _W
+    base = (df.select(F.col(group_col).alias("grp"),
+                      F.col(value_col).alias("v"))
+            .filter(F.col("v").isNotNull() & F.col("grp").isNotNull()))
+    h = base.groupBy("grp", "v").agg(F.count("*").cast("double")
+                                     .alias("c"))
+    wg = _W.partitionBy("grp").orderBy("v") \
+        .rowsBetween(_W.unboundedPreceding, 0)
+    wall = _W.partitionBy("grp")
+    cum = (h.withColumn("cum", F.sum("c").over(wg))
+           .withColumn("ng", F.sum("c").over(wall)))
+    med = (cum.filter(F.col("cum") >= F.ceil(F.col("ng") / 2.0))
+           .groupBy("grp").agg(F.min("v").alias("med")))
+    z = (base.join(F.broadcast(med), "grp")
+         .select("grp", F.abs(F.col("v") - F.col("med")).alias("z")))
+    g = (z.groupBy("grp")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("z").alias("s"),
+              F.sum(F.col("z") * F.col("z")).alias("s2")))
+    agg = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("ts"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgm"),
+        F.sum("s2").alias("ts2"))
+    ssb = F.col("sgm") - F.col("ts") * F.col("ts") / F.col("n")
+    ssw = F.col("ts2") - F.col("sgm")
+    fstat = (ssb / (F.col("k") - 1.0)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        _r6(ssb).alias("ssb"),
+        _r6(ssw).alias("ssw"),
+        _r6(fstat).alias("f"))
+
+
+def brown_forsythe_sql(table: str, group_col: str, value_col: str
+                       ) -> str:
+    return f"""
+WITH bfb AS (
+  SELECT {group_col} AS grp, {value_col} AS v
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+bfh AS (
+  SELECT grp, v, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM bfb GROUP BY 1, 2
+),
+bfc AS (
+  SELECT grp, v,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS ng
+  FROM bfh
+),
+bfm AS (
+  SELECT grp, MIN(v) AS med FROM bfc
+  WHERE cum >= CEIL(ng / 2.0) GROUP BY grp
+),
+bfz AS (
+  SELECT bfb.grp, ABS(bfb.v - bfm.med) AS z
+  FROM bfb JOIN bfm ON bfb.grp = bfm.grp
+),
+bfg AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n, SUM(z) AS s,
+         SUM(z * z) AS s2
+  FROM bfz GROUP BY grp
+),
+bfa AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS n, SUM(s) AS ts,
+         SUM(s * s / n) AS sgm, SUM(s2) AS ts2
+  FROM bfg
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       ROUND(sgm - ts * ts / n, 6) + 0.0 AS ssb,
+       ROUND(ts2 - sgm, 6) + 0.0 AS ssw,
+       ROUND(((sgm - ts * ts / n) / (k - 1.0))
+             / ((ts2 - sgm) / (n - k)), 6) + 0.0 AS f
+FROM bfa
+"""

@@ -1846,3 +1846,71 @@ FROM tdv
 ORDER BY vmr DESC, term ASC
 LIMIT {int(top_k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: Chao1 + Good-Turing coverage
+# ---------------------------------------------------------------------------
+
+def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """How much vocabulary the corpus HASN'T shown yet: observed type
+    count, singleton/doubleton counts, the Chao1 lower-bound estimate
+    of true vocabulary size ``S + f₁²/(2f₂)`` (bias-corrected form
+    ``S + f₁(f₁−1)/2`` when f₂ = 0), and the Good-Turing coverage
+    ``1 − f₁/n`` (the probability the NEXT token is one already seen)
+    — the "is more crawling worth it" readout for corpus growth
+    decisions.
+
+    Shape: tokenize → one (token → count) hash agg (the same full-
+    vocabulary shuffle the DF/IDF operators already pay — this is a
+    vocabulary statistic, there is no smaller sufficient state), then
+    a 1-row conditional fold over the count table. The count table is
+    type-cardinality; nothing downstream is fact-sized.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+    counts = toks.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+    agg = counts.agg(
+        F.count("*").cast("double").alias("s_obs"),
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("c") == 1.0, 1.0).otherwise(0.0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2.0, 1.0).otherwise(0.0)).alias("f2"))
+    chao1 = F.when(
+        F.col("f2") > 0,
+        F.col("s_obs") + F.col("f1") * F.col("f1") / (2.0 * F.col("f2"))
+    ).otherwise(
+        F.col("s_obs") + F.col("f1") * (F.col("f1") - 1.0) / 2.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("s_obs").cast("long").alias("n_types"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        (F.round(chao1, 6) + 0.0).alias("chao1"),
+        (F.round(1.0 - F.col("f1") / F.col("n"), 6) + 0.0)
+        .alias("coverage"))
+
+
+def vocab_richness_sql(table: str = "documents",
+                       text_col: str = "text") -> str:
+    """DuckDB oracle: identical tokenize → counts → conditional fold."""
+    return f"""
+WITH vrt AS (
+  SELECT unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS t
+  FROM {table}
+),
+vrc AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS c FROM vrt GROUP BY t
+),
+vra AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS s_obs, SUM(c) AS n,
+         SUM(CASE WHEN c = 1.0 THEN 1.0 ELSE 0.0 END) AS f1,
+         SUM(CASE WHEN c = 2.0 THEN 1.0 ELSE 0.0 END) AS f2
+  FROM vrc
+)
+SELECT CAST(n AS BIGINT) AS n_tokens, CAST(s_obs AS BIGINT) AS n_types,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       ROUND(CASE WHEN f2 > 0 THEN s_obs + f1 * f1 / (2.0 * f2)
+             ELSE s_obs + f1 * (f1 - 1.0) / 2.0 END, 6) + 0.0 AS chao1,
+       ROUND(1.0 - f1 / n, 6) + 0.0 AS coverage
+FROM vra
+"""

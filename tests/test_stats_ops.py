@@ -1580,3 +1580,87 @@ def test_psi_validates_bounds(spark):
     df = spark.createDataFrame([(0, 1.0)], "sl int, v double")
     with pytest.raises(ValueError):
         INF.psi(df, "sl", "v", 5.0, 5.0)
+
+
+# ------------------------------------------- W1 / effect size / BF / vocab
+
+def _grouped(spark, g0, g1):
+    rows = [(0, float(v)) for v in g0] + [(1, float(v)) for v in g1]
+    return spark.createDataFrame(rows, "g int, v double")
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    # W1 between X and X+c is exactly |c| for any distribution
+    import numpy as np
+    vals = list(np.random.RandomState(3).rand(60) * 10)
+    df = _grouped(spark, vals, [v + 2.5 for v in vals])
+    out = INF.wasserstein_1(df, "g", "v").collect()[0]
+    assert out["w1"] == pytest.approx(2.5, abs=1e-6)
+    ident = _grouped(spark, vals, vals)
+    assert INF.wasserstein_1(ident, "g", "v").collect()[0]["w1"] == 0.0
+
+
+def test_wasserstein_vs_manual_cdf_integral(spark):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    a = np.round(rng.rand(80) * 5, 1)
+    b = np.round(rng.rand(50) * 5 + 1, 1)
+    df = _grouped(spark, a, b)
+    # independent computation: scipy-free CDF integral on the grid
+    grid = np.unique(np.concatenate([a, b]))
+    f0 = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    f1 = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    want = float(np.sum(np.abs(f0[:-1] - f1[:-1]) * np.diff(grid)))
+    out = INF.wasserstein_1(df, "g", "v").collect()[0]
+    assert out["w1"] == pytest.approx(want, abs=1e-6)
+
+
+def test_cohens_d_textbook(spark):
+    # two groups sd=pooled 2, means differ by 2 -> d = 1
+    g0 = [1.0, 3.0, 5.0, 3.0]     # mean 3
+    g1 = [3.0, 5.0, 7.0, 5.0]     # mean 5, same spread
+    out = INF.cohens_d(_grouped(spark, g0, g1), "g", "v").collect()[0]
+    import numpy as np
+    sp = float(np.sqrt((np.var(g0, ddof=1) * 3 + np.var(g1, ddof=1) * 3)
+                       / 6))
+    assert out["mean_diff"] == 2.0
+    assert out["pooled_sd"] == pytest.approx(sp, abs=1e-6)
+    assert out["d"] == pytest.approx(2.0 / sp, abs=1e-6)
+    assert out["hedges_g"] == pytest.approx(
+        (2.0 / sp) * (1 - 3 / (4 * 8 - 9)), abs=1e-6)
+
+
+def test_brown_forsythe_detects_spread_not_center(spark):
+    import numpy as np
+    rng = np.random.RandomState(4)
+    # same medians, very different spreads -> large F
+    rows = [("a", float(v)) for v in rng.normal(10, 0.5, 200)] + \
+           [("b", float(v)) for v in rng.normal(10, 5.0, 200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = INF.brown_forsythe(df, "grp", "v").collect()[0]
+    assert out["k"] == 2 and out["n"] == 400
+    assert out["f"] > 50
+    # identical spreads -> F near 0..small
+    same = [("a", float(v)) for v in rng.normal(0, 1, 200)] + \
+           [("b", float(v)) for v in rng.normal(5, 1, 200)]  # center shift only
+    out2 = INF.brown_forsythe(
+        spark.createDataFrame(same, "grp string, v double"),
+        "grp", "v").collect()[0]
+    assert out2["f"] < 5
+
+
+def test_vocab_richness_planted(spark):
+    # 3 types: "a" x4, "b" x2, "c" x1 -> f1=1 f2=1, chao1 = 3 + 1/2
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b")], "doc_id long, text string")
+    out = TX.vocab_richness(docs).collect()[0]
+    assert out["n_tokens"] == 7 and out["n_types"] == 3
+    assert out["f1"] == 1 and out["f2"] == 1
+    assert out["chao1"] == pytest.approx(3.5)
+    assert out["coverage"] == pytest.approx(1 - 1 / 7, abs=1e-6)
+    # f2 = 0 branch: all singletons
+    solo = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    out2 = TX.vocab_richness(solo).collect()[0]
+    assert out2["f2"] == 0
+    assert out2["chao1"] == pytest.approx(3 + 3 * 2 / 2)  # S + f1(f1-1)/2
+    assert out2["coverage"] == 0.0
