@@ -173,3 +173,105 @@ def features_from_pandas(pdf, band_cols: Iterable[str] = SNAP_BIO_BANDS) -> np.n
         pdf["sun_azimuth"].to_numpy(dtype=np.float64, na_value=np.nan)
         - pdf["view_azimuth"].to_numpy(dtype=np.float64, na_value=np.nan)))
     return np.column_stack(cols + [vz, sz, ra])
+
+
+# ---------------------------------------------------------------------------
+# Definition-domain GRID check — the reference's disabled convex-hull stand-in
+# ---------------------------------------------------------------------------
+
+def load_domain_grid(variable: str = "LAI") -> np.ndarray:
+    """The SNAP definition-domain grid: the quantized (cell-level) hull
+    of the NN training domain, one row per occupied 8-d grid cell
+    (`biophys.py:170-172`; the file is byte-identical across all five
+    variables in the 2_1 auxdata, so one vendored copy under LAI/
+    serves all). Public ESA SNAP s2tbx auxdata, same provenance as the
+    bundled weights."""
+    with _aux("LAI", "LAI_DefinitionDomain_Grid").open("r") as f:
+        return np.loadtxt(f, delimiter=",").astype(np.int64)
+
+
+def grid_cell_exprs(variable: str):
+    """The reference's quantization (`biophys.py:213-215`):
+    ``floor(10·(v − defdom_min)/(defdom_max − defdom_min) + 1)`` per
+    band — returned as ONE shared SQL string per band, rendered into
+    both engines so the cell ids are computed textually identically."""
+    p = load_nn_params(variable)
+    out = []
+    for i, b in enumerate(SNAP_BIO_BANDS):
+        lo = repr(float(p["defdom_min"][i]))
+        hi = repr(float(p["defdom_max"][i]))
+        out.append(f"CAST(FLOOR(10.0 * ({b} - {lo}) / ({hi} - {lo})"
+                   f" + 1.0) AS BIGINT)")
+    return out
+
+
+def domain_grid_check(px, variable: str = "LAI"):
+    """The reference's DISABLED convex-hull input check
+    (`biophys.py:16-18, 211-218` — "computationally slow"), made fast:
+    the original tests each pixel's quantized 8-band cell against the
+    ~11k-row definition-domain grid with a per-vector Python ``any()``
+    scan (O(pixels × grid) interpreted comparisons — why it was turned
+    off). Here the grid is a BROADCAST hash side and the test is one
+    JVM hash-join probe per pixel: quantize each band with the
+    reference's exact formula, concat to a cell key, LEFT join the
+    broadcast grid keys — ``in_domain`` true iff the cell is occupied
+    AND every band lies inside [defdom_min, defdom_max] (out-of-range
+    pixels quantize onto grid-range cells, so the range guard is part
+    of the check, as in the reference's combined mask). Adds the
+    boolean column; no shuffle of the pixel frame, no Python.
+    """
+    from pyspark.sql import functions as F
+    spark = px.sparkSession
+    grid = load_domain_grid(variable)
+    keys = [",".join(str(int(c)) for c in row) for row in grid]
+    gdf = spark.createDataFrame([(k,) for k in keys], "gkey string") \
+        .withColumn("_hit", F.lit(1))
+    p = load_nn_params(variable)
+    cells = grid_cell_exprs(variable)
+    key = F.concat_ws(",", *[F.expr(c).cast("string") for c in cells])
+    rng = None
+    for i, b in enumerate(SNAP_BIO_BANDS):
+        ok = ((F.col(b) >= float(p["defdom_min"][i]))
+              & (F.col(b) <= float(p["defdom_max"][i])))
+        rng = ok if rng is None else (rng & ok)
+    out = (px.withColumn("gkey", key)
+           .join(F.broadcast(gdf), "gkey", "left")
+           .withColumn("in_domain",
+                       (F.col("_hit").isNotNull() & rng))
+           .drop("gkey", "_hit"))
+    return out
+
+
+def domain_grid_check_sql(pixels_sql: str, variable: str,
+                          grid_csv_path: str) -> str:
+    """DuckDB oracle: identical quantization strings + the same grid
+    join over the vendored CSV. ``pixels_sql`` must yield the 8 band
+    columns plus any passthrough columns."""
+    p = load_nn_params(variable)
+    cells = grid_cell_exprs(variable)
+    key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cells)
+    rng = " AND ".join(
+        f"({b} >= {float(p['defdom_min'][i])!r}"
+        f" AND {b} <= {float(p['defdom_max'][i])!r})"
+        for i, b in enumerate(SNAP_BIO_BANDS))
+    return f"""
+WITH dgp AS ({pixels_sql}),
+dgg AS (
+  SELECT CAST(CAST(column0 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column1 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column2 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column3 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column4 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column5 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column6 AS BIGINT) AS VARCHAR)
+         || ',' || CAST(CAST(column7 AS BIGINT) AS VARCHAR) AS gkey,
+         1 AS _hit
+  FROM read_csv('{grid_csv_path}', header = false)
+),
+dgk AS (
+  SELECT dgp.*, ({key}) AS gkey FROM dgp
+)
+SELECT dgk.* EXCLUDE (gkey),
+       (dgg._hit IS NOT NULL AND {rng}) AS in_domain
+FROM dgk LEFT JOIN dgg USING (gkey)
+"""

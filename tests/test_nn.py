@@ -73,3 +73,44 @@ def test_nn_golden_test_cases(variable):
     keep = ~np.isnan(got) & ~np.isnan(expected)
     assert keep.sum() >= 25
     np.testing.assert_allclose(got[keep], expected[keep], rtol=5e-4, atol=1e-3)
+
+
+def test_domain_grid_check_matches_reference_disabled_code(spark):
+    """The broadcast-join domain check reproduces the reference's
+    commented-out gridProject/isInGrid logic (biophys.py:211-218),
+    reimplemented here in NumPy as the independent oracle."""
+    import numpy as np
+
+    from satellitetools_spark.biophys.nn import (SNAP_BIO_BANDS,
+                                                 domain_grid_check,
+                                                 load_domain_grid,
+                                                 load_nn_params)
+
+    grid = load_domain_grid("LAI")
+    p = load_nn_params("LAI")
+    lo, hi = p["defdom_min"], p["defdom_max"]
+    rows, want = [], []
+    # 20 vectors planted mid-cell on occupied cells (in-domain), using
+    # grid rows whose cells stay within quantization range
+    ok_rows = grid[(grid >= 1).all(axis=1) & (grid <= 10).all(axis=1)]
+    for i, g in enumerate(ok_rows[:20]):
+        v = lo + (g - 0.5) / 10.0 * (hi - lo)
+        rows.append([int(i)] + [float(x) for x in v])
+        want.append(1)
+    # reference NumPy twin for arbitrary probe vectors (incl. off-grid)
+    gset = {tuple(r) for r in grid.tolist()}
+    rng = np.random.RandomState(8)
+    for i in range(20, 40):
+        v = lo + rng.rand(8) * (hi - lo)
+        cell = np.floor(10 * (v - lo) / (hi - lo) + 1).astype(int)
+        rows.append([i] + [float(x) for x in v])
+        want.append(1 if tuple(cell.tolist()) in gset else 0)
+    # clearly out-of-range vector -> always 0
+    rows.append([99] + [float(x) for x in (hi * 2.0)])
+    want.append(0)
+    df = spark.createDataFrame(
+        rows, ["pid"] + SNAP_BIO_BANDS)
+    got = {r["pid"]: int(r["in_domain"])
+           for r in domain_grid_check(df, "LAI").collect()}
+    for (row, w) in zip(rows, want):
+        assert got[row[0]] == w, (row[0], got[row[0]], w)
