@@ -411,3 +411,28 @@ def test_conformal_qhat_is_broadcast_not_shuffle_join(spark):
     # the 1-row qhat joins back by broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(spark):
+    from satellitetools_spark.operators.sketch import heavy_hitters
+    docs = spark.createDataFrame(
+        [(i, "hot cold " + f"w{i}") for i in range(40)],
+        ["doc_id", "text"])
+    plan = _plan(heavy_hitters(docs, "text", phi=0.2))
+    # the exact verify scan joins the tiny candidate set by BROADCAST;
+    # the exploded token stream is never shuffle-joined
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_domain_grid_check_is_single_broadcast_probe(spark):
+    from satellitetools_spark.biophys.nn import (SNAP_BIO_BANDS,
+                                                 domain_grid_check)
+    rows = [[i] + [0.1] * 8 for i in range(50)]
+    df = spark.createDataFrame(rows, ["pid"] + SNAP_BIO_BANDS)
+    plan = _plan(domain_grid_check(df, "LAI"))
+    # the 11k-cell grid is the broadcast side; the pixel frame is never
+    # exchanged for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
