@@ -453,3 +453,79 @@ def streaming_psi(events: DataFrame, expected: list,
         F.col("w.end").alias("window_end"),
         n_obs.cast("long").alias("n_obs"),
         (F.round(psi, 6) + 0.0).alias("psi"))
+
+
+def streaming_heavy_hitters(doc_stream: DataFrame, k: int = 64,
+                            n_shards: int = 8,
+                            text_col: str = "text") -> DataFrame:
+    """Stateful streaming Misra-Gries — the candidate half of the batch
+    ``sketch.heavy_hitters`` lifted onto an unbounded token stream:
+    tokens shard by the portable hash, each shard's state is an MG(k)
+    counter summary (≤ k (token, count) pairs — bounded regardless of
+    vocabulary growth), and every trigger emits the shard's current
+    summary rows.
+
+    Guarantees carry over from the batch analysis: a token with true
+    stream count > (total tokens)/k cannot be evicted from its shard's
+    summary, and shard summaries merge by addition (same token never
+    spans shards — the shard IS a hash partition of the vocabulary),
+    so the merged summary is a superset of every φ-heavy token for
+    φ ≥ 1/k. When a shard's observed alphabet fits its k counters, MG
+    never decrements and the summary is EXACT — the parity test pins
+    the merged stream summary to the batch token counts bit-for-bit in
+    that regime; past it, the batch operator's exact verify pass is
+    the backfill path, exactly as with the other stream/batch twins.
+
+    State: two parallel arrays (≤ k strings + longs) per shard,
+    arrival-order-dependent only when evictions occur (documented MG
+    property). Output mode append; the LATEST rows per shard are the
+    shard's summary.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sampling import portable_hash
+
+    toks = F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    hs = (doc_stream.select(toks)
+          .withColumn("shard",
+                      F.pmod(portable_hash(F.col("token")),
+                             F.lit(n_shards)).cast("int")))
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            names, counts = state.get
+            mg = dict(zip(list(names), [int(c) for c in counts]))
+        else:
+            mg = {}
+        for pdf in pdfs:
+            for t in pdf["token"]:
+                if t is None:
+                    continue
+                if t in mg:
+                    mg[t] += 1
+                elif len(mg) < k:
+                    mg[t] = 1
+                else:
+                    dead = []
+                    for key2 in mg:
+                        mg[key2] -= 1
+                        if mg[key2] == 0:
+                            dead.append(key2)
+                    for key2 in dead:
+                        del mg[key2]
+        state.update((list(mg.keys()), [int(v) for v in mg.values()]))
+        yield pd.DataFrame({
+            "shard": [int(key[0])] * len(mg),
+            "token": list(mg.keys()),
+            "lb": [int(v) for v in mg.values()],
+        })
+
+    return hs.groupBy("shard").applyInPandasWithState(
+        update_fn,
+        outputStructType="shard int, token string, lb long",
+        stateStructType="names array<string>, counts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -449,3 +449,44 @@ def test_streaming_psi_validates_reference_length(spark):
         .selectExpr("timestamp AS ts", "CAST(value AS DOUBLE) AS value")
     with pytest.raises(ValueError):
         streaming_psi(df, [0.1, 0.2], n_bins=10)
+
+
+def test_streaming_heavy_hitters_exact_in_small_alphabet(spark, tmp_path):
+    """With each shard's alphabet within its k counters, streaming MG
+    never decrements — the merged latest-per-shard summary equals the
+    batch exact token counts bit-for-bit across 3 micro-batches."""
+    import pandas as pd
+
+    from satellitetools_spark.streaming.ingest import (
+        streaming_heavy_hitters)
+
+    docs = pd.DataFrame({
+        "doc_id": range(9),
+        "text": (["hot warm cold"] * 5 + ["hot warm"] * 3 + ["hot"]),
+    })
+    feed = tmp_path / "hh_feed"
+    feed.mkdir()
+    for i, lo in enumerate((0, 3, 6)):
+        chunk = docs.iloc[lo:lo + 3]
+        tmp_dir = str(tmp_path / f"hh_chunk_{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+    stream = (spark.readStream
+              .schema(spark.createDataFrame(docs).schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_heavy_hitters(stream, k=16, n_shards=4)
+         .writeStream.format("memory").queryName("hh_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    # latest emission per (shard, token) is the final summary
+    got = spark.sql("""
+        SELECT token, lb FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY shard, token
+                                       ORDER BY lb DESC) AS rn
+          FROM hh_stream) WHERE rn = 1
+    """).toPandas().set_index("token")["lb"].to_dict()
+    assert got == {"hot": 9, "warm": 8, "cold": 5}
