@@ -1424,3 +1424,122 @@ SELECT CAST(SUM(CASE WHEN is_cal THEN 1.0 ELSE 0.0 END) AS BIGINT)
          + 0.0 AS test_coverage
 FROM cfb, cfq
 """
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-decision test
+# ---------------------------------------------------------------------------
+
+def mcnemar(df: DataFrame, a_expr: str, b_expr: str) -> DataFrame:
+    """McNemar's test for PAIRED binary decisions (model A vs model B
+    on the same rows — the right test when comparing two filters on
+    one corpus; an unpaired proportion z-test double-counts the shared
+    rows): only the discordant cells matter, ``χ² = (b − c)²/(b + c)``
+    with b = #(A=1,B=0), c = #(A=0,B=1); large-sample p from
+    χ²₁ = z² via the shared erf polynomial. ONE conditional agg.
+    """
+    a = F.expr(a_expr).cast("int")
+    b = F.expr(b_expr).cast("int")
+    base = (df.select(a.alias("a"), b.alias("p"))
+            .filter(F.col("a").isNotNull() & F.col("p").isNotNull()))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("p") == 0)).cast("double"))
+        .alias("b10"),
+        F.sum(((F.col("a") == 0) & (F.col("p") == 1)).cast("double"))
+        .alias("c01"))
+    chi2 = ((F.col("b10") - F.col("c01"))
+            * (F.col("b10") - F.col("c01"))
+            / (F.col("b10") + F.col("c01")))
+    out = agg.select(
+        "n",
+        F.col("b10").cast("long").alias("b10"),
+        F.col("c01").cast("long").alias("c01"),
+        _r6(chi2).alias("chi2"))
+    return out.withColumn(
+        "p_approx", _r6(F.expr(_two_sided_p_fmt("SQRT(chi2)"))))
+
+
+def mcnemar_sql(table: str, a_expr: str, b_expr: str) -> str:
+    p = _two_sided_p_fmt("SQRT(chi2)")
+    return f"""
+WITH mnb AS (
+  SELECT CAST({a_expr} AS INT) AS a, CAST({b_expr} AS INT) AS p
+  FROM {table}
+  WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+),
+mna AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CASE WHEN a = 1 AND p = 0 THEN 1.0 ELSE 0.0 END) AS b10,
+         SUM(CASE WHEN a = 0 AND p = 1 THEN 1.0 ELSE 0.0 END) AS c01
+  FROM mnb
+),
+mnc AS (
+  SELECT n, CAST(b10 AS BIGINT) AS b10, CAST(c01 AS BIGINT) AS c01,
+         ROUND((b10 - c01) * (b10 - c01) / (b10 + c01), 6) + 0.0
+           AS chi2
+  FROM mna
+)
+SELECT *, ROUND({p}, 6) + 0.0 AS p_approx FROM mnc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bland-Altman agreement between two paired measurements
+# ---------------------------------------------------------------------------
+
+def bland_altman(df: DataFrame, a_expr: str, b_expr: str,
+                 z: float = 1.96) -> DataFrame:
+    """Bland-Altman agreement readout for two paired continuous
+    measurements (a model vs a gold pipeline, two sensors): mean
+    difference (bias), SD of differences, the limits of agreement
+    ``bias ± z·sd``, and the fraction of pairs inside them — the
+    method-comparison summary a correlation coefficient hides (two
+    methods can correlate at 0.99 and still disagree by a constant
+    offset). One moment agg + one conditional recount.
+    """
+    d = (F.expr(a_expr) - F.expr(b_expr))
+    base = df.select(d.alias("d")).filter(F.col("d").isNotNull())
+    m = base.agg(F.count("*").cast("double").alias("n"),
+                 F.avg("d").alias("bias"),
+                 F.stddev_samp("d").alias("sd"))
+    j = base.crossJoin(F.broadcast(m))
+    lo = F.col("bias") - float(z) * F.col("sd")
+    hi = F.col("bias") + float(z) * F.col("sd")
+    agg = j.agg(
+        F.max("n").alias("n"), F.max("bias").alias("bias"),
+        F.max("sd").alias("sd"),
+        F.avg(((F.col("d") >= lo) & (F.col("d") <= hi))
+              .cast("double")).alias("within"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("bias")).alias("bias"),
+        _r6(F.col("sd")).alias("sd"),
+        _r6(F.col("bias") - float(z) * F.col("sd")).alias("loa_lo"),
+        _r6(F.col("bias") + float(z) * F.col("sd")).alias("loa_hi"),
+        _r6(F.col("within")).alias("within_frac"))
+
+
+def bland_altman_sql(table: str, a_expr: str, b_expr: str,
+                     z: float = 1.96) -> str:
+    return f"""
+WITH bab AS (
+  SELECT ({a_expr}) - ({b_expr}) AS d FROM {table}
+  WHERE (({a_expr}) - ({b_expr})) IS NOT NULL
+),
+bam AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(d) AS bias,
+         STDDEV_SAMP(d) AS sd
+  FROM bab
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(bias, 6) + 0.0 AS bias,
+       ROUND(sd, 6) + 0.0 AS sd,
+       ROUND(bias - {float(z)!r} * sd, 6) + 0.0 AS loa_lo,
+       ROUND(bias + {float(z)!r} * sd, 6) + 0.0 AS loa_hi,
+       ROUND((SELECT AVG(CASE WHEN d >= bias - {float(z)!r} * sd
+                          AND d <= bias + {float(z)!r} * sd
+                         THEN 1.0 ELSE 0.0 END) FROM bab), 6) + 0.0
+         AS within_frac
+FROM bam
+"""

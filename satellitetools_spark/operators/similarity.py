@@ -1246,3 +1246,86 @@ SELECT base.query_id,
          AS recall
 FROM base LEFT JOIN hit ON base.query_id = hit.query_id
 """
+
+
+def rank_biased_overlap(left: DataFrame, right: DataFrame,
+                        k: int = 10, p: float = 0.9) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al.) between two
+    ranked lists per query — the POSITION-AWARE agreement that
+    `ann_recall` (set overlap at k, position-blind) cannot see: two
+    indexes with identical recall@k but swapped top ranks score
+    differently here. ``RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·(|L_d ∩ R_d|/d)``
+    over the truncated prefix (the unseen-tail residual is dropped —
+    stated, standard for fixed-k evaluations).
+
+    Shape: both inputs are k·|Q| readouts; a matched pair enters the
+    overlap at depth max(rank_l, rank_r), so A_d comes from ONE join +
+    a cumulative window over the |Q|·k depth frame — no per-depth
+    rescans. Queries with no matches at all still emit (RBO 0).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"rank_biased_overlap: p must be in (0,1), got {p}")
+    l = left.select("query_id", "neighbor_id",
+                    F.col("rank").alias("rank_l"))
+    r = right.select("query_id", "neighbor_id",
+                     F.col("rank").alias("rank_r"))
+    matches = (l.join(r, ["query_id", "neighbor_id"])
+               .select("query_id",
+                       F.greatest("rank_l", "rank_r").alias("entry_d")))
+    at_depth = (matches.groupBy("query_id", "entry_d")
+                .agg(F.count("*").cast("double").alias("m")))
+    qs = (right.select("query_id").distinct()
+          .select("query_id",
+                  F.explode(F.sequence(F.lit(1), F.lit(k)))
+                  .alias("d")))
+    w = Window.partitionBy("query_id").orderBy("d") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    grid = (qs.join(at_depth,
+                    (qs["query_id"] == at_depth["query_id"])
+                    & (qs["d"] == at_depth["entry_d"]), "left")
+            .select(qs["query_id"], "d",
+                    F.coalesce("m", F.lit(0.0)).alias("m"))
+            .withColumn("overlap", F.sum("m").over(w)))
+    term = (F.lit(1.0 - p) * F.pow(F.lit(p), F.col("d") - 1)
+            * F.col("overlap") / F.col("d"))
+    return (grid.groupBy("query_id")
+            .agg((F.round(F.sum(term), 6) + 0.0).alias("rbo")))
+
+
+def rank_biased_overlap_sql(left_sql: str, right_sql: str,
+                            k: int = 10, p: float = 0.9) -> str:
+    """DuckDB oracle: the same entry-depth join + cumulative fold."""
+    return f"""
+WITH rbl AS ({left_sql}),
+rbr AS ({right_sql}),
+rbm AS (
+  SELECT l.query_id, GREATEST(l.rank, r.rank) AS entry_d
+  FROM rbl l JOIN rbr r
+    ON l.query_id = r.query_id AND l.neighbor_id = r.neighbor_id
+),
+rbd AS (
+  SELECT query_id, entry_d, CAST(COUNT(*) AS DOUBLE) AS m
+  FROM rbm GROUP BY 1, 2
+),
+rbq AS (
+  SELECT q.query_id, d.d
+  FROM (SELECT DISTINCT query_id FROM rbr) q,
+       (SELECT UNNEST(generate_series(1, {k})) AS d) d
+),
+rbg AS (
+  SELECT rbq.query_id, rbq.d, COALESCE(rbd.m, 0.0) AS m
+  FROM rbq LEFT JOIN rbd
+    ON rbq.query_id = rbd.query_id AND rbq.d = rbd.entry_d
+),
+rbc AS (
+  SELECT query_id, d,
+         SUM(m) OVER (PARTITION BY query_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS overlap
+  FROM rbg
+)
+SELECT query_id,
+       ROUND(SUM({1.0 - p!r} * POWER({p!r}, d - 1) * overlap / d), 6)
+         + 0.0 AS rbo
+FROM rbc GROUP BY query_id
+"""

@@ -448,3 +448,75 @@ def test_ann_recall_overlap_and_missing_query(spark):
            SIM.ann_recall(approx, exact, k=2).collect()}
     assert out[1]["recall"] == 0.5
     assert out[2]["recall"] == 0.0 and out[2]["n_overlap"] == 0
+
+
+# ------------------------------------------- McNemar / Bland-Altman / RBO
+
+def test_mcnemar_discordant_only(spark):
+    # a: 1 on rows 0-5; b: 1 on rows 4-7 -> b10 = #(a=1,b=0) = 4 (rows
+    # 0-3), c01 = #(a=0,b=1) = 2 (rows 6-7); concordant rows ignored
+    rows = [(i, int(i < 6), int(4 <= i < 8)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    out = ME.mcnemar(df, "a", "b").collect()[0]
+    assert (out["b10"], out["c01"]) == (4, 2)
+    assert out["chi2"] == pytest.approx((4 - 2) ** 2 / 6, abs=1e-6)
+    # equal discordance -> chi2 0, p 1
+    eq = spark.createDataFrame(
+        [(1, 0), (0, 1)], "a int, b int")
+    out2 = ME.mcnemar(eq, "a", "b").collect()[0]
+    assert out2["chi2"] == 0.0 and out2["p_approx"] == 1.0
+
+
+def test_bland_altman_constant_offset(spark):
+    # b = a - 3 exactly: bias 3, sd 0 -> degenerate limits equal bias
+    rows = [(float(i), float(i) - 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = ME.bland_altman(df, "a", "b").collect()[0]
+    assert out["bias"] == 3.0 and out["sd"] == 0.0
+    assert out["loa_lo"] == out["loa_hi"] == 3.0
+    assert out["within_frac"] == 1.0
+
+
+def test_bland_altman_within_fraction(spark):
+    import numpy as np
+    rng = np.random.RandomState(2)
+    d = rng.normal(1.0, 2.0, 500)
+    rows = [(float(x + dd), float(x))
+            for x, dd in zip(rng.rand(500) * 50, d)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = ME.bland_altman(df, "a", "b").collect()[0]
+    assert out["bias"] == pytest.approx(float(d.mean()), abs=1e-5)
+    assert 0.92 <= out["within_frac"] <= 0.98  # ~95% inside 1.96 sd
+
+
+def test_rank_biased_overlap_extremes(spark):
+    from satellitetools_spark.operators import similarity as SIM
+    ident = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([10, 11, 12], 1)],
+        "query_id long, neighbor_id long, rank int")
+    out = SIM.rank_biased_overlap(ident, ident, k=3, p=0.9).collect()
+    # identical rankings -> A_d = 1 for all d -> RBO = (1-p)·Σ p^{d-1}
+    want = 0.1 * (1 + 0.9 + 0.81)
+    assert out[0]["rbo"] == pytest.approx(want, abs=1e-6)
+    disjoint = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([20, 21, 22], 1)],
+        "query_id long, neighbor_id long, rank int")
+    out2 = SIM.rank_biased_overlap(disjoint, ident, k=3, p=0.9).collect()
+    assert out2[0]["rbo"] == 0.0
+    with pytest.raises(ValueError):
+        SIM.rank_biased_overlap(ident, ident, k=3, p=1.0)
+
+
+def test_rank_biased_overlap_rewards_early_agreement(spark):
+    from satellitetools_spark.operators import similarity as SIM
+    exact = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([10, 11, 12, 13], 1)],
+        "query_id long, neighbor_id long, rank int")
+    # same SET, top-2 swapped with bottom-2 -> recall@4 identical but
+    # RBO must drop vs the identical ranking
+    swapped = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([12, 13, 10, 11], 1)],
+        "query_id long, neighbor_id long, rank int")
+    same = SIM.rank_biased_overlap(exact, exact, k=4).collect()[0]["rbo"]
+    swap = SIM.rank_biased_overlap(swapped, exact, k=4).collect()[0]["rbo"]
+    assert swap < same
