@@ -222,3 +222,70 @@ def observation_angle_means(docs: DataFrame) -> DataFrame:
         m["view_azimuth"].alias("view_azimuth"),
         m["view_zenith"].alias("view_zenith"),
     )
+
+
+def span_profile(docs: DataFrame) -> DataFrame:
+    """Interleaving profile of the (doc_id, spans[]) table — the
+    corpus-shape readout for the interleaved text+media document model
+    (`input_hint`: spans carry kind/text/media_ref/offset): per doc,
+    span counts by kind, text payload size, the media fraction, the
+    number of kind TRANSITIONS along the span sequence (how finely
+    text and media interleave — 0 means segregated halves, n−1 means
+    strict alternation), and the boundary kinds.
+
+    Shape: every statistic is a JVM higher-order-function fold over
+    the spans ARRAY in place — `filter`/`aggregate`/`zip_with` against
+    `slice(spans, 2, …)` for the pairwise transitions — so the
+    operator is MAP-ONLY: no explode, no shuffle, no Python; exactly
+    the plan you want for a profile pass over 10^12 nested documents.
+    """
+    sp = F.col("spans")
+    n = F.size(sp)
+    texts = F.filter(sp, lambda s: s["kind"] == "text")
+    n_text = F.size(texts)
+    text_chars = F.aggregate(
+        texts, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]),
+                                        F.lit(0)).cast("long"))
+    shifted = F.slice(sp, 2, F.greatest(n - 1, F.lit(0)))
+    transitions = F.size(F.filter(
+        F.zip_with(sp, shifted,
+                   lambda a, b: a["kind"] != b["kind"]),
+        lambda x: x))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_spans"),
+        n_text.cast("long").alias("n_text"),
+        (n - n_text).cast("long").alias("n_media"),
+        text_chars.alias("text_chars"),
+        (F.round((n - n_text).cast("double") / n, 6) + 0.0)
+        .alias("media_frac"),
+        transitions.cast("int").alias("n_transitions"),
+        sp[0]["kind"].alias("first_kind"),
+        F.element_at(sp, -1)["kind"].alias("last_kind"))
+
+
+def span_profile_sql(docs_glob: str) -> str:
+    """DuckDB oracle: identical list-lambda folds over the spans list
+    (1-based indexing; generate_series drives the pairwise scan)."""
+    return f"""
+SELECT doc_id,
+       len(spans) AS n_spans,
+       len(list_filter(spans, s -> s.kind = 'text')) AS n_text,
+       len(spans) - len(list_filter(spans, s -> s.kind = 'text'))
+         AS n_media,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_filter(spans, s -> s.kind = 'text'),
+                             s -> CAST(COALESCE(length(s.text), 0)
+                                       AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS text_chars,
+       ROUND(CAST(len(spans) - len(list_filter(spans,
+                    s -> s.kind = 'text')) AS DOUBLE)
+             / len(spans), 6) + 0.0 AS media_frac,
+       CAST(len(list_filter(generate_series(1, len(spans) - 1),
+                i -> spans[i].kind <> spans[i + 1].kind)) AS INT)
+         AS n_transitions,
+       spans[1].kind AS first_kind,
+       spans[len(spans)].kind AS last_kind
+FROM read_parquet('{docs_glob}')
+"""

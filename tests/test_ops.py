@@ -1890,3 +1890,40 @@ def test_polygon_metrics_known_square(spark):
     assert r["area"] == 16.0
     assert r["perimeter"] == 16.0
     assert (r["centroid_x"], r["centroid_y"]) == (2.0, 2.0)
+
+
+def test_span_profile_planted_interleaving(spark):
+    from satellitetools_spark.sources.docs import span_profile
+    rows = [
+        ("d1", [("text", "abc", None, 0), ("media", None, "m1", 1),
+                ("text", "de", None, 2), ("media", None, "m2", 3)]),
+        ("d2", [("text", "xyzw", None, 0), ("text", "q", None, 1)]),
+        ("d3", [("media", None, "m3", 0)]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,"
+              "text:string,media_ref:string,offset:int>>")
+    out = {r["doc_id"]: r for r in span_profile(docs).collect()}
+    d1 = out["d1"]
+    assert (d1["n_spans"], d1["n_text"], d1["n_media"]) == (4, 2, 2)
+    assert d1["text_chars"] == 5
+    assert d1["media_frac"] == 0.5
+    assert d1["n_transitions"] == 3          # strict alternation
+    assert (d1["first_kind"], d1["last_kind"]) == ("text", "media")
+    d2 = out["d2"]
+    assert d2["n_transitions"] == 0 and d2["media_frac"] == 0.0
+    assert d2["text_chars"] == 5
+    d3 = out["d3"]
+    assert (d3["n_spans"], d3["n_transitions"]) == (1, 0)
+    assert d3["text_chars"] == 0 and d3["media_frac"] == 1.0
+
+
+def test_span_profile_is_map_only(spark):
+    from satellitetools_spark.sources.docs import span_profile
+    docs = spark.createDataFrame(
+        [("d1", [("text", "a", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    plan = docs.sparkSession._jvm  # noqa: F841 — keep session refs alive
+    p = span_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Generate" not in p and "Join" not in p
