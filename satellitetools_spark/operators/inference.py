@@ -823,3 +823,149 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
              / ((ts2 - sgm) / (n - k)), 6) + 0.0 AS f
 FROM bfa
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced difference-in-means
+# ---------------------------------------------------------------------------
+
+def cuped(df: DataFrame, group_expr: str, metric_col: str,
+          covariate_expr: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): adjust
+    the metric with a pre-period covariate, ``y' = y − θ(x − x̄)`` with
+    ``θ = cov(x, y)/var(x)`` estimated on the POOLED sample (the
+    standard choice — θ from the pooled sample keeps the adjustment
+    unbiased under randomization), then read out the raw and adjusted
+    difference-in-means, the variance-reduction factor
+    ``1 − var(y')/var(y)`` (≈ ρ², the whole point: the same experiment
+    decides in 1/(1−ρ²) fewer samples), and the adjusted Welch-style z.
+
+    Shape: ONE hash agg to per-group joint moments (n, Σy, Σy², Σx,
+    Σx², Σxy), a 1-row conditional fold — nothing heavier than the
+    Welch t it upgrades. Adjusted group variances come from the moment
+    identity ``var(y − θx) = var_y + θ²·var_x − 2θ·cov`` per group.
+    """
+    g = (df.select(F.expr(group_expr).cast("int").alias("g"),
+                   F.col(metric_col).alias("y"),
+                   F.expr(covariate_expr).alias("x"))
+         .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+         .groupBy("g")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum("x").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    a = g.agg(*[
+        F.sum(F.when(F.col("g") == i, F.col(c))).alias(f"{c}{i}")
+        for i in (0, 1)
+        for c in ("n", "sy", "syy", "sx", "sxx", "sxy")])
+    n = F.col("n0") + F.col("n1")
+    sy = F.col("sy0") + F.col("sy1")
+    syy = F.col("syy0") + F.col("syy1")
+    sx = F.col("sx0") + F.col("sx1")
+    sxx = F.col("sxx0") + F.col("sxx1")
+    sxy = F.col("sxy0") + F.col("sxy1")
+    xbar = sx / n
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    var_y = (syy - sy * sy / n) / n
+
+    def gstats(i):
+        ni = F.col(f"n{i}")
+        my = F.col(f"sy{i}") / ni
+        mx = F.col(f"sx{i}") / ni
+        vy = F.col(f"syy{i}") / ni - my * my
+        vx = F.col(f"sxx{i}") / ni - mx * mx
+        cv = F.col(f"sxy{i}") / ni - mx * my
+        adj_mean = my - theta * (mx - xbar)
+        adj_var = (vy + theta * theta * vx - 2.0 * theta * cv) \
+            * (ni / (ni - 1.0))
+        return ni, my, adj_mean, adj_var
+
+    n0, my0, am0, av0 = gstats(0)
+    n1, my1, am1, av1 = gstats(1)
+    # pooled adjusted variance for the reduction readout
+    var_adj = ((F.col("syy0") + F.col("syy1")) / n
+               - (sy / n) * (sy / n)
+               + theta * theta * (sxx / n - xbar * xbar)
+               - 2.0 * theta * (sxy / n - xbar * sy / n))
+    z = (am1 - am0) / F.sqrt(av0 / n0 + av1 / n1)
+    return a.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        _r6(theta).alias("theta"),
+        _r6(my1 - my0).alias("diff_raw"),
+        _r6(am1 - am0).alias("diff_adj"),
+        _r6(1.0 - var_adj / var_y).alias("var_reduction"),
+        _r6(z).alias("z_adj"))
+
+
+def cuped_sql(table: str, group_expr: str, metric_col: str,
+              covariate_expr: str) -> str:
+    return f"""
+WITH cpg AS (
+  SELECT CAST({group_expr} AS INT) AS g,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM({metric_col}) AS sy,
+         SUM({metric_col} * {metric_col}) AS syy,
+         SUM({covariate_expr}) AS sx,
+         SUM(({covariate_expr}) * ({covariate_expr})) AS sxx,
+         SUM(({covariate_expr}) * {metric_col}) AS sxy
+  FROM {table}
+  WHERE {metric_col} IS NOT NULL AND ({covariate_expr}) IS NOT NULL
+  GROUP BY 1
+),
+cpa AS (
+  SELECT SUM(CASE WHEN g = 0 THEN n END) AS n0,
+         SUM(CASE WHEN g = 0 THEN sy END) AS sy0,
+         SUM(CASE WHEN g = 0 THEN syy END) AS syy0,
+         SUM(CASE WHEN g = 0 THEN sx END) AS sx0,
+         SUM(CASE WHEN g = 0 THEN sxx END) AS sxx0,
+         SUM(CASE WHEN g = 0 THEN sxy END) AS sxy0,
+         SUM(CASE WHEN g = 1 THEN n END) AS n1,
+         SUM(CASE WHEN g = 1 THEN sy END) AS sy1,
+         SUM(CASE WHEN g = 1 THEN syy END) AS syy1,
+         SUM(CASE WHEN g = 1 THEN sx END) AS sx1,
+         SUM(CASE WHEN g = 1 THEN sxx END) AS sxx1,
+         SUM(CASE WHEN g = 1 THEN sxy END) AS sxy1
+  FROM cpg
+),
+cpt AS (
+  SELECT *,
+         n0 + n1 AS n, sy0 + sy1 AS sy, syy0 + syy1 AS syy,
+         sx0 + sx1 AS sx, sxx0 + sxx1 AS sxx, sxy0 + sxy1 AS sxy
+  FROM cpa
+),
+cpd AS (
+  SELECT *,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+         sx / n AS xbar,
+         (syy - sy * sy / n) / n AS var_y
+  FROM cpt
+),
+cpe AS (
+  SELECT *,
+         sy0 / n0 AS my0, sy1 / n1 AS my1,
+         sy0 / n0 - theta * (sx0 / n0 - xbar) AS am0,
+         sy1 / n1 - theta * (sx1 / n1 - xbar) AS am1,
+         ((syy0 / n0 - (sy0 / n0) * (sy0 / n0))
+          + theta * theta * (sxx0 / n0 - (sx0 / n0) * (sx0 / n0))
+          - 2.0 * theta * (sxy0 / n0 - (sx0 / n0) * (sy0 / n0)))
+           * (n0 / (n0 - 1.0)) AS av0,
+         ((syy1 / n1 - (sy1 / n1) * (sy1 / n1))
+          + theta * theta * (sxx1 / n1 - (sx1 / n1) * (sx1 / n1))
+          - 2.0 * theta * (sxy1 / n1 - (sx1 / n1) * (sy1 / n1)))
+           * (n1 / (n1 - 1.0)) AS av1,
+         (syy / n - (sy / n) * (sy / n)
+          + theta * theta * (sxx / n - xbar * xbar)
+          - 2.0 * theta * (sxy / n - xbar * sy / n)) AS var_adj
+  FROM cpd
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(theta, 6) + 0.0 AS theta,
+       ROUND(my1 - my0, 6) + 0.0 AS diff_raw,
+       ROUND(am1 - am0, 6) + 0.0 AS diff_adj,
+       ROUND(1.0 - var_adj / var_y, 6) + 0.0 AS var_reduction,
+       ROUND((am1 - am0) / SQRT(av0 / n0 + av1 / n1), 6) + 0.0 AS z_adj
+FROM cpe
+"""

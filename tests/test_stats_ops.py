@@ -1664,3 +1664,41 @@ def test_vocab_richness_planted(spark):
     assert out2["f2"] == 0
     assert out2["chao1"] == pytest.approx(3 + 3 * 2 / 2)  # S + f1(f1-1)/2
     assert out2["coverage"] == 0.0
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+    rng = np.random.RandomState(6)
+    x = rng.normal(10, 3, 600)                 # pre-period covariate
+    eff = np.repeat([0.0, 0.5], 300)           # group 1 gets +0.5
+    y = 2.0 * x + rng.normal(0, 1, 600) + eff  # strongly correlated
+    g = np.repeat([0, 1], 300)
+    df = spark.createDataFrame(
+        [(int(gg), float(yy), float(xx)) for gg, yy, xx in zip(g, y, x)],
+        "g int, y double, x double")
+    out = INF.cuped(df, "g", "y", "x").collect()[0]
+    theta = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    assert out["theta"] == pytest.approx(theta, abs=1e-5)
+    assert out["diff_raw"] == pytest.approx(
+        y[g == 1].mean() - y[g == 0].mean(), abs=1e-5)
+    adj = y - theta * (x - x.mean())
+    assert out["diff_adj"] == pytest.approx(
+        adj[g == 1].mean() - adj[g == 0].mean(), abs=1e-5)
+    # rho^2 is ~0.97 here: CUPED must reclaim most of the variance
+    assert out["var_reduction"] > 0.9
+    # the adjusted z detects the planted +0.5 effect decisively
+    assert out["z_adj"] > 4
+
+
+def test_cuped_uncorrelated_covariate_is_noop(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    y = rng.normal(0, 1, 400)
+    x = rng.normal(0, 1, 400)                  # independent of y
+    g = np.tile([0, 1], 200)
+    df = spark.createDataFrame(
+        [(int(gg), float(yy), float(xx)) for gg, yy, xx in zip(g, y, x)],
+        "g int, y double, x double")
+    out = INF.cuped(df, "g", "y", "x").collect()[0]
+    assert abs(out["var_reduction"]) < 0.05
+    assert out["diff_adj"] == pytest.approx(out["diff_raw"], abs=0.05)
