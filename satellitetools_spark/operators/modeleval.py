@@ -1543,3 +1543,81 @@ SELECT CAST(n AS BIGINT) AS n,
          AS within_frac
 FROM bam
 """
+
+
+# ---------------------------------------------------------------------------
+# Hosmer-Lemeshow goodness-of-fit for probability calibration
+# ---------------------------------------------------------------------------
+
+def hosmer_lemeshow(df: DataFrame, label_expr: str, score_expr: str,
+                    lo: float = 0.0, hi: float = 1.0,
+                    n_bins: int = 10) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit over the same fixed score bins
+    as `calibration_bins`: ``Ĥ = Σ_k (O_k − E_k)² / (E_k(1 − E_k/n_k))``
+    with E_k = Σ predicted probabilities in bin k — the χ²-style single
+    number behind the reliability diagram (reference against χ² with
+    g − 2 dof; the statistic and dof are emitted, the tail probability
+    is left to the caller's χ² table since no closed erf form exists).
+    Bins with a degenerate expectation (E_k = 0 or E_k = n_k) would
+    divide by zero and are excluded from the sum with their count
+    reported, rather than silently folded in. One hash agg + a 1-row
+    fold.
+    """
+    if hi <= lo:
+        raise ValueError(f"hosmer_lemeshow: need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    s = F.expr(score_expr)
+    b = F.least(F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)),
+                           F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    binned = (df.select(F.expr(label_expr).cast("double").alias("y"),
+                        s.alias("s"), b.alias("bin"))
+              .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+              .groupBy("bin")
+              .agg(F.count("*").cast("double").alias("nk"),
+                   F.sum("y").alias("ok"),
+                   F.sum("s").alias("ek")))
+    degenerate = (F.col("ek") <= 0.0) | (F.col("ek") >= F.col("nk"))
+    term = ((F.col("ok") - F.col("ek")) * (F.col("ok") - F.col("ek"))
+            / (F.col("ek") * (1.0 - F.col("ek") / F.col("nk"))))
+    agg = binned.agg(
+        F.sum("nk").alias("n"),
+        F.count("*").alias("g"),
+        F.sum(F.when(degenerate, 1).otherwise(0)).alias("n_degenerate"),
+        F.sum(F.when(~degenerate, term).otherwise(0.0)).alias("h"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("g").cast("long").alias("g"),
+        F.col("n_degenerate").cast("long").alias("n_degenerate"),
+        _r6(F.col("h")).alias("h"),
+        (F.col("g") - F.col("n_degenerate") - 2).cast("long")
+        .alias("dof"))
+
+
+def hosmer_lemeshow_sql(table: str, label_expr: str, score_expr: str,
+                        lo: float = 0.0, hi: float = 1.0,
+                        n_bins: int = 10) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+WITH hlh AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(({score_expr} - {lo!r}) / {width!r}),
+                             0), {n_bins - 1}) AS INT) AS bin,
+         CAST({label_expr} AS DOUBLE) AS y, {score_expr} AS s
+  FROM {table}
+  WHERE ({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+),
+hlb AS (
+  SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk, SUM(y) AS ok,
+         SUM(s) AS ek
+  FROM hlh GROUP BY bin
+)
+SELECT CAST(SUM(nk) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS g,
+       CAST(SUM(CASE WHEN ek <= 0.0 OR ek >= nk THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_degenerate,
+       ROUND(SUM(CASE WHEN ek > 0.0 AND ek < nk
+                 THEN (ok - ek) * (ok - ek) / (ek * (1.0 - ek / nk))
+                 ELSE 0.0 END), 6) + 0.0 AS h,
+       CAST(COUNT(*) - SUM(CASE WHEN ek <= 0.0 OR ek >= nk
+                           THEN 1 ELSE 0 END) - 2 AS BIGINT) AS dof
+FROM hlb
+"""

@@ -520,3 +520,40 @@ def test_rank_biased_overlap_rewards_early_agreement(spark):
     same = SIM.rank_biased_overlap(exact, exact, k=4).collect()[0]["rbo"]
     swap = SIM.rank_biased_overlap(swapped, exact, k=4).collect()[0]["rbo"]
     assert swap < same
+
+
+def test_hosmer_lemeshow_calibrated_vs_shifted(spark):
+    rng = np.random.RandomState(19)
+    s = np.round(rng.rand(2000), 3)
+    y_cal = (rng.rand(2000) < s).astype(float)      # calibrated
+    y_bad = (rng.rand(2000) < np.clip(s + 0.25, 0, 1)).astype(float)
+    cal = ME.hosmer_lemeshow(_scored(spark, y_cal, s), "y", "s",
+                             0.0, 1.0, 10).collect()[0]
+    bad = ME.hosmer_lemeshow(_scored(spark, y_bad, s), "y", "s",
+                             0.0, 1.0, 10).collect()[0]
+    assert cal["g"] == 10 and cal["dof"] == 8
+    # calibrated scores: H near its dof; shifted: H explodes
+    assert cal["h"] < 30
+    assert bad["h"] > 100
+    assert bad["h"] > 5 * cal["h"]
+
+
+def test_hosmer_lemeshow_numpy_parity_and_guard(spark):
+    rng = np.random.RandomState(23)
+    s = np.round(rng.rand(300) * 0.8 + 0.1, 2)
+    y = (rng.rand(300) < 0.5).astype(float)
+    out = ME.hosmer_lemeshow(_scored(spark, y, s), "y", "s",
+                             0.0, 1.0, 10).collect()[0]
+    # floor of the quotient, matching the engine's floor((s-lo)/width) —
+    # NOT s // 0.1, whose divmod semantics differ at representation
+    # boundaries (0.5 // 0.1 == 4.0 while floor(0.5/0.1) == 5)
+    bins = np.clip(np.floor(s / 0.1).astype(int), 0, 9)
+    h = 0.0
+    for k in np.unique(bins):
+        m = bins == k
+        nk, ok, ek = m.sum(), y[m].sum(), s[m].sum()
+        if 0 < ek < nk:
+            h += (ok - ek) ** 2 / (ek * (1 - ek / nk))
+    assert out["h"] == pytest.approx(h, abs=1e-4)
+    with pytest.raises(ValueError):
+        ME.hosmer_lemeshow(_scored(spark, y, s), "y", "s", 1.0, 0.0, 10)
