@@ -969,3 +969,105 @@ SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
        ROUND((am1 - am0) / SQRT(av0 / n0 + av1 / n1), 6) + 0.0 AS z_adj
 FROM cpe
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired samples)
+# ---------------------------------------------------------------------------
+
+def wilcoxon_signed_rank(df: DataFrame, a_expr: str, b_expr: str
+                         ) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED continuous measurements —
+    the nonparametric complement to the paired t: rank the nonzero
+    |a − b| differences, sum the ranks of the positive ones (W⁺), and
+    read the large-sample z with the tie correction
+    ``σ² = n(n+1)(2n+1)/24 − Σ(t³ − t)/48`` (zeros dropped, the
+    Wilcoxon convention). Completes the paired family: McNemar for
+    binary decisions, Bland-Altman for agreement magnitude, this for
+    direction.
+
+    Shape: the same midrank-from-histogram scaffold as
+    `mann_whitney_u` — one hash agg to the distinct-|d| histogram
+    (with per-value positive counts riding along), one cumulative
+    window over the value alphabet, a 1-row readout. Raw differences
+    are never rank-sorted.
+    """
+    from pyspark.sql import Window as _W
+    d = (F.expr(a_expr) - F.expr(b_expr))
+    h = (df.select(d.alias("d"))
+         .filter(F.col("d").isNotNull() & (F.col("d") != 0.0))
+         .select(F.abs(F.col("d")).alias("ad"),
+                 (F.col("d") > 0).cast("double").alias("pos"))
+         .groupBy("ad")
+         .agg(F.count("*").cast("double").alias("t"),
+              F.sum("pos").alias("tp")))
+    w = _W.orderBy("ad").rowsBetween(_W.unboundedPreceding, -1)
+    cum = h.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0.0)))
+    mid = F.col("below") + (F.col("t") + 1.0) / 2.0
+    agg = cum.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("tp") * mid).alias("wplus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie3"))
+    n = F.col("n")
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("tie3") / 48.0
+    out = agg.select(
+        n.cast("long").alias("n_nonzero"),
+        _r6(F.col("wplus")).alias("w_plus"),
+        _r6((F.col("wplus") - mu) / F.sqrt(var)).alias("z"))
+    return out.withColumn("p_approx",
+                          _r6(F.expr(_WSR_P_FMT.format(z="ABS(z)"))))
+
+
+# the shared A&S erf polynomial (same constants as modeleval's), local
+# copy so inference.py stays importable without modeleval
+_WSR_ERF = ("(1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " - 1.453152027) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " + 1.421413741) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " - 0.284496736) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " + 0.254829592) * (1.0 / (1.0 + 0.3275911 * ({z})))"
+            " * EXP(-(({z}) * ({z})))))")
+_WSR_P_FMT = ("(1.0 - " + _WSR_ERF.format(
+    z="(({z}) / 1.4142135623730951)") + ")").replace("{{", "{").replace(
+        "}}", "}")
+
+
+def wilcoxon_signed_rank_sql(table: str, a_expr: str, b_expr: str
+                             ) -> str:
+    p = _WSR_P_FMT.format(z="ABS(z)")
+    return f"""
+WITH wsh AS (
+  SELECT ABS(({a_expr}) - ({b_expr})) AS ad,
+         CAST(({a_expr}) - ({b_expr}) > 0 AS DOUBLE) AS pos
+  FROM {table}
+  WHERE (({a_expr}) - ({b_expr})) IS NOT NULL
+    AND ({a_expr}) - ({b_expr}) <> 0.0
+),
+wsg AS (
+  SELECT ad, CAST(COUNT(*) AS DOUBLE) AS t, SUM(pos) AS tp
+  FROM wsh GROUP BY ad
+),
+wsc AS (
+  SELECT t, tp,
+         COALESCE(SUM(t) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS below
+  FROM wsg
+),
+wsa AS (
+  SELECT SUM(t) AS n, SUM(tp * (below + (t + 1.0) / 2.0)) AS wplus,
+         SUM(t * t * t - t) AS tie3
+  FROM wsc
+),
+wsz AS (
+  SELECT CAST(n AS BIGINT) AS n_nonzero,
+         ROUND(wplus, 6) + 0.0 AS w_plus,
+         ROUND((wplus - n * (n + 1.0) / 4.0)
+               / SQRT(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                      - tie3 / 48.0), 6) + 0.0 AS z
+  FROM wsa
+)
+SELECT *, ROUND({p}, 6) + 0.0 AS p_approx FROM wsz
+"""

@@ -1702,3 +1702,44 @@ def test_cuped_uncorrelated_covariate_is_noop(spark):
     out = INF.cuped(df, "g", "y", "x").collect()[0]
     assert abs(out["var_reduction"]) < 0.05
     assert out["diff_adj"] == pytest.approx(out["diff_raw"], abs=0.05)
+
+
+def test_wilcoxon_signed_rank_textbook_and_scipy_formula(spark):
+    import numpy as np
+    # classic small example: differences with ties and a zero (dropped)
+    a = [125.0, 115.0, 130.0, 140.0, 140.0, 115.0, 140.0, 125.0,
+         140.0, 135.0]
+    b = [110.0, 122.0, 125.0, 120.0, 140.0, 124.0, 123.0, 137.0,
+         135.0, 145.0]
+    df = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+    out = INF.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    d = np.array(a) - np.array(b)
+    d = d[d != 0]
+    assert out["n_nonzero"] == len(d)
+    # midrank W+ computed independently
+    order = np.argsort(np.abs(d), kind="mergesort")
+    ad = np.abs(d)[order]
+    ranks = np.empty(len(d))
+    i = 0
+    while i < len(d):
+        j = i
+        while j < len(d) and ad[j] == ad[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    wplus = ranks[d > 0].sum()
+    assert out["w_plus"] == pytest.approx(wplus, abs=1e-6)
+    n = len(d)
+    mu = n * (n + 1) / 4
+    _, t = np.unique(np.abs(d), return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - (t ** 3 - t).sum() / 48
+    assert out["z"] == pytest.approx((wplus - mu) / np.sqrt(var),
+                                     abs=1e-6)
+
+
+def test_wilcoxon_symmetric_differences_z_zero(spark):
+    # perfectly antisymmetric differences -> W+ = mu -> z = 0, p = 1
+    rows = [(float(i), 0.0) for i in (-3, -2, -1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = INF.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out["z"] == 0.0 and out["p_approx"] == 1.0
