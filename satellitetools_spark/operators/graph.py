@@ -265,3 +265,162 @@ UNION ALL
 SELECT 'authority' AS side, node, ROUND(s, 9) + 0.0 AS score
 FROM haa{int(iters)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar / common neighbors / Jaccard coefficient
+# ---------------------------------------------------------------------------
+
+def adamic_adar(pairs: DataFrame, src_col: str = "doc_a",
+                dst_col: str = "doc_b",
+                max_wedge_degree: int | None = None) -> DataFrame:
+    """Link-prediction scores for every NON-adjacent node pair sharing
+    at least one neighbor in an undirected pair table: Adamic-Adar
+    ``AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z)`` plus the
+    common-neighbor count and the Jaccard coefficient
+    ``|N(u)∩N(v)| / |N(u)∪N(v)|``. On a duplicate graph this surfaces
+    "transitive duplicates" the pairwise threshold missed (the
+    reference has no graph layer; this serves the dedup pipeline the
+    way `pagerank` serves canonical-copy choice).
+
+    Shape: one wedge self-join of the directed edge table on the apex
+    ``z`` with ``u < v`` (candidate fan-out Σ_z deg(z)², the same
+    quadratic every common-neighbor method pays), one hash aggregation
+    to (u, v), one degree join, and a broadcast-able LEFT ANTI join
+    against the edge set to drop already-adjacent pairs. Hub apexes
+    dominate the fan-out, so ``max_wedge_degree`` optionally drops
+    apexes above a degree cap — the standard web-scale mitigation
+    (capped AA is a documented approximation; default None is exact).
+    No driver collects; NumPy-free.
+    """
+    edges = (pairs.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .unionByName(pairs.select(F.col(dst_col).alias("src"),
+                                       F.col(src_col).alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    apex = edges.join(deg, "src")
+    if max_wedge_degree is not None:
+        apex = apex.filter(F.col("deg") <= int(max_wedge_degree))
+    a, b = apex.alias("a"), apex.alias("b")
+    cand = (a.join(b, (F.col("a.src") == F.col("b.src"))
+                   & (F.col("a.dst") < F.col("b.dst")))
+            .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+            .agg(F.count("*").cast("long").alias("common_neighbors"),
+                 F.sum(1.0 / F.log(F.col("a.deg"))).alias("aa_raw")))
+    adj = pairs.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("v"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    return (cand.join(adj, ["u", "v"], "left_anti")
+            .join(du, "u").join(dv, "v")
+            .select("u", "v", "common_neighbors",
+                    (F.round("aa_raw", 6) + 0.0).alias("adamic_adar"),
+                    (F.round(F.col("common_neighbors")
+                             / (F.col("deg_u") + F.col("deg_v")
+                                - F.col("common_neighbors")), 6)
+                     + 0.0).alias("jaccard_coef")))
+
+
+def adamic_adar_sql(pairs_sql: str, src_col: str = "doc_a",
+                    dst_col: str = "doc_b") -> str:
+    """DuckDB oracle: identical wedge join, anti-join, and score
+    algebra over any pair-producing subquery (exact form, no cap)."""
+    return f"""
+WITH praw AS ({pairs_sql}),
+edges AS MATERIALIZED (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM praw
+  UNION ALL
+  SELECT {dst_col} AS src, {src_col} AS dst FROM praw
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+apex AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+cand AS (
+  SELECT a.dst AS u, b.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(1.0 / LN(a.deg)) AS aa_raw
+  FROM apex a JOIN apex b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+),
+adj AS (SELECT LEAST({src_col}, {dst_col}) AS u,
+               GREATEST({src_col}, {dst_col}) AS v FROM praw)
+SELECT c.u, c.v, c.common_neighbors,
+       ROUND(c.aa_raw, 6) + 0.0 AS adamic_adar,
+       ROUND(c.common_neighbors
+             / CAST(du.deg + dv.deg - c.common_neighbors AS DOUBLE), 6)
+         + 0.0 AS jaccard_coef
+FROM cand c
+JOIN deg du ON du.src = c.u
+JOIN deg dv ON dv.src = c.v
+WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = c.u AND adj.v = c.v)
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+def k_core(pairs: DataFrame, k: int = 2, rounds: int = 8,
+           src_col: str = "doc_a", dst_col: str = "doc_b") -> DataFrame:
+    """Nodes of the k-core of an undirected pair table — the maximal
+    subgraph where every node keeps degree ≥ k — with each survivor's
+    within-core degree. The dense heart of a duplicate cluster (the
+    2-core strips pendant near-dups; the 3-core isolates template
+    farms) and the standard spam/cohesion signal on link graphs.
+
+    Peeling is iterate-to-fixpoint, but each round IS relational
+    algebra: one degree aggregation + two semi-joins restricting the
+    edge list to surviving endpoints. A fixed ``rounds`` keeps the
+    DuckDB twin oracle-checkable (identical unrolled CTE layers);
+    peeling is idempotent once converged, so over-provisioned rounds
+    change nothing. Each round lazily checkpoints the shrinking edge
+    list so the plan stays linear in ``rounds``, not exponential.
+    At web scale each round is one shuffle on the node key; the edge
+    list only shrinks, and converged cores exit early via the
+    idempotent fixpoint (extra rounds run on the final, smallest
+    edge list).
+    """
+    edges = (pairs.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .unionByName(pairs.select(F.col(dst_col).alias("src"),
+                                       F.col(src_col).alias("dst"))))
+    for _ in range(int(rounds)):
+        alive = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+                 .filter(F.col("deg") >= int(k)).select("src"))
+        edges = (edges
+                 .join(alive, "src", "left_semi")
+                 .join(alive.withColumnRenamed("src", "dst"),
+                       "dst", "left_semi")
+                 .localCheckpoint(eager=False))
+    return (edges.groupBy("src").agg(F.count("*").cast("long")
+                                     .alias("core_deg"))
+            .select(F.col("src").alias("node"), "core_deg")
+            .filter(F.col("core_deg") >= int(k)))
+
+
+def k_core_sql(pairs_sql: str, k: int = 2, rounds: int = 8,
+               src_col: str = "doc_a", dst_col: str = "doc_b") -> str:
+    """DuckDB oracle: the identical peeling rounds as unrolled CTE
+    layers over any pair-producing subquery."""
+    layers = []
+    prev = "ke0"
+    for i in range(1, int(rounds) + 1):
+        layers.append(f"""
+ka{i} AS MATERIALIZED (
+  SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {int(k)}),
+ke{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN ka{i} u ON e.src = u.src
+  JOIN ka{i} v ON e.dst = v.src)""")
+        prev = f"ke{i}"
+    body = ",".join(layers)
+    return f"""
+WITH kraw AS ({pairs_sql}),
+ke0 AS MATERIALIZED (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM kraw
+  UNION ALL
+  SELECT {dst_col} AS src, {src_col} AS dst FROM kraw
+),{body}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY src HAVING COUNT(*) >= {int(k)}
+"""

@@ -1927,3 +1927,45 @@ def test_span_profile_is_map_only(spark):
     plan = docs.sparkSession._jvm  # noqa: F841 — keep session refs alive
     p = span_profile(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Generate" not in p and "Join" not in p
+
+
+def test_adamic_adar_path_graph(spark):
+    # Path a-b-c: the only non-adjacent pair with a common neighbor is
+    # (a, c) through b (deg 2): AA = 1/ln 2, jaccard = 1/1, cn = 1.
+    # K3 x-y-z contributes nothing (all candidate pairs adjacent).
+    import math
+    from satellitetools_spark.operators.graph import adamic_adar
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        ["doc_a", "doc_b"])
+    rows = adamic_adar(pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["v"]) == ("a", "c")
+    assert r["common_neighbors"] == 1
+    assert abs(r["adamic_adar"] - round(1.0 / math.log(2.0), 6)) < 1e-9
+    assert r["jaccard_coef"] == 1.0
+
+
+def test_adamic_adar_wedge_degree_cap(spark):
+    # Star center s (deg 3) is the only apex; capping below 3 empties
+    # the candidate set — the documented hub mitigation.
+    from satellitetools_spark.operators.graph import adamic_adar
+    pairs = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("s", "c")], ["doc_a", "doc_b"])
+    assert adamic_adar(pairs).count() == 3  # (a,b),(a,c),(b,c)
+    assert adamic_adar(pairs, max_wedge_degree=2).count() == 0
+
+
+def test_k_core_peels_pendant_chain(spark):
+    # Triangle a-b-c with a pendant chain c-d-e: the 2-core is exactly
+    # the triangle (d survives round 1 via c-d + d-e but falls in
+    # round 2 once e is gone) — requires multi-round peeling.
+    from satellitetools_spark.operators.graph import k_core
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["doc_a", "doc_b"])
+    got = {r["node"]: r["core_deg"] for r in k_core(pairs, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3 empties the graph entirely
+    assert k_core(pairs, k=3).count() == 0
