@@ -548,3 +548,71 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(2.0 * i / (sa.sz + sb.sz), 6) + 0.0 >= {float(threshold)!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# AllPairs / prefix-filtering exact Jaccard join (the exact-threshold
+# scale path; minhash_lsh_pairs is the approximate one)
+# ---------------------------------------------------------------------------
+
+def allpairs_jaccard_pairs(docs: DataFrame, n: int = 3,
+                           threshold: float = 0.5,
+                           text_col: str = "text") -> DataFrame:
+    """EXACT Jaccard ≥ t pairs via AllPairs prefix filtering (Bayardo
+    et al., WWW'07) — same output as :func:`jaccard_pairs`, but the
+    candidate join touches only each document's PREFIX under a global
+    rarest-first token order instead of every shingle. With prefix
+    length ``|d| − ⌈t·|d|⌉ + 1``, any pair with J ≥ t must collide on
+    at least one prefix token (overlap ≥ ⌈t·(|A|+|B|)/(1+t)⌉ >
+    tokens skippable from either side), so recall is provably 1.0;
+    candidates are then verified with the exact intersection count
+    restricted to candidate pairs only.
+
+    Why this is the 100 TB exact path: the full shingle equi-join fans
+    out quadratically on COMMON shingles (stopword n-grams), while
+    prefixes are the RAREST ⌈(1−t)|d|⌉+1 shingles of each doc — the
+    head of the Zipf tail, where per-shingle doc lists are short. A
+    secondary length filter (``t·|A| ≤ |B|``) prunes size-mismatched
+    pairs before verification. Shapes: one doc-keyed window to rank
+    shingles (one exchange over the shingle stream), the small
+    prefix×prefix equi-join, and one verification join bounded by
+    candidate docs. Ranking orders by (global df ASC, shingle ASC) —
+    fully deterministic.
+    """
+    sh = word_shingles(docs, n, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc())
+    ranked = (sh.join(freq, "shingle")
+              .withColumn("pos", F.row_number().over(wdoc))
+              .withColumn("sz", F.count("*").over(
+                  Window.partitionBy("doc_id"))))
+    pref = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(float(threshold))
+                                             * F.col("sz")) + 1)
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "shingle",
+                     F.col("sz").alias("sz_a"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "shingle",
+                     F.col("sz").alias("sz_b"))
+    cand = (pa.join(pb, ["shingle"])
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("sz_b") * F.lit(float(threshold))
+                       <= F.col("sz_a"))
+                    & (F.col("sz_a") * F.lit(float(threshold))
+                       <= F.col("sz_b")))
+            .select("doc_a", "doc_b", "sz_a", "sz_b")
+            .distinct())
+    ca = sh.withColumnRenamed("doc_id", "doc_a")
+    cb = (sh.withColumnRenamed("doc_id", "doc_b_r")
+          .withColumnRenamed("shingle", "shingle_b"))
+    inter = (cand.join(ca, "doc_a")
+             .join(cb, (F.col("doc_b") == F.col("doc_b_r"))
+                   & (F.col("shingle") == F.col("shingle_b")))
+             .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

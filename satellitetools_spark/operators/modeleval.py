@@ -1621,3 +1621,134 @@ SELECT CAST(SUM(nk) AS BIGINT) AS n,
                            THEN 1 ELSE 0 END) - 2 AS BIGINT) AS dof
 FROM hlb
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group simple OLS with inference
+# ---------------------------------------------------------------------------
+
+_OLS_FMT = {
+    "sxx_c": "({sxx} - {sx} * {sx} / {n})",
+    "syy_c": "({syy} - {sy} * {sy} / {n})",
+    "sxy_c": "({sxy} - {sx} * {sy} / {n})",
+}
+
+
+def ols_fit(df: DataFrame, y_expr: str, x_expr: str,
+            by_expr: str | None = None) -> DataFrame:
+    """Per-group simple linear regression ``y ~ x`` by closed-form
+    moment algebra, with the full inference readout a feature-audit
+    pipeline needs: slope, intercept, R², residual standard error,
+    slope standard error, t statistic, and the two-sided normal-
+    approximation p-value — e.g. "is event value drifting over time,
+    per event type, and is the trend significant?". Complements
+    `temporal.mann_kendall` (nonparametric trend) with the parametric
+    effect SIZE, and `checks.spearman_corr` (rank) with the linear fit
+    itself.
+
+    Shape: ONE map-side-combined hash aggregation to the six moment
+    sums per group — no sort, no window, no second pass; 10^12 rows
+    reduce to |groups| rows on the wire. Guards: groups with n < 3 or
+    a degenerate x (zero variance) emit NULL statistics; R² is NULL
+    when y is constant. The t→p mapping is the shared erf formula
+    string, rendered identically into both engines.
+    """
+    g = F.expr(by_expr) if by_expr else F.lit("all")
+    pre = df.select(g.alias("grp"),
+                    F.expr(y_expr).cast("double").alias("y"),
+                    F.expr(x_expr).cast("double").alias("x"))
+    mom = (pre.filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+           .groupBy("grp")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    sxx_c = _OLS_FMT["sxx_c"].format(n="n", sx="sx", sxx="sxx")
+    syy_c = _OLS_FMT["syy_c"].format(n="n", sy="sy", syy="syy")
+    sxy_c = _OLS_FMT["sxy_c"].format(n="n", sx="sx", sy="sy", sxy="sxy")
+    out = mom.select(
+        "grp", F.col("n").cast("long").alias("n"),
+        F.expr(f"CASE WHEN n >= 3 AND {sxx_c} > 0 "
+               f"THEN {sxy_c} / {sxx_c} END").alias("_slope"),
+        F.expr(f"{sxx_c}").alias("_sxx_c"),
+        F.expr(f"{syy_c}").alias("_syy_c"),
+        F.expr(f"{sxy_c}").alias("_sxy_c"),
+        F.col("sx"), F.col("sy"), F.col("n").alias("_nd"))
+    out = out.select(
+        "grp", "n", "_slope", "_sxx_c", "_syy_c", "_sxy_c",
+        F.expr("CASE WHEN _slope IS NOT NULL "
+               "THEN (sy - _slope * sx) / _nd END").alias("_icept"),
+        F.expr("CASE WHEN _slope IS NOT NULL AND _syy_c > 0 "
+               "THEN _sxy_c * _sxy_c / (_sxx_c * _syy_c) END").alias("_r2"),
+        F.expr("CASE WHEN _slope IS NOT NULL AND n > 2 "
+               "THEN (_syy_c - _slope * _sxy_c) / (_nd - 2) END")
+        .alias("_s2"))
+    t_expr = ("CASE WHEN _s2 IS NOT NULL AND _s2 > 0 "
+              "THEN _slope / sqrt(_s2 / _sxx_c) END")
+    return (out.withColumn("_t", F.expr(t_expr))
+            .select("grp", "n",
+                    _r6(F.col("_slope")).alias("slope"),
+                    _r6(F.col("_icept")).alias("intercept"),
+                    _r6(F.col("_r2")).alias("r2"),
+                    _r6(F.expr("sqrt(_s2)")).alias("resid_se"),
+                    _r6(F.expr("sqrt(_s2 / _sxx_c)")).alias("se_slope"),
+                    _r6(F.col("_t")).alias("t_stat"),
+                    _r6(F.expr(_two_sided_p_fmt("_t"))).alias("p_approx")))
+
+
+def ols_fit_sql(table: str, y_expr: str, x_expr: str,
+                by_expr: str | None = None) -> str:
+    """DuckDB oracle: the identical moment algebra and shared erf
+    string — no regr_* builtins, so the arithmetic is textually the
+    same in both engines."""
+    g = by_expr if by_expr else "'all'"
+    sxx_c = _OLS_FMT["sxx_c"].format(n="n", sx="sx", sxx="sxx")
+    syy_c = _OLS_FMT["syy_c"].format(n="n", sy="sy", syy="syy")
+    sxy_c = _OLS_FMT["sxy_c"].format(n="n", sx="sx", sy="sy", sxy="sxy")
+    return f"""
+WITH pre AS (
+  SELECT {g} AS grp,
+         CAST(({y_expr}) AS DOUBLE) AS y,
+         CAST(({x_expr}) AS DOUBLE) AS x
+  FROM {table}
+),
+mom AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+         SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM pre WHERE y IS NOT NULL AND x IS NOT NULL GROUP BY grp
+),
+fit AS (
+  SELECT grp, n,
+         CASE WHEN n >= 3 AND {sxx_c} > 0
+              THEN {sxy_c} / {sxx_c} END AS _slope,
+         {sxx_c} AS _sxx_c, {syy_c} AS _syy_c, {sxy_c} AS _sxy_c,
+         sx, sy, n AS _nd
+  FROM mom
+),
+fin AS (
+  SELECT grp, n, _slope, _sxx_c, _syy_c, _sxy_c,
+         CASE WHEN _slope IS NOT NULL
+              THEN (sy - _slope * sx) / _nd END AS _icept,
+         CASE WHEN _slope IS NOT NULL AND _syy_c > 0
+              THEN _sxy_c * _sxy_c / (_sxx_c * _syy_c) END AS _r2,
+         CASE WHEN _slope IS NOT NULL AND n > 2
+              THEN (_syy_c - _slope * _sxy_c) / (_nd - 2) END AS _s2
+  FROM fit
+),
+tt AS (
+  SELECT *, CASE WHEN _s2 IS NOT NULL AND _s2 > 0
+                 THEN _slope / sqrt(_s2 / _sxx_c) END AS _t
+  FROM fin
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND(_slope, 6) + 0.0 AS slope,
+       ROUND(_icept, 6) + 0.0 AS intercept,
+       ROUND(_r2, 6) + 0.0 AS r2,
+       ROUND(sqrt(_s2), 6) + 0.0 AS resid_se,
+       ROUND(sqrt(_s2 / _sxx_c), 6) + 0.0 AS se_slope,
+       ROUND(_t, 6) + 0.0 AS t_stat,
+       ROUND({_two_sided_p_fmt('_t')}, 6) + 0.0 AS p_approx
+FROM tt
+"""

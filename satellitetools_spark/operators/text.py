@@ -1914,3 +1914,159 @@ SELECT CAST(n AS BIGINT) AS n_tokens, CAST(s_obs AS BIGINT) AS n_types,
        ROUND(1.0 - f1 / n, 6) + 0.0 AS coverage
 FROM vra
 """
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes (train + score, one lazy plan)
+# ---------------------------------------------------------------------------
+
+def naive_bayes_predict(docs: DataFrame, label_col: str = "lang",
+                        text_col: str = "text",
+                        alpha: float = 1.0) -> DataFrame:
+    """Multinomial naive-Bayes classification of every document, with
+    the model TRAINED on the same corpus in the same lazy plan — the
+    classic weak-labeler / label-noise audit (where does the stated
+    `lang` disagree with the token evidence?). Laplace smoothing
+    ``alpha``; returns (doc_id, actual, pred, log_score).
+
+    Unseen (doc, label) token mass is handled exactly without a dense
+    doc×label×token join: for each label the smoothing floor
+    ``ln(alpha / (N_label + alpha·V))`` is a constant, so
+    ``score = prior + Σ_seen c_t·(llh_t − floor) + T_doc·floor`` needs
+    only the SEEN-token join. Shapes: token-count facts reduce map-side
+    to (doc, token, c); the model table is (vocab × labels) and joins
+    on token (broadcast when small, shuffle otherwise); the per-doc
+    fold is one hash agg; argmax is a row_number over |labels| rows per
+    doc ranked on round(score, 6) with label ASC tie-break — ranking
+    on the ROUNDED score keeps the argmax deterministic across
+    engines and partitionings (sub-1e-6 gaps are fp-sum noise).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    base = docs.select("doc_id", F.col(label_col).alias("actual"),
+                       toks.alias("_toks"))
+    facts = (base.select("doc_id", "actual",
+                         F.explode("_toks").alias("token"))
+             .groupBy("doc_id", "actual", "token")
+             .agg(F.count("*").alias("c")))
+    doclen = facts.groupBy("doc_id", "actual").agg(
+        F.sum("c").alias("t_doc"))
+    # model: per-label priors and token log-likelihoods
+    cls = (facts.groupBy("actual", "token")
+           .agg(F.sum("c").alias("ct"))
+           .withColumnRenamed("actual", "label"))
+    nlab = cls.groupBy("label").agg(F.sum("ct").alias("n_label"))
+    vocab = cls.select("token").distinct().agg(
+        F.count("*").alias("v"))
+    ndocs = base.groupBy(F.col("actual").alias("label")).agg(
+        F.count("*").alias("n_docs_label"))
+    total = base.agg(F.count("*").alias("n_docs"))
+    model = (cls.join(nlab, "label")
+             .crossJoin(F.broadcast(vocab))
+             .select("label", "token",
+                     (F.log((F.col("ct") + F.lit(float(alpha)))
+                            / (F.col("n_label")
+                               + F.lit(float(alpha)) * F.col("v")))
+                      ).alias("llh")))
+    floor = (nlab.crossJoin(F.broadcast(vocab))
+             .select("label",
+                     F.log(F.lit(float(alpha))
+                           / (F.col("n_label")
+                              + F.lit(float(alpha)) * F.col("v")))
+                     .alias("floor")))
+    prior = (ndocs.crossJoin(F.broadcast(total))
+             .select("label",
+                     F.log(F.col("n_docs_label")
+                           / F.col("n_docs")).alias("prior")))
+    seen = (facts.join(model, "token")
+            .groupBy("doc_id", "label")
+            .agg(F.sum(F.col("c") * F.col("llh")).alias("s_seen"),
+                 F.sum("c").alias("k_seen")))
+    scored = (doclen.crossJoin(F.broadcast(
+                  prior.join(floor, "label")))
+              .join(seen, ["doc_id", "label"], "left")
+              .select("doc_id", "actual", "label",
+                      (F.col("prior")
+                       + F.coalesce(F.col("s_seen"), F.lit(0.0))
+                       - F.coalesce(F.col("k_seen"), F.lit(0))
+                       * F.col("floor")
+                       + F.col("t_doc") * F.col("floor"))
+                      .alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("label").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "actual", F.col("label").alias("pred"),
+                    (F.round("score", 6) + 0.0).alias("log_score")))
+
+
+def naive_bayes_predict_sql(table: str = "documents",
+                            label_col: str = "lang",
+                            text_col: str = "text",
+                            alpha: float = 1.0) -> str:
+    """DuckDB oracle: identical tokenization, smoothing algebra, and
+    rounded-score argmax tie-break."""
+    a = float(alpha)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {label_col} AS actual,
+         regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+  FROM {table}
+),
+facts AS (
+  SELECT doc_id, actual, unnest(toks) AS token FROM base
+),
+cnt AS (
+  SELECT doc_id, actual, token, COUNT(*) AS c
+  FROM facts GROUP BY 1, 2, 3
+),
+doclen AS (
+  SELECT doc_id, actual, SUM(c) AS t_doc FROM cnt GROUP BY 1, 2
+),
+cls AS (
+  SELECT actual AS label, token, SUM(c) AS ct FROM cnt GROUP BY 1, 2
+),
+nlab AS (SELECT label, SUM(ct) AS n_label FROM cls GROUP BY label),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM cls),
+prior AS (
+  SELECT actual AS label,
+         LN(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM base))
+           AS prior
+  FROM base GROUP BY actual
+),
+model AS (
+  SELECT c.label, c.token,
+         LN((c.ct + {a}) / (n.n_label + {a} * v.v)) AS llh
+  FROM cls c JOIN nlab n USING (label) CROSS JOIN vocab v
+),
+flr AS (
+  SELECT n.label, LN({a} / (n.n_label + {a} * v.v)) AS floor
+  FROM nlab n CROSS JOIN vocab v
+),
+seen AS (
+  SELECT t.doc_id, m.label,
+         SUM(t.c * m.llh) AS s_seen, SUM(t.c) AS k_seen
+  FROM cnt t JOIN model m ON t.token = m.token
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id, d.actual, p.label,
+         p.prior + COALESCE(s.s_seen, 0.0)
+           - COALESCE(s.k_seen, 0) * f.floor
+           + d.t_doc * f.floor AS score
+  FROM doclen d
+  CROSS JOIN prior p
+  JOIN flr f ON f.label = p.label
+  LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.label = p.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY ROUND(score, 6) DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, actual, label AS pred,
+       ROUND(score, 6) + 0.0 AS log_score
+FROM ranked WHERE rn = 1
+"""

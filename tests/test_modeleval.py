@@ -557,3 +557,43 @@ def test_hosmer_lemeshow_numpy_parity_and_guard(spark):
     assert out["h"] == pytest.approx(h, abs=1e-4)
     with pytest.raises(ValueError):
         ME.hosmer_lemeshow(_scored(spark, y, s), "y", "s", 1.0, 0.0, 10)
+
+
+def test_ols_fit_exact_line_and_noisy_numpy_parity(spark):
+    # Exact line y = 2x + 1: slope/intercept/R2 exact, zero residual
+    # variance so t/p are NULL (guarded, not inf)
+    df = spark.createDataFrame(
+        [(float(x), float(2.0 * x + 1.0)) for x in range(10)], ["x", "y"])
+    r = ME.ols_fit(df, "y", "x").collect()[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 1.0, 1.0)
+    assert r["t_stat"] is None and r["p_approx"] is None
+
+    # Noisy case: parity with numpy lstsq + the closed-form SEs
+    rng = np.random.RandomState(7)
+    x = rng.rand(200) * 10
+    y = 3.5 * x - 2.0 + rng.randn(200)
+    df2 = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"])
+    r2 = ME.ols_fit(df2, "y", "x").collect()[0]
+    n = len(x)
+    sxx_c = ((x - x.mean()) ** 2).sum()
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / sxx_c
+    icept = y.mean() - slope * x.mean()
+    resid = y - slope * x - icept
+    s2 = (resid ** 2).sum() / (n - 2)
+    assert r2["slope"] == pytest.approx(slope, abs=1e-5)
+    assert r2["intercept"] == pytest.approx(icept, abs=1e-5)
+    assert r2["se_slope"] == pytest.approx(math.sqrt(s2 / sxx_c), abs=1e-5)
+    assert r2["t_stat"] == pytest.approx(slope / math.sqrt(s2 / sxx_c),
+                                         rel=1e-4)
+
+
+def test_ols_fit_degenerate_groups_guarded(spark):
+    # constant x (zero variance) and n < 3 both yield NULL statistics
+    df = spark.createDataFrame(
+        [("cx", 1.0, 5.0), ("cx", 1.0, 6.0), ("cx", 1.0, 7.0),
+         ("small", 1.0, 2.0), ("small", 2.0, 4.0)],
+        ["g", "x", "y"])
+    rows = {r["grp"]: r for r in ME.ols_fit(df, "y", "x", "g").collect()}
+    assert rows["cx"]["slope"] is None
+    assert rows["small"]["slope"] is None

@@ -1969,3 +1969,49 @@ def test_k_core_peels_pendant_chain(spark):
     assert got == {"a": 2, "b": 2, "c": 2}
     # k=3 empties the graph entirely
     assert k_core(pairs, k=3).count() == 0
+
+
+def test_naive_bayes_predict_hand_computed(spark):
+    # Two labels with disjoint-ish vocab; d5's evidence ("meow meow")
+    # contradicts its stated label -> NB flags it as label-noise.
+    import math
+    from satellitetools_spark.operators.text import naive_bayes_predict
+    docs = spark.createDataFrame(
+        [("d1", "cat", "meow meow purr"),
+         ("d2", "cat", "meow purr purr"),
+         ("d3", "dog", "woof woof bark"),
+         ("d4", "dog", "bark woof growl"),
+         ("d5", "dog", "meow meow")],
+        ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: r for r in
+           naive_bayes_predict(docs, "lang").collect()}
+    assert got["d1"]["pred"] == "cat" and got["d3"]["pred"] == "dog"
+    assert got["d5"]["pred"] == "cat" and got["d5"]["actual"] == "dog"
+    # hand-check d5's winning score: prior ln(2/5) + 2*ln((c_meow_cat+1)/
+    # (N_cat + V)) with N_cat=6 tokens, V=5 distinct tokens, c=3
+    want = math.log(2 / 5) + 2 * math.log((3 + 1) / (6 + 5))
+    assert abs(got["d5"]["log_score"] - round(want, 6)) < 1e-9
+
+
+def test_allpairs_jaccard_matches_bruteforce(spark):
+    # Corpus with heavy shared boilerplate (common shingles would
+    # dominate a naive equi-join) + true near-dup pairs at several
+    # sizes; prefix filtering must reproduce the brute-force pair set
+    # EXACTLY (recall 1.0, no spurious pairs)
+    from satellitetools_spark.operators.dedup import (
+        allpairs_jaccard_pairs, jaccard_pairs)
+    boiler = "the quick brown fox jumps over the lazy dog again and"
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((f"a{i}", f"{boiler} {body}"))
+        if i % 3 == 0:  # near-dup with one word changed
+            rows.append((f"b{i}", f"{boiler} {body.replace('x3', 'XX')}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.7):
+        want = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in jaccard_pairs(docs, n=3, threshold=t).collect()}
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in allpairs_jaccard_pairs(
+                   docs, n=3, threshold=t).collect()}
+        assert got == want and len(want) > 0
