@@ -1752,3 +1752,68 @@ SELECT grp, CAST(n AS BIGINT) AS n,
        ROUND({_two_sided_p_fmt('_t')}, 6) + 0.0 AS p_approx
 FROM tt
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators over the score alphabet)
+# ---------------------------------------------------------------------------
+
+def isotonic_calibration(df: DataFrame, label_expr: str,
+                         score_expr: str) -> DataFrame:
+    """Isotonic (PAV) calibration map from score to empirical
+    probability: the step function ``cal(s)`` that is monotone
+    non-decreasing in s and minimizes squared error against the binary
+    labels — the non-parametric alternative to Platt scaling, feeding
+    the same pipelines as :func:`calibration_bins`.
+
+    PAV is inherently sequential, but only over the SCORE ALPHABET:
+    the corpus first reduces with one map-side-combined hash
+    aggregation to (score, n, sum_y) — scores are binned/rounded
+    upstream exactly as the rank tests document, so this table is
+    alphabet-sized (≪ rows; 10^12 rows with round-4 scores reduce to
+    ≤10^4 rows). The pooling pass then runs in ONE `applyInPandas`
+    task over that table (a deliberate single-group stage, like the
+    BPE merge loop — documented, bounded, and nowhere near the fact
+    stream). Output: one row per distinct score with the pooled
+    calibrated probability. Non-SQL-expressible (the pooling is a
+    data-dependent loop), so correctness is pinned by pytest golden
+    parity with a NumPy PAV reference; the gate records rows-only.
+    """
+    hist = (df.select(F.expr(score_expr).cast("double").alias("s"),
+                      F.expr(label_expr).cast("double").alias("y"))
+            .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+            .groupBy("s")
+            .agg(F.count("*").cast("double").alias("n"),
+                 F.sum("y").alias("sum_y")))
+
+    def _pav(key, pdf):
+        pdf = pdf.sort_values("s").reset_index(drop=True)
+        blocks = []  # [start_row, weight, mean], merged while violating
+        for i in range(len(pdf)):
+            w = float(pdf["n"][i])
+            blocks.append([i, w, float(pdf["sum_y"][i]) / w])
+            while len(blocks) > 1 and blocks[-2][2] > blocks[-1][2]:
+                s2, w2, m2 = blocks.pop()
+                s1, w1, m1 = blocks.pop()
+                blocks.append([s1, w1 + w2,
+                               (w1 * m1 + w2 * m2) / (w1 + w2)])
+        cal = [0.0] * len(pdf)
+        for bi, (start, _w, m) in enumerate(blocks):
+            end = (blocks[bi + 1][0] if bi + 1 < len(blocks)
+                   else len(pdf))
+            for i in range(start, end):
+                cal[i] = m
+        pdf["calibrated"] = [round(c, 6) + 0.0 for c in cal]
+        pdf["rate"] = [round(float(r), 6) + 0.0
+                       for r in pdf["sum_y"] / pdf["n"]]
+        return pdf[["s", "n", "rate", "calibrated"]]
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType([
+        StructField("s", DoubleType()), StructField("n", DoubleType()),
+        StructField("rate", DoubleType()),
+        StructField("calibrated", DoubleType())])
+    out = hist.groupBy(F.lit(1).alias("_g")).applyInPandas(_pav, schema)
+    return out.select(F.col("s").alias("score"),
+                      F.col("n").cast("long").alias("n"),
+                      "rate", "calibrated")

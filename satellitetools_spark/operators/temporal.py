@@ -2812,3 +2812,79 @@ SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_obs,
 FROM ssd WHERE trend IS NOT NULL AND seasonal IS NOT NULL
 GROUP BY {keys}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping distance between keyed series
+# ---------------------------------------------------------------------------
+
+def dtw_distance(series: DataFrame, key_col: str = "key",
+                 time_col: str = "t", value_col: str = "v",
+                 band: Optional[int] = None) -> DataFrame:
+    """Banded dynamic-time-warping distance between every pair of
+    keyed series (key_a < key_b) — the shape-aware alternative to
+    lagged Pearson (`ccf`) for comparing sensor/usage curves that are
+    locally stretched or delayed rather than uniformly shifted.
+    ``band`` is the Sakoe-Chiba radius (cells |i−j| > band are
+    unreachable), the standard O(n·band) scale control; None = exact
+    full-matrix DTW. Absolute-difference local cost; returns
+    (key_a, key_b, n_a, n_b, dtw).
+
+    Shape: each series reduces to ONE array row via
+    sort_array(collect_list(struct(t, v))) — a key-cardinality table —
+    then the pair grid (|keys|² rows, never row-cardinality) feeds an
+    Arrow-batched pandas UDF running the NumPy DP kernel per pair.
+    The DP recurrence is data-dependent and sequential (non-SQL-
+    expressible), so correctness is pinned by pytest golden parity
+    with an independent full-matrix NumPy reference plus metric
+    properties (identity 0, symmetry, shift-robustness vs Euclidean);
+    the gate records rows-only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    arr = (series
+           .groupBy(F.col(key_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col(time_col).alias("t"),
+                        F.col(value_col).cast("double").alias("v"))))
+               .alias("pts"))
+           .select("k", F.expr("transform(pts, p -> p.v)").alias("vs")))
+    a = arr.select(F.col("k").alias("key_a"), F.col("vs").alias("va"))
+    b = arr.select(F.col("k").alias("key_b"), F.col("vs").alias("vb"))
+    grid = a.join(b, F.col("key_a") < F.col("key_b"))
+
+    bandw = None if band is None else int(band)
+
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inference rejects
+    @F.pandas_udf(DoubleType())
+    def _dtw(va, vb):
+        out = []
+        for x_l, y_l in zip(va, vb):
+            x = np.asarray(x_l, dtype=np.float64)
+            y = np.asarray(y_l, dtype=np.float64)
+            n, m = len(x), len(y)
+            if n == 0 or m == 0:
+                out.append(float("nan"))
+                continue
+            w = max(bandw, abs(n - m)) if bandw is not None else None
+            prev = np.full(m + 1, np.inf)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = np.full(m + 1, np.inf)
+                lo = 1 if w is None else max(1, i - w)
+                hi = m if w is None else min(m, i + w)
+                cost = np.abs(x[i - 1] - y[lo - 1:hi])
+                for j in range(lo, hi + 1):
+                    cur[j] = cost[j - lo] + min(prev[j], prev[j - 1],
+                                                cur[j - 1])
+                prev = cur
+            out.append(float(prev[m]))
+        return pd.Series(out)
+
+    return (grid.select(
+        "key_a", "key_b",
+        F.size("va").alias("n_a"), F.size("vb").alias("n_b"),
+        (F.round(_dtw(F.col("va"), F.col("vb")), 6) + 0.0).alias("dtw")))

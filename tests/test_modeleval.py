@@ -597,3 +597,40 @@ def test_ols_fit_degenerate_groups_guarded(spark):
     rows = {r["grp"]: r for r in ME.ols_fit(df, "y", "x", "g").collect()}
     assert rows["cx"]["slope"] is None
     assert rows["small"]["slope"] is None
+
+
+def test_isotonic_calibration_numpy_pav_parity(spark):
+    # Independent O(n^2) PAV reference: pool ANY adjacent violator
+    # until monotone (order of pooling does not matter for PAV)
+    rng = np.random.RandomState(11)
+    scores = np.round(rng.rand(400), 1)  # 11-value alphabet
+    y = (rng.rand(400) < scores * 0.8 + rng.rand(400) * 0.2).astype(int)
+    df = _scored(spark, y.tolist(), scores.tolist())
+    got = {r["score"]: r for r in
+           ME.isotonic_calibration(df, "y", "s").collect()}
+
+    import collections
+    agg = collections.OrderedDict()
+    for s in sorted(set(scores)):
+        m = scores == s
+        agg[s] = [float(m.sum()), float(y[m].sum())]
+    w = [v[0] for v in agg.values()]
+    m = [v[1] / v[0] for v in agg.values()]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(m) - 1):
+            if m[i] > m[i + 1]:
+                tot = w[i] + w[i + 1]
+                mm = (w[i] * m[i] + w[i + 1] * m[i + 1]) / tot
+                # pool: represent both slots with the pooled mean
+                # (weights merge; keep slot granularity for readback)
+                m[i] = m[i + 1] = mm
+                w[i] = w[i + 1] = tot / 2  # equal split keeps means
+                changed = True
+    cal = dict(zip(agg.keys(), m))
+    for s, r in got.items():
+        assert r["calibrated"] == pytest.approx(cal[s], abs=2e-6), s
+    # monotone non-decreasing in score
+    ordered = [got[s]["calibrated"] for s in sorted(got)]
+    assert all(a <= b + 1e-9 for a, b in zip(ordered, ordered[1:]))

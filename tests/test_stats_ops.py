@@ -1743,3 +1743,45 @@ def test_wilcoxon_symmetric_differences_z_zero(spark):
     df = spark.createDataFrame(rows, "a double, b double")
     out = INF.wilcoxon_signed_rank(df, "a", "b").collect()[0]
     assert out["z"] == 0.0 and out["p_approx"] == 1.0
+
+
+# ------------------------------------------------------------------ DTW
+
+def _series_df(spark, named):
+    rows = [(k, float(i), float(v))
+            for k, vs in named.items() for i, v in enumerate(vs)]
+    return spark.createDataFrame(rows, "key string, t double, v double")
+
+
+def _dtw_ref(x, y):
+    # independent full-matrix NumPy reference
+    import numpy as np
+    n, m = len(x), len(y)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i, j] = abs(x[i - 1] - y[j - 1]) + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return float(D[n, m])
+
+
+def test_dtw_distance_golden_and_metric_properties(spark):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    a = list(rng.rand(12) * 4)
+    b = list(rng.rand(15) * 4)
+    shifted = [a[0]] * 3 + a  # time-delayed copy of a
+    df = _series_df(spark, {"a": a, "b": b, "c": shifted, "d": a})
+    got = {(r["key_a"], r["key_b"]): r["dtw"]
+           for r in TP.dtw_distance(df, band=None).collect()}
+    assert got[("a", "b")] == pytest.approx(_dtw_ref(a, b), abs=1e-6)
+    assert got[("a", "c")] == pytest.approx(_dtw_ref(a, shifted), abs=1e-6)
+    # identical series -> 0; delayed copy -> DTW ~ 0 (warping absorbs
+    # the shift) while Euclidean would not be
+    assert got[("a", "d")] == 0.0
+    assert got[("a", "c")] < 1e-9
+    # band wide enough to cover the length difference reproduces exact
+    banded = {(r["key_a"], r["key_b"]): r["dtw"]
+              for r in TP.dtw_distance(df, band=20).collect()}
+    assert banded == got
