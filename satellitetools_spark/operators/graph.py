@@ -424,3 +424,85 @@ ke0 AS MATERIALIZED (
 SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
 FROM {prev} GROUP BY src HAVING COUNT(*) >= {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+def label_propagation(pairs: DataFrame, rounds: int = 4,
+                      src_col: str = "doc_a",
+                      dst_col: str = "doc_b") -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected pair table: every node starts with its own label; each
+    round every node adopts the MOST FREQUENT label among its
+    neighbors (ties broken by smallest label) — unlike
+    ``connected_components`` (which finds reachability classes), LPA
+    splits a connected graph into densely-linked communities.
+
+    Determinism: the classic asynchronous LPA is order-dependent; this
+    is the synchronous variant with a total tie order (count DESC,
+    label ASC), so the result is a pure function of the graph and
+    ``rounds`` — which is what makes the DuckDB twin oracle-checkable
+    (identical unrolled CTE layers). Fixed rounds also bound cost:
+    each round is one edge⋈label join + one (node,label) count + one
+    argmax window over the count table (node-cardinality, never the
+    raw edge stream twice). Synchronous LPA can oscillate on bipartite
+    structures; ``rounds`` is the standard cutoff. Each round lazily
+    checkpoints the label vector so the plan stays linear.
+    """
+    from pyspark.sql import Window
+    edges = (pairs.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .unionByName(pairs.select(F.col(dst_col).alias("src"),
+                                       F.col(src_col).alias("dst"))))
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("node"),
+                      F.col("src").alias("label")))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(int(rounds)):
+        counts = (edges
+                  .join(labels.withColumnRenamed("node", "src"), "src")
+                  .groupBy("dst", "label")
+                  .agg(F.count("*").alias("cnt")))
+        labels = (counts.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select(F.col("dst").alias("node"), "label")
+                  .localCheckpoint(eager=False))
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_sql(pairs_sql: str, rounds: int = 4,
+                          src_col: str = "doc_a",
+                          dst_col: str = "doc_b") -> str:
+    """DuckDB oracle: identical synchronous rounds and tie order as
+    unrolled CTE layers."""
+    layers = []
+    prev = "ll0"
+    for i in range(1, int(rounds) + 1):
+        layers.append(f"""
+lc{i} AS MATERIALIZED (
+  SELECT e.dst, p.label, COUNT(*) AS cnt
+  FROM ledges e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst, p.label
+),
+ll{i} AS MATERIALIZED (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label, ROW_NUMBER() OVER (
+        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+    FROM lc{i}) WHERE rn = 1)""")
+        prev = f"ll{i}"
+    body = ",".join(layers)
+    return f"""
+WITH lraw AS ({pairs_sql}),
+ledges AS MATERIALIZED (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM lraw
+  UNION ALL
+  SELECT {dst_col} AS src, {src_col} AS dst FROM lraw
+),
+ll0 AS (
+  SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM ledges)
+),{body}
+SELECT node, label AS community FROM {prev}
+"""

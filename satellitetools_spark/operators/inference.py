@@ -1071,3 +1071,110 @@ wsz AS (
 )
 SELECT *, ROUND({p}, 6) + 0.0 AS p_approx FROM wsz
 """
+
+
+# ---------------------------------------------------------------------------
+# Covariate-balance audit: standardized mean differences
+# ---------------------------------------------------------------------------
+
+def smd_balance(df: DataFrame, treat_expr: str,
+                covariate_exprs) -> DataFrame:
+    """Standardized mean difference per covariate between the two
+    arms of ``treat_expr`` (0/1) — the randomization-health audit run
+    before trusting any A/B readout (|SMD| > 0.1 flags imbalance),
+    and the balance check after propensity weighting. Also reports
+    the variance ratio (second-moment balance). One row per
+    covariate: (covariate, n0, n1, mean0, mean1, smd, var_ratio).
+
+    SMD = (m₁ − m₀) / √((v₀ + v₁)/2) with sample (n−1) variances.
+    Shape: ONE map-side-combined conditional aggregation computes all
+    per-arm moments for every covariate in a single pass (no
+    per-covariate scans); the unpivot to rows happens on the
+    |covariates|-sized result. Degenerate arms (n < 2 or zero pooled
+    variance) emit NULL smd. 10^12 rows → one row on the wire.
+    """
+    covs = list(covariate_exprs)
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    aggs = [F.sum(F.expr(f"CASE WHEN {t} = 0 THEN 1 ELSE 0 END"))
+            .alias("n0"),
+            F.sum(F.expr(f"CASE WHEN {t} = 1 THEN 1 ELSE 0 END"))
+            .alias("n1")]
+    for i, c in enumerate(covs):
+        x = f"(CAST(({c}) AS DOUBLE))"
+        for arm in (0, 1):
+            aggs.append(F.sum(F.expr(
+                f"CASE WHEN {t} = {arm} THEN {x} ELSE 0.0 END"))
+                .alias(f"s{arm}_{i}"))
+            aggs.append(F.sum(F.expr(
+                f"CASE WHEN {t} = {arm} THEN {x} * {x} ELSE 0.0 END"))
+                .alias(f"q{arm}_{i}"))
+    mom = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(covs):
+        lbl = c.replace("'", "''")
+        parts.append(f"""STRUCT(
+  '{lbl}' AS covariate,
+  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+  s0_{i} / n0 AS m0, s1_{i} / n1 AS m1,
+  CASE WHEN n0 >= 2 THEN (q0_{i} - s0_{i} * s0_{i} / n0) / (n0 - 1) END AS v0,
+  CASE WHEN n1 >= 2 THEN (q1_{i} - s1_{i} * s1_{i} / n1) / (n1 - 1) END AS v1)""")
+    arr = "ARRAY(" + ", ".join(parts) + ")"
+    out = (mom.select(F.explode(F.expr(arr)).alias("c"))
+           .select("c.covariate", "c.n0", "c.n1",
+                   _r6(F.col("c.m0")).alias("mean0"),
+                   _r6(F.col("c.m1")).alias("mean1"),
+                   _r6(F.expr(
+                       "CASE WHEN c.v0 IS NOT NULL AND c.v1 IS NOT NULL"
+                       " AND c.v0 + c.v1 > 0 THEN"
+                       " (c.m1 - c.m0) / sqrt((c.v0 + c.v1) / 2.0) END"))
+                   .alias("smd"),
+                   _r6(F.expr(
+                       "CASE WHEN c.v0 IS NOT NULL AND c.v0 > 0"
+                       " THEN c.v1 / c.v0 END")).alias("var_ratio")))
+    return out
+
+
+def smd_balance_sql(table: str, treat_expr: str,
+                    covariate_exprs) -> str:
+    """DuckDB oracle: identical conditional-moment algebra, one
+    UNION ALL branch per covariate over the same single-row moments."""
+    covs = list(covariate_exprs)
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    cols = ["SUM(CASE WHEN {t} = 0 THEN 1 ELSE 0 END) AS n0".format(t=t),
+            "SUM(CASE WHEN {t} = 1 THEN 1 ELSE 0 END) AS n1".format(t=t)]
+    for i, c in enumerate(covs):
+        x = f"(CAST(({c}) AS DOUBLE))"
+        for arm in (0, 1):
+            cols.append(f"SUM(CASE WHEN {t} = {arm} THEN {x} ELSE 0.0 END)"
+                        f" AS s{arm}_{i}")
+            cols.append(f"SUM(CASE WHEN {t} = {arm} THEN {x} * {x}"
+                        f" ELSE 0.0 END) AS q{arm}_{i}")
+    branches = []
+    for i, c in enumerate(covs):
+        lbl = c.replace("'", "''")
+        branches.append(f"""
+SELECT '{lbl}' AS covariate,
+       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(s0_{i} / n0, 6) + 0.0 AS mean0,
+       ROUND(s1_{i} / n1, 6) + 0.0 AS mean1,
+       ROUND(CASE WHEN n0 >= 2 AND n1 >= 2
+                  AND (q0_{i} - s0_{i} * s0_{i} / n0) / (n0 - 1)
+                    + (q1_{i} - s1_{i} * s1_{i} / n1) / (n1 - 1) > 0
+             THEN (s1_{i} / n1 - s0_{i} / n0)
+                  / sqrt(((q0_{i} - s0_{i} * s0_{i} / n0) / (n0 - 1)
+                          + (q1_{i} - s1_{i} * s1_{i} / n1) / (n1 - 1))
+                         / 2.0) END, 6) + 0.0 AS smd,
+       ROUND(CASE WHEN n0 >= 2
+                  AND (q0_{i} - s0_{i} * s0_{i} / n0) / (n0 - 1) > 0
+                  AND n1 >= 2
+             THEN ((q1_{i} - s1_{i} * s1_{i} / n1) / (n1 - 1))
+                  / ((q0_{i} - s0_{i} * s0_{i} / n0) / (n0 - 1))
+             END, 6) + 0.0 AS var_ratio
+FROM mom""")
+    body = "\nUNION ALL".join(branches)
+    return f"""
+WITH mom AS (
+  SELECT {', '.join(cols)} FROM {table}
+)
+{body}
+"""

@@ -634,3 +634,32 @@ def test_isotonic_calibration_numpy_pav_parity(spark):
     # monotone non-decreasing in score
     ordered = [got[s]["calibrated"] for s in sorted(got)]
     assert all(a <= b + 1e-9 for a, b in zip(ordered, ordered[1:]))
+
+
+def test_logistic_fit_numpy_irls_parity(spark):
+    rng = np.random.RandomState(19)
+    x1 = rng.randn(400)
+    x2 = rng.randn(400)
+    logit = 0.8 * x1 - 1.2 * x2 + 0.3
+    y = (rng.rand(400) < 1 / (1 + np.exp(-logit))).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        "y double, a double, b double")
+    got = {r["feature"]: r for r in
+           ME.logistic_fit(df, "y", ["a", "b"], iters=8).collect()}
+
+    # independent pure-NumPy IRLS
+    X = np.column_stack([np.ones(400), x1, x2])
+    beta = np.zeros(3)
+    for _ in range(8):
+        p = 1 / (1 + np.exp(-X @ beta))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None]) + np.eye(3) * 1e-8
+        beta = beta + np.linalg.solve(H, X.T @ (y - p))
+    se = np.sqrt(np.diag(np.linalg.inv(H)))
+    for i, name in enumerate(["intercept", "x1", "x2"]):
+        assert got[name]["coef"] == pytest.approx(beta[i], abs=2e-6)
+        assert got[name]["se"] == pytest.approx(se[i], abs=2e-6)
+    # recovered effects carry the right signs and magnitudes
+    assert 0.4 < got["x1"]["coef"] < 1.4
+    assert -1.8 < got["x2"]["coef"] < -0.7

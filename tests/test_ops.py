@@ -2015,3 +2015,19 @@ def test_allpairs_jaccard_matches_bruteforce(spark):
                for r in allpairs_jaccard_pairs(
                    docs, n=3, threshold=t).collect()}
         assert got == want and len(want) > 0
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    # Two triangles joined by a single bridge edge: 4 synchronous
+    # rounds settle into one community per triangle (hand-traced with
+    # the count-DESC/label-ASC tie order)
+    from satellitetools_spark.operators.graph import label_propagation
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        ["doc_a", "doc_b"])
+    got = {r["node"]: r["community"]
+           for r in label_propagation(pairs, rounds=4).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] == got["e"] == got["f"]
+    assert got["a"] != got["d"]

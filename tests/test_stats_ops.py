@@ -1785,3 +1785,33 @@ def test_dtw_distance_golden_and_metric_properties(spark):
     banded = {(r["key_a"], r["key_b"]): r["dtw"]
               for r in TP.dtw_distance(df, band=20).collect()}
     assert banded == got
+
+
+def test_smd_balance_planted_shift(spark):
+    # arm 1 shifted by +1 on x (unit variance): SMD ~ 1 / sqrt(1) = 1;
+    # balanced covariate z: SMD ~ 0
+    import numpy as np
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(600):
+        t = i % 2
+        rows.append((t, float(rng.randn() + t), float(rng.randn())))
+    df = spark.createDataFrame(rows, "t int, x double, z double")
+    got = {r["covariate"]: r for r in
+           INF.smd_balance(df, "t = 1", ["x", "z"]).collect()}
+    assert got["x"]["n0"] == got["x"]["n1"] == 300
+    assert abs(got["x"]["smd"] - 1.0) < 0.25
+    assert abs(got["z"]["smd"]) < 0.2
+    x0 = np.array([r[1] for r in rows if r[0] == 0])
+    x1 = np.array([r[1] for r in rows if r[0] == 1])
+    smd = (x1.mean() - x0.mean()) / np.sqrt(
+        (x0.var(ddof=1) + x1.var(ddof=1)) / 2)
+    assert got["x"]["smd"] == pytest.approx(smd, abs=1e-6)
+
+
+def test_smd_balance_degenerate_guard(spark):
+    # constant covariate -> zero pooled variance -> NULL smd
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 1.0), (1, 1.0), (1, 1.0)], "t int, x double")
+    r = INF.smd_balance(df, "t = 1", ["x"]).collect()[0]
+    assert r["smd"] is None and r["var_ratio"] is None
