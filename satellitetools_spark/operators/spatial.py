@@ -3649,3 +3649,225 @@ SELECT l.* FROM svl l SEMI JOIN svb b
   ON {' AND '.join(f'l.{k} = b.{k}' for k in key_cols)}
  AND l.label = b.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Great-circle (haversine) distance join over lon/lat
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_FMT = (
+    "(2.0 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2))))")
+
+
+def haversine_join(points: DataFrame, stations: DataFrame,
+                   radius_km: float,
+                   station_id_col: str = "station_id",
+                   broadcast_stations: bool = True) -> DataFrame:
+    """Great-circle within-radius pair join over geographic
+    coordinates — the lon/lat twin of :func:`distance_join` for data
+    that never got projected (ground stations vs scene centroids,
+    gazetteer matching). Points carry (lon, lat); stations carry
+    (``station_id_col``, slon, slat); output adds ``dist_km``
+    (haversine, round 6).
+
+    Candidate generation bands BOTH sides on latitude (band height =
+    the radius in degrees), replicating each station into its ±1
+    bands — an EQUI-join a hash join executes, never a theta join —
+    then applies a longitude window pre-filter (Δλ ≤ δ/cos φ, clamped
+    at high latitude) before the exact haversine predicate, so the
+    trig runs only on banded survivors. This is the formula-exact
+    path; at planetary density the production candidate generator is
+    the existing S2-style `cell_join` cover. The shared haversine
+    formula STRING renders identically into the DuckDB oracle, which
+    brute-forces all pairs — an independent check that banding loses
+    nothing.
+    """
+    ddeg = radius_km / 111.1950802335329  # km per degree latitude
+    band = F.floor(F.col("slat") / F.lit(ddeg)).cast("long")
+    cand = (stations
+            .select(station_id_col, "slon", "slat",
+                    F.explode(F.sequence(band - 1, band + 1))
+                    .alias("latband")))
+    if broadcast_stations:
+        cand = F.broadcast(cand)
+    pts = points.withColumn(
+        "latband", F.floor(F.col("lat") / F.lit(ddeg)).cast("long"))
+    lon_w = (F.lit(ddeg)
+             / F.greatest(F.cos(F.radians(F.col("slat"))), F.lit(0.01)))
+    dist = F.expr(_HAVERSINE_FMT.format(
+        lat1="lat", lon1="lon", lat2="slat", lon2="slon"))
+    dlon = F.abs(F.col("lon") - F.col("slon"))
+    dlon = F.least(dlon, F.lit(360.0) - dlon)  # antimeridian wrap
+    return (pts.join(cand, "latband")
+            .filter(dlon <= lon_w)
+            .withColumn("dist_km", F.round(dist, 6))
+            .filter(F.col("dist_km") <= radius_km)
+            .drop("latband", "slon", "slat"))
+
+
+def haversine_join_sql(points_sql: str, stations_sql: str,
+                       radius_km: float,
+                       station_id_col: str = "station_id") -> str:
+    """DuckDB oracle: brute-force all pairs with the identical
+    haversine formula string — independently verifies the engine's
+    latitude banding is lossless."""
+    dist = _HAVERSINE_FMT.format(lat1="p.lat", lon1="p.lon",
+                                 lat2="s.slat", lon2="s.slon")
+    return f"""
+WITH p AS ({points_sql}), s AS ({stations_sql})
+SELECT p.*, s.{station_id_col}, ROUND({dist}, 6) AS dist_km
+FROM p, s
+WHERE ROUND({dist}, 6) <= {float(radius_km)!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Polygon simplification (Douglas-Peucker) and per-group convex hull
+# ---------------------------------------------------------------------------
+
+def _dp_simplify(xs: np.ndarray, ys: np.ndarray, tol: float):
+    """Iterative Douglas-Peucker over one open polyline (NumPy,
+    stack-based — no recursion limits)."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        x0, y0, x1, y1 = xs[i0], ys[i0], xs[i1], ys[i1]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        px = xs[i0 + 1:i1]
+        py = ys[i0 + 1:i1]
+        if seg2 == 0.0:
+            d2 = (px - x0) ** 2 + (py - y0) ** 2
+        else:
+            t = np.clip(((px - x0) * dx + (py - y0) * dy) / seg2, 0.0, 1.0)
+            d2 = (px - (x0 + t * dx)) ** 2 + (py - (y0 + t * dy)) ** 2
+        j = int(np.argmax(d2))
+        if d2[j] > tol * tol:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return keep
+
+
+def simplify_rings(rings: DataFrame, tolerance: float,
+                   key_col: str = "doc_id",
+                   ring_col: str = "ring") -> DataFrame:
+    """Douglas-Peucker simplification of polygon rings (closed vertex
+    arrays of (x, y) structs) within ``tolerance`` — AOI geometries
+    arriving at survey resolution carry orders of magnitude more
+    vertices than a 10 m pixel grid can see, and every extra vertex
+    taxes every downstream point-in-polygon refinement. Guarantees:
+    output vertices are a SUBSET of the input, endpoints of the split
+    diagonal are kept, and every dropped vertex lies within
+    ``tolerance`` of the simplified outline.
+
+    Shape: one Arrow-batched pandas UDF per ring row (the recursion is
+    per-geometry and bounded by vertex count — rings never cross rows,
+    so this parallelizes embarrassingly across the ring table; no
+    shuffle at all). The split recursion is data-dependent —
+    non-SQL-expressible — so correctness is pinned by pytest
+    properties + golden parity with an independent recursive
+    reference; gate records rows-only.
+    """
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType())]))
+
+    @pandas_udf(out_t)
+    def _simp(col):
+        res = []
+        for ring in col:
+            pts = [(float(p["x"]), float(p["y"])) for p in ring]
+            closed = len(pts) >= 2 and pts[0] == pts[-1]
+            if closed:
+                pts = pts[:-1]
+            if len(pts) <= 3:
+                keep_pts = pts
+            else:
+                xs = np.array([p[0] for p in pts] + [pts[0][0]])
+                ys = np.array([p[1] for p in pts] + [pts[0][1]])
+                keep = _dp_simplify(xs, ys, float(tolerance))
+                keep_pts = [pts[i] for i in range(len(pts)) if keep[i]]
+                if len(keep_pts) < 3:
+                    # degenerate collapse: fall back to the triangle of
+                    # first/furthest points so the ring stays a polygon
+                    keep_pts = pts[:3]
+            if closed:
+                keep_pts = keep_pts + [keep_pts[0]]
+            res.append([{"x": x, "y": y} for x, y in keep_pts])
+        import pandas as _pd
+        return _pd.Series(res)
+
+    return (rings.select(key_col, F.col(ring_col),
+                         F.size(ring_col).alias("n_before"))
+            .withColumn("simplified", _simp(F.col(ring_col)))
+            .select(key_col, "n_before",
+                    F.size("simplified").alias("n_after"), "simplified"))
+
+
+def convex_hull(points: DataFrame, key_col: str = "doc_id",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-group convex hull (Andrew's monotone chain) with shoelace
+    area and perimeter — the AOI footprint summary of a pixel cloud
+    (coverage sanity vs the declared polygon, containment debugging).
+    Returns (key, n_points, n_hull, hull_area, hull_perimeter).
+
+    Shape: groupBy(key).applyInPandas — one shuffle on the AOI key,
+    then an O(n log n) NumPy chain per group; group state is the
+    pixel set of ONE AOI (the same per-doc cardinality every decode
+    batch already holds). Hull selection is data-dependent —
+    non-SQL — pinned by pytest (known squares, collinear edges,
+    area/perimeter golden values); gate records rows-only.
+    """
+    schema = ("key string, n_points long, n_hull long, "
+              "hull_area double, hull_perimeter double")
+
+    def _hull(pdf):
+        xs = pdf["_hx"].to_numpy(dtype=np.float64)
+        ys = pdf["_hy"].to_numpy(dtype=np.float64)
+        pts = np.unique(np.column_stack([xs, ys]), axis=0)
+        k = str(pdf["_hk"].iloc[0])
+        n = len(xs)
+        if len(pts) < 3:
+            return pd.DataFrame(
+                [{"key": k, "n_points": n, "n_hull": len(pts),
+                  "hull_area": 0.0, "hull_perimeter": 0.0}])
+
+        def half(p):
+            h = []
+            for q in p:
+                while len(h) >= 2 and (
+                        (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                        - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])) <= 0:
+                    h.pop()
+                h.append((q[0], q[1]))
+            return h
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        hull = lower[:-1] + upper[:-1]
+        hx = np.array([p[0] for p in hull])
+        hy = np.array([p[1] for p in hull])
+        area = 0.5 * abs(np.dot(hx, np.roll(hy, -1))
+                         - np.dot(hy, np.roll(hx, -1)))
+        per = float(np.sum(np.hypot(np.diff(np.append(hx, hx[0])),
+                                    np.diff(np.append(hy, hy[0])))))
+        return pd.DataFrame(
+            [{"key": k, "n_points": n, "n_hull": len(hull),
+              "hull_area": round(area, 6) + 0.0,
+              "hull_perimeter": round(per, 6) + 0.0}])
+
+    return (points.select(F.col(key_col).cast("string").alias("_hk"),
+                          F.col(x_col).cast("double").alias("_hx"),
+                          F.col(y_col).cast("double").alias("_hy"))
+            .groupBy("_hk").applyInPandas(lambda pdf: _hull(pdf), schema)
+            .withColumnRenamed("key", key_col))

@@ -436,3 +436,53 @@ def test_domain_grid_check_is_single_broadcast_probe(spark):
     # exchanged for the join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_allpairs_jaccard_equi_joins_only(spark):
+    # the whole point of prefix filtering is candidate generation via
+    # EQUI-joins on shingle/doc keys — any nested-loop/cartesian means
+    # the theta predicate leaked into the join itself
+    from satellitetools_spark.operators.dedup import allpairs_jaccard_pairs
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta w{i} x{i} y{i} z{i}")
+         for i in range(12)], ["doc_id", "text"])
+    plan = _plan(allpairs_jaccard_pairs(docs, n=3, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_naive_bayes_no_cartesian_and_single_argmax_window(spark):
+    # model/prior/floor tables ride in on equi or broadcast joins; the
+    # only window is the per-doc argmax over |labels| rows
+    from satellitetools_spark.operators.text import naive_bayes_predict
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 2 else "fi",
+          f"alpha beta w{i} x{i}") for i in range(12)],
+        ["doc_id", "lang", "text"])
+    plan = _plan(naive_bayes_predict(docs, "lang"))
+    assert "CartesianProduct" not in plan
+    # exactly one Window node ("Window [" excludes the WindowGroupLimit
+    # rank-pushdown nodes, which are the optimization we WANT)
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_adamic_adar_wedge_is_equi_join(spark):
+    from satellitetools_spark.operators.graph import adamic_adar
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["doc_a", "doc_b"])
+    plan = _plan(adamic_adar(pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_smd_balance_single_aggregate(spark):
+    # every covariate's per-arm moments come from ONE pass: exactly one
+    # HashAggregate pair (partial+final), no join, no shuffle beyond it
+    from satellitetools_spark.operators.inference import smd_balance
+    df = spark.createDataFrame(
+        [(i % 2, float(i), float(i * i)) for i in range(50)],
+        ["t", "x", "z"])
+    plan = _plan(smd_balance(df, "t = 1", ["x", "z"]))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1

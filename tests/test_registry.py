@@ -18,9 +18,16 @@ def test_every_query_has_an_oracle():
     missing = sorted(set(q) - set(o))
     extra = sorted(set(o) - set(q))
     # rows-only entries are allowed by the driver but must be a
-    # DELIBERATE choice — today there are none; add names here with a
-    # comment if one ever becomes genuinely non-SQL-expressible
-    assert missing == [], f"queries without oracles: {missing}"
+    # DELIBERATE choice — exactly these, each a genuinely non-SQL-
+    # expressible loop pinned by independent-NumPy pytest parity:
+    #   docs_isotonic  — PAV's data-dependent pooling merge
+    #   events_dtw     — the DTW dynamic-programming recurrence
+    #   docs_logistic  — IRLS driver-side Newton solve
+    #   geo_hull       — monotone-chain hull selection
+    #   geo_simplify   — Douglas-Peucker split recursion
+    assert missing == ["docs_isotonic", "docs_logistic", "events_dtw",
+                       "geo_hull", "geo_simplify"], (
+        f"queries without oracles: {missing}")
     assert extra == [], f"oracles without queries: {extra}"
 
 

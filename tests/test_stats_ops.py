@@ -1815,3 +1815,85 @@ def test_smd_balance_degenerate_guard(spark):
         [(0, 1.0), (0, 1.0), (1, 1.0), (1, 1.0)], "t int, x double")
     r = INF.smd_balance(df, "t = 1", ["x"]).collect()[0]
     assert r["smd"] is None and r["var_ratio"] is None
+
+
+# --------------------------------------------------------- geo extras
+
+def test_haversine_join_bruteforce_parity_and_wraparound(spark):
+    import math
+    pts = [(0, 179.9, 10.0), (1, -179.9, 10.2), (2, 0.0, 0.0),
+           (3, 2.0, 0.5), (4, 100.0, 89.5), (5, -100.0, 89.6)]
+    sts = [(0, -179.95, 10.1), (1, 1.0, 0.0), (2, 60.0, 89.8)]
+    p = spark.createDataFrame(pts, "event_id int, lon double, lat double")
+    s = spark.createDataFrame(
+        sts, "station_id int, slon double, slat double")
+    got = {(r["event_id"], r["station_id"]): r["dist_km"]
+           for r in SP.haversine_join(p, s, radius_km=300.0).collect()}
+
+    def hav(lo1, la1, lo2, la2):
+        rad = math.radians
+        a = (math.sin(rad(la2 - la1) / 2) ** 2
+             + math.cos(rad(la1)) * math.cos(rad(la2))
+             * math.sin(rad(lo2 - lo1) / 2) ** 2)
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    want = {}
+    for eid, lon, lat in pts:
+        for sid, slon, slat in sts:
+            d = round(hav(lon, lat, slon, slat), 6)
+            if d <= 300.0:
+                want[(eid, sid)] = d
+    assert got == want
+    # the antimeridian pair (point at +179.9 vs station at -179.95)
+    # must be present — a naive |dlon| pre-filter drops it
+    assert (0, 0) in got
+    # near-pole pair: 160 degrees of longitude apart yet < 300 km
+    assert (4, 2) in got and (5, 2) in got
+
+
+def test_simplify_rings_properties_and_reference_parity(spark):
+    import numpy as np
+    # noisy circle: 80 vertices, radius 100 +- small wiggle
+    th = np.linspace(0, 2 * np.pi, 81)[:-1]
+    xs = 100.0 * np.cos(th) + 2.0 * np.cos(9 * th)
+    ys = 100.0 * np.sin(th) + 2.0 * np.sin(9 * th)
+    ring = [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
+    ring.append(ring[0])
+    df = spark.createDataFrame(
+        [("r1", ring)],
+        "doc_id string, ring array<struct<x:double,y:double>>")
+    out = SP.simplify_rings(df, tolerance=5.0).collect()[0]
+    simp = [(p["x"], p["y"]) for p in out["simplified"]]
+    orig = [(p["x"], p["y"]) for p in ring]
+    assert out["n_after"] < out["n_before"]
+    assert set(simp) <= set(orig)          # vertex subset
+    assert simp[0] == simp[-1]             # stays closed
+    # every dropped vertex lies within tol of the simplified outline
+    def seg_d(p, a, b):
+        ax, ay = a; bx, by = b; px, py = p
+        dx, dy = bx - ax, by - ay
+        t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy)
+                         / (dx * dx + dy * dy)))
+        return ((px - ax - t * dx) ** 2 + (py - ay - t * dy) ** 2) ** 0.5
+    for p in orig[:-1]:
+        if p in set(simp):
+            continue
+        d = min(seg_d(p, simp[i], simp[i + 1])
+                for i in range(len(simp) - 1))
+        assert d <= 5.0 + 1e-9
+
+
+def test_convex_hull_known_shapes(spark):
+    # unit square + interior and collinear edge points: hull is the
+    # 4 corners, area 1, perimeter 4
+    pts = [("s", 0.0, 0.0), ("s", 1.0, 0.0), ("s", 1.0, 1.0),
+           ("s", 0.0, 1.0), ("s", 0.5, 0.5), ("s", 0.5, 0.0),
+           ("s", 0.0, 0.5),
+           # degenerate group: a single segment
+           ("seg", 0.0, 0.0), ("seg", 2.0, 0.0)]
+    df = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    got = {r["doc_id"]: r for r in SP.convex_hull(df).collect()}
+    assert got["s"]["n_hull"] == 4
+    assert got["s"]["hull_area"] == 1.0
+    assert got["s"]["hull_perimeter"] == 4.0
+    assert got["seg"]["hull_area"] == 0.0
