@@ -242,6 +242,13 @@ def main() -> None:
     q_retries = int(os.environ.get("BENCH_QUERY_RETRIES", "2"))
     q_tol = float(os.environ.get("BENCH_PROBE_TOL", "1.5"))
     q_budget = float(os.environ.get("BENCH_QUERY_BUDGET_SEC", "1200"))
+    # Minimum attempts per query: the FIRST execution of a plan pays
+    # Python-worker spinup + fresh-page faults (measured 2026-08-21:
+    # docs_train_pipeline 10.7 s cold vs 2.3 s warm on a probe-CLEAN
+    # host — the probe gates host weather, not Spark warm-up), so the
+    # steady-state number a 1000-executor deployment cares about is the
+    # min over >= 2 attempts, same philosophy as the scaling reps.
+    q_min_attempts = int(os.environ.get("BENCH_QUERY_MIN_ATTEMPTS", "2"))
     wait_for_clean(float(os.environ.get("BENCH_WAIT_CLEAN_SEC", "900")))
     probe_best = cpu_probe()
     phase_t0 = time.perf_counter()
@@ -260,7 +267,8 @@ def main() -> None:
                 clean = probe <= q_tol * probe_best and probe <= ABS_CLEAN
                 if attempt:
                     log(f"{name} (retry {attempt}): {dt:.2f}s probe={probe:.2f}s")
-                if clean or time.perf_counter() - phase_t0 > q_budget:
+                if ((clean and attempt + 1 >= q_min_attempts)
+                        or time.perf_counter() - phase_t0 > q_budget):
                     break
             per_query[name] = round(best_dt, 3)
             query_probes[name] = round(best_probe, 4)

@@ -506,3 +506,79 @@ ll0 AS (
 ),{body}
 SELECT node, label AS community FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (fixed frontier rounds)
+# ---------------------------------------------------------------------------
+
+def bfs_hops(pairs: DataFrame, sources: DataFrame, max_hops: int = 4,
+             src_col: str = "doc_a", dst_col: str = "doc_b",
+             source_col: str = "node") -> DataFrame:
+    """Minimum hop count from a SET of source nodes to every node
+    within ``max_hops`` over an undirected pair table — "how far is
+    each document from a known-bad seed set" (contamination blast
+    radius), the reachability readout `connected_components` is too
+    coarse for. Returns (node, hops).
+
+    Each round is pure relational algebra — frontier⋈edges, then a
+    min-hop merge — so a fixed round count stays oracle-checkable
+    (identical unrolled CTE layers). Rounds are idempotent once the
+    frontier empties, so over-provisioned ``max_hops`` changes
+    nothing. Per round: ONE equi-join of the CURRENT FRONTIER (not
+    the full visited set) against the edge table + one node-keyed
+    min-agg; frontier and dist tables are node-cardinality, lazily
+    checkpointed. Multi-source by construction (pass one row for
+    single-source).
+    """
+    edges = (pairs.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .unionByName(pairs.select(F.col(dst_col).alias("src"),
+                                       F.col(src_col).alias("dst"))))
+    dist = sources.select(F.col(source_col).alias("node"),
+                          F.lit(0).alias("hops"))
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src")
+                          .select("src"), "src")
+               .select(F.col("dst").alias("node"),
+                       F.lit(h).alias("hops")))
+        merged = (dist.unionByName(nxt)
+                  .groupBy("node").agg(F.min("hops").alias("hops"))
+                  .localCheckpoint(eager=False))
+        frontier = merged.filter(F.col("hops") == h)
+        dist = merged
+    return dist
+
+
+def bfs_hops_sql(pairs_sql: str, sources_sql: str, max_hops: int = 4,
+                 src_col: str = "doc_a", dst_col: str = "doc_b",
+                 source_col: str = "node") -> str:
+    """DuckDB oracle: identical frontier rounds as unrolled CTE
+    layers."""
+    layers = []
+    prev = "bd0"
+    for h in range(1, int(max_hops) + 1):
+        layers.append(f"""
+bf{h} AS MATERIALIZED (
+  SELECT e.dst AS node, {h} AS hops
+  FROM bedges e JOIN (SELECT node FROM {prev} WHERE hops = {h - 1}) f
+    ON e.src = f.node
+),
+bd{h} AS MATERIALIZED (
+  SELECT node, MIN(hops) AS hops FROM
+    (SELECT * FROM {prev} UNION ALL SELECT * FROM bf{h})
+  GROUP BY node)""")
+        prev = f"bd{h}"
+    body = ",".join(layers)
+    return f"""
+WITH braw AS ({pairs_sql}),
+bedges AS MATERIALIZED (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM braw
+  UNION ALL
+  SELECT {dst_col} AS src, {src_col} AS dst FROM braw
+),
+bsrc AS ({sources_sql}),
+bd0 AS (SELECT {source_col} AS node, 0 AS hops FROM bsrc),{body}
+SELECT node, CAST(hops AS INT) AS hops FROM {prev}
+"""

@@ -2888,3 +2888,177 @@ def dtw_distance(series: DataFrame, key_col: str = "key",
         "key_a", "key_b",
         F.size("va").alias("n_a"), F.size("vb").alias("n_b"),
         (F.round(_dtw(F.col("va"), F.col("vb")), 6) + 0.0).alias("dtw")))
+
+
+# ---------------------------------------------------------------------------
+# Type-2 slowly-changing dimension build
+# ---------------------------------------------------------------------------
+
+def scd2_build(df: DataFrame, key_col: str, ts_col: str,
+               attr_cols: Sequence[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension table from a change log: one
+    validity interval per (key, attribute-state) run —
+    (key, attrs..., valid_from, valid_to, is_current), with
+    consecutive no-change rows collapsed first (a feed that re-emits
+    unchanged state must not open a new version). The warehouse
+    primitive behind as-of dimension joins (`asof_join` consumes
+    exactly this shape).
+
+    Shape: ONE key window used twice in the same exchange — a lag
+    comparison marks change rows, a lead over the SURVIVING change
+    rows closes each interval; both windows share the (key, ts) sort,
+    so the whole build is one shuffle. Ties on (key, ts) are broken
+    by the full attribute tuple for determinism. 10^12 change rows →
+    one exchange, no joins.
+    """
+    attrs = list(attr_cols)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in attrs]))
+    changed = F.lit(False)
+    for c in attrs:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~(F.col(c).eqNullSafe(prev))
+    first = F.lag(F.col(ts_col)).over(w).isNull()
+    marked = df.withColumn("_chg", first | changed)
+    runs = marked.filter(F.col("_chg"))
+    w2 = (Window.partitionBy(key_col)
+          .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in attrs]))
+    return (runs
+            .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+            .select(key_col, *attrs,
+                    F.col(ts_col).alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))
+
+
+def scd2_build_sql(table: str, key_col: str, ts_col: str,
+                   attr_cols: Sequence[str]) -> str:
+    """DuckDB oracle: identical lag-mark + lead-close windows."""
+    attrs = list(attr_cols)
+    order = ", ".join([f"{ts_col} ASC"] + [f"{c} ASC" for c in attrs])
+    chg = " OR ".join(
+        f"({c} IS DISTINCT FROM LAG({c}) OVER w)" for c in attrs)
+    alist = ", ".join(attrs)
+    return f"""
+WITH marked AS (
+  SELECT *, (LAG({ts_col}) OVER w IS NULL) OR ({chg}) AS _chg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})
+),
+runs AS (SELECT * FROM marked WHERE _chg)
+SELECT {key_col}, {alist},
+       {ts_col} AS valid_from,
+       LEAD({ts_col}) OVER w2 AS valid_to,
+       (LEAD({ts_col}) OVER w2 IS NULL) AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY {key_col} ORDER BY {order})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversion touch attribution (last-touch + journey first-touch)
+# ---------------------------------------------------------------------------
+
+def attribution(events: DataFrame, conversion_pred: str,
+                touch_pred: str, lookback_seconds: float,
+                key: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type") -> DataFrame:
+    """Marketing-style conversion attribution over an event stream:
+    for every conversion event, the LAST qualifying touch strictly
+    before it (within ``lookback_seconds``) and the FIRST touch of the
+    current journey (touches since the previous conversion reset the
+    journey). Output: (key, conv_ts, last_touch_type, last_touch_ts,
+    first_touch_type, in_window).
+
+    Shape: ONE key window shared by all four carried columns (last
+    touch ts/type via running max over a touch-gated struct; journey
+    id via running conversion count; first touch via min-struct over
+    the journey partition) — two exchanges total (key, then
+    key+journey), no self-join at event cardinality, which is the
+    whole point vs the naive conversions×touches range join.
+    """
+    e = events.select(
+        F.col(key).alias("k"), F.col(ts_col).alias("t"),
+        F.col(type_col).alias("ty"),
+        F.expr(conversion_pred).alias("is_conv"),
+        F.expr(touch_pred).alias("is_touch"))
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("t").asc(), F.col("ty").asc()))
+    # running last touch BEFORE the current row: gate the struct to
+    # touch rows, take max over the preceding frame
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    last_touch = F.max(F.when(F.col("is_touch"),
+                              F.struct("t", "ty"))).over(wprev)
+    journey = F.sum(F.when(F.col("is_conv"), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = (e.withColumn("_lt", last_touch)
+              .withColumn("_j", F.coalesce(journey, F.lit(0))))
+    wj = Window.partitionBy("k", "_j")
+    first_touch = F.min(F.when(F.col("is_touch"),
+                               F.struct("t", "ty"))).over(wj)
+    out = (marked.withColumn("_ft", first_touch)
+           .filter(F.col("is_conv"))
+           .select(F.col("k").alias(key),
+                   F.col("t").alias("conv_ts"),
+                   F.col("ty").alias("conv_type"),
+                   F.col("_lt.ty").alias("last_touch_type"),
+                   F.col("_lt.t").alias("last_touch_ts"),
+                   F.col("_ft.ty").alias("first_touch_type"),
+                   (F.col("_lt").isNotNull()
+                    & (F.col("t").cast("timestamp").cast("double")
+                       - F.col("_lt.t").cast("timestamp").cast("double")
+                       <= F.lit(float(lookback_seconds))))
+                   .alias("in_window")))
+    return out
+
+
+def attribution_sql(table: str, conversion_pred: str, touch_pred: str,
+                    lookback_seconds: float, key: str = "user_id",
+                    ts_col: str = "ts",
+                    type_col: str = "event_type") -> str:
+    """DuckDB oracle: identical windows (struct-max carries become
+    argmax via ROW_NUMBER-free last_value over ordered frames —
+    expressed with the same max-over-struct trick via ROW()
+    comparison is not portable, so the oracle uses the classic
+    max(CASE)-pair on (epoch, type) packed into a sortable string)."""
+    # pack (t, ty) into a lexically sortable token: zero-padded micros
+    pack = (f"CASE WHEN {{gate}} THEN "
+            f"lpad(CAST(epoch_us({ts_col}) AS VARCHAR), 20, '0')"
+            f" || '|' || {type_col} END")
+    lt = pack.format(gate=f"({touch_pred})")
+    return f"""
+WITH e AS (
+  SELECT {key} AS k, {ts_col} AS t, {type_col} AS ty,
+         ({conversion_pred}) AS is_conv, ({touch_pred}) AS is_touch,
+         {lt} AS tok
+  FROM {table}
+),
+m AS (
+  SELECT *,
+         MAX(tok) OVER (PARTITION BY k ORDER BY t ASC, ty ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS lt_tok,
+         COALESCE(SUM(CASE WHEN is_conv THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY k ORDER BY t ASC, ty ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS j
+  FROM e
+),
+mj AS (
+  SELECT *,
+         MIN(tok) OVER (PARTITION BY k, j) AS ft_tok
+  FROM m
+)
+SELECT k AS {key}, t AS conv_ts, ty AS conv_type,
+       CASE WHEN lt_tok IS NOT NULL
+            THEN substr(lt_tok, 22) END AS last_touch_type,
+       CASE WHEN lt_tok IS NOT NULL
+            THEN make_timestamp(CAST(substr(lt_tok, 1, 20) AS BIGINT))
+            END AS last_touch_ts,
+       CASE WHEN ft_tok IS NOT NULL
+            THEN substr(ft_tok, 22) END AS first_touch_type,
+       (lt_tok IS NOT NULL AND
+        epoch(t) - epoch(make_timestamp(CAST(substr(lt_tok, 1, 20)
+                                             AS BIGINT)))
+          <= {float(lookback_seconds)!r}) AS in_window
+FROM mj WHERE is_conv
+"""

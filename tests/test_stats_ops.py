@@ -1897,3 +1897,71 @@ def test_convex_hull_known_shapes(spark):
     assert got["s"]["hull_area"] == 1.0
     assert got["s"]["hull_perimeter"] == 4.0
     assert got["seg"]["hull_area"] == 0.0
+
+
+# ------------------------------------------- SCD2 / attribution / BFS
+
+def test_scd2_build_collapses_and_closes(spark):
+    import datetime as dt
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [("u1", T0, "a"), ("u1", T0 + dt.timedelta(1), "a"),  # re-emit
+            ("u1", T0 + dt.timedelta(2), "b"),
+            ("u1", T0 + dt.timedelta(3), "a"),
+            ("u2", T0, "x")]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, state string")
+    out = sorted(TP.scd2_build(df, "user_id", "ts", ["state"]).collect(),
+                 key=lambda r: (r["user_id"], r["valid_from"]))
+    u1 = [r for r in out if r["user_id"] == "u1"]
+    assert [r["state"] for r in u1] == ["a", "b", "a"]  # re-emit collapsed
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["is_current"] and not u1[0]["is_current"]
+    u2 = [r for r in out if r["user_id"] == "u2"]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_attribution_last_and_first_touch(spark):
+    import datetime as dt
+    T0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, mins, ty):
+        return (u, T0 + dt.timedelta(minutes=mins), ty)
+
+    rows = [ev("u", 0, "view"), ev("u", 10, "click"),
+            ev("u", 20, "purchase"),           # j0: first=view, last=click
+            ev("u", 30, "view"),
+            ev("u", 3000, "purchase"),         # j1: touch outside 1h window
+            ev("v", 0, "purchase")]            # no touch at all
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string")
+    out = {(r["user_id"], r["conv_ts"]): r
+           for r in TP.attribution(
+               df, "event_type = 'purchase'",
+               "event_type IN ('view','click')", 3600.0).collect()}
+    c1 = out[("u", T0 + dt.timedelta(minutes=20))]
+    assert c1["last_touch_type"] == "click"
+    assert c1["first_touch_type"] == "view"
+    assert c1["in_window"]
+    c2 = out[("u", T0 + dt.timedelta(minutes=3000))]
+    assert c2["last_touch_type"] == "view"      # carried but stale
+    assert not c2["in_window"]                   # outside lookback
+    assert c2["first_touch_type"] == "view"      # journey 1 starts at t=30
+    c3 = out[("v", T0)]
+    assert c3["last_touch_type"] is None and not c3["in_window"]
+
+
+def test_bfs_hops_path_and_multisource(spark):
+    from satellitetools_spark.operators.graph import bfs_hops
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["doc_a", "doc_b"])
+    seeds = spark.createDataFrame([("a",), ("x",)], ["node"])
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(pairs, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 0, "y": 1}
+    # e is 4 hops out -> absent at max_hops=3; multi-source min wins
+    seeds2 = spark.createDataFrame([("a",), ("e",)], ["node"])
+    got2 = {r["node"]: r["hops"]
+            for r in bfs_hops(pairs, seeds2, max_hops=3).collect()}
+    assert got2["c"] == 2 and got2["d"] == 1 and got2["e"] == 0
