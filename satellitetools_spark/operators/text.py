@@ -9,7 +9,7 @@ rolling-hash fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single other non-space
@@ -2069,4 +2069,136 @@ ranked AS (
 SELECT doc_id, actual, label AS pred,
        ROUND(score, 6) + 0.0 AS log_score
 FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (corpus top-k multi-word phrases)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that "
+    "the to was were will with this which or but not no so if then "
+    "than too very can could should would may might must do does did "
+    "have had having i you we they them their there here when where "
+    "how what who whom why all any both each few more most other some "
+    "such only own same s t just don now").split()
+
+
+def rake_keywords(docs: DataFrame, text_col: str = "text",
+                  top_k: int = 25,
+                  stopwords: Sequence[str] = tuple(RAKE_STOPWORDS),
+                  min_len: int = 2) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores deg(w)/freq(w) (deg = Σ phrase length over its
+    occurrences — co-occurrence degree); a phrase scores the sum of
+    its word scores. Returns the corpus top-k multi-word phrases
+    (n_tokens ≥ ``min_len``) by (score DESC, phrase ASC) with
+    occurrence counts — the corpus-level keyword/terminology miner
+    that complements per-doc tf-idf.
+
+    Shape: phrase segmentation is the GAPS-AND-ISLANDS trick — one
+    doc-keyed window assigns run ids (pos − row_number over non-stop
+    tokens), so phrases materialize with ONE exchange of the token
+    stream and zero UDFs; word stats are vocabulary-cardinality hash
+    aggs; the final rank is a heap top-k over the distinct-phrase
+    table. Every step is identical relational algebra in the DuckDB
+    oracle.
+    """
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            "x -> x != '')")).alias("pos", "token")))
+    nonstop = toks.filter(~F.col("token").isin(list(stopwords)))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "run", F.col("pos") - F.row_number().over(w))
+    phrases = (runs.groupBy("doc_id", "run")
+               .agg(F.concat_ws(" ", F.array_sort(
+                   F.collect_list(F.struct("pos", "token")))
+                   .getField("token")).alias("phrase"),
+                    F.count("*").alias("plen")))
+    occ = (runs.join(phrases.select("doc_id", "run", "plen"),
+                     ["doc_id", "run"])
+           .select("token", "plen"))
+    wstats = (occ.groupBy("token")
+              .agg(F.count("*").alias("freq"),
+                   F.sum("plen").alias("deg")))
+    ph_words = (runs.join(wstats, "token")
+                .groupBy("doc_id", "run")
+                .agg(F.sum(F.col("deg") / F.col("freq"))
+                     .alias("score")))
+    scored = (phrases.join(ph_words, ["doc_id", "run"])
+              .filter(F.col("plen") >= int(min_len))
+              .groupBy("phrase")
+              .agg(F.count("*").cast("long").alias("n_occurrences"),
+                   (F.round(F.max("score"), 6) + 0.0).alias("score")))
+    return (scored.orderBy(F.col("score").desc(),
+                           F.col("phrase").asc())
+            .limit(int(top_k)))
+
+
+def rake_keywords_sql(table: str = "documents", text_col: str = "text",
+                      top_k: int = 25,
+                      stopwords: Sequence[str] = tuple(RAKE_STOPWORDS),
+                      min_len: int = 2) -> str:
+    """DuckDB oracle: identical segmentation (gaps-and-islands), word
+    degree/frequency algebra, and tie order."""
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower({text_col}),
+                                        '[^a-z0-9]+'),
+                     x -> x != '') AS arr
+  FROM {table}
+),
+toks AS (
+  SELECT doc_id, pos - 1 AS pos, arr[pos] AS token
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr))) AS pos
+        FROM arrs)
+),
+nonstop AS (
+  SELECT * FROM toks WHERE token NOT IN ({sw})
+),
+runs AS (
+  SELECT doc_id, pos, token,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS run
+  FROM nonstop
+),
+phrases AS (
+  SELECT doc_id, run,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM runs GROUP BY doc_id, run
+),
+occ AS (
+  SELECT r.token, p.plen
+  FROM runs r JOIN phrases p ON r.doc_id = p.doc_id AND r.run = p.run
+),
+wstats AS (
+  SELECT token, COUNT(*) AS freq, SUM(plen) AS deg FROM occ
+  GROUP BY token
+),
+ph_words AS (
+  SELECT r.doc_id, r.run, SUM(w.deg * 1.0 / w.freq) AS score
+  FROM runs r JOIN wstats w USING (token)
+  GROUP BY r.doc_id, r.run
+),
+scored AS (
+  SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         ROUND(MAX(s.score), 6) + 0.0 AS score
+  FROM phrases p JOIN ph_words s
+    ON p.doc_id = s.doc_id AND p.run = s.run
+  WHERE p.plen >= {int(min_len)}
+  GROUP BY p.phrase
+)
+SELECT phrase, n_occurrences, score FROM scored
+ORDER BY score DESC, phrase ASC
+LIMIT {int(top_k)}
 """

@@ -2031,3 +2031,25 @@ def test_label_propagation_two_triangles_with_bridge(spark):
     assert got["a"] == got["b"] == got["c"]
     assert got["d"] == got["e"] == got["f"]
     assert got["a"] != got["d"]
+
+
+def test_rake_keywords_hand_scored(spark):
+    # "red panda" appears twice as a stopword-delimited phrase; with
+    # deg/freq: red {deg 4, freq 2}, panda {deg 4, freq 2} ->
+    # phrase score 4.0 beats the singleton-derived phrases
+    from satellitetools_spark.operators.text import rake_keywords
+    docs = spark.createDataFrame(
+        [("d1", "the red panda and the tall tree"),
+         ("d2", "a red panda in a tree")],
+        ["doc_id", "text"])
+    rows = rake_keywords(docs, top_k=5, min_len=2).collect()
+    top = rows[0]
+    assert top["phrase"] == "red panda"
+    assert top["n_occurrences"] == 2
+    assert top["score"] == 4.0
+    # "tall tree": tall {deg 2, freq 1} -> 2.0; tree {deg 3, freq 2}
+    # -> 1.5; total 3.5
+    assert any(r["phrase"] == "tall tree" and r["score"] == 3.5
+               for r in rows)
+    # singletons excluded by min_len
+    assert all(" " in r["phrase"] for r in rows)
