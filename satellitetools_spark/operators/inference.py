@@ -34,7 +34,7 @@ quantile sketch takes — bin values first (`checks.histogram` /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1177,4 +1177,220 @@ WITH mom AS (
   SELECT {', '.join(cols)} FROM {table}
 )
 {body}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+def diff_in_diff(df: DataFrame, treat_expr: str, post_expr: str,
+                 y_expr: str) -> DataFrame:
+    """2×2 difference-in-differences estimator: the causal workhorse
+    for staggered rollouts where randomization failed —
+    ``DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)``
+    with the large-sample SE from the four within-cell variances
+    (√Σ v_c/n_c), the z statistic, and the normal-approximation p.
+    One row: (n_00..n_11, m_00..m_11, did, se, z, p_approx).
+
+    Shape: ONE conditional-moment aggregation computes all four cells'
+    (n, Σy, Σy²) in a single pass — 12 numbers on the wire at any
+    scale. Degenerate cells (n < 2) yield NULL se/z/p but still report
+    the point estimate when all four means exist.
+    """
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    p = f"(CASE WHEN ({post_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({y_expr}) AS DOUBLE))"
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            g = f"{t} = {ti} AND {p} = {pi}"
+            aggs += [
+                F.sum(F.expr(f"CASE WHEN {g} THEN 1 ELSE 0 END"))
+                .alias(f"n_{ti}{pi}"),
+                F.sum(F.expr(f"CASE WHEN {g} THEN {y} ELSE 0.0 END"))
+                .alias(f"s_{ti}{pi}"),
+                F.sum(F.expr(f"CASE WHEN {g} THEN {y} * {y} ELSE 0.0 END"))
+                .alias(f"q_{ti}{pi}")]
+    mom = df.agg(*aggs)
+    m = {f"m_{c}": f"(s_{c} / n_{c})" for c in
+         ("00", "01", "10", "11")}
+    v = {c: f"((q_{c} - s_{c} * s_{c} / n_{c}) / (n_{c} - 1) / n_{c})"
+         for c in ("00", "01", "10", "11")}
+    did = (f"(({m['m_11']} - {m['m_10']})"
+           f" - ({m['m_01']} - {m['m_00']}))")
+    se = ("CASE WHEN n_00 >= 2 AND n_01 >= 2 AND n_10 >= 2 AND n_11 >= 2"
+          f" THEN sqrt({v['00']} + {v['01']} + {v['10']} + {v['11']}) END")
+    sel = [F.col(f"n_{c}").cast("long").alias(f"n_{c}")
+           for c in ("00", "01", "10", "11")]
+    sel += [_r6(F.expr(f"CASE WHEN n_{c} >= 1 THEN {m[f'm_{c}']} END"))
+            .alias(f"m_{c}") for c in ("00", "01", "10", "11")]
+    mom = mom.withColumn("_se", F.expr(se))
+    # p is computed from the UNROUNDED z (matching the oracle), both
+    # rounded only in the output projection
+    sel += [_r6(F.expr(f"CASE WHEN n_00 >= 1 AND n_01 >= 1 AND"
+                       f" n_10 >= 1 AND n_11 >= 1 THEN {did} END"))
+            .alias("did"),
+            _r6(F.col("_se")).alias("se"),
+            _r6(F.expr(f"CASE WHEN _se > 0 THEN {did} / _se END"))
+            .alias("z"),
+            _r6(F.expr(
+                f"CASE WHEN _se > 0 THEN "
+                + _WSR_P_FMT.format(z=f"ABS(({did}) / _se)") + " END"))
+            .alias("p_approx")]
+    return mom.select(*sel)
+
+
+def diff_in_diff_sql(table: str, treat_expr: str, post_expr: str,
+                     y_expr: str) -> str:
+    """DuckDB oracle: identical conditional-moment algebra and shared
+    erf string."""
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    p = f"(CASE WHEN ({post_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({y_expr}) AS DOUBLE))"
+    cols = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            g = f"{t} = {ti} AND {p} = {pi}"
+            cols += [
+                f"SUM(CASE WHEN {g} THEN 1 ELSE 0 END) AS n_{ti}{pi}",
+                f"SUM(CASE WHEN {g} THEN {y} ELSE 0.0 END) AS s_{ti}{pi}",
+                f"SUM(CASE WHEN {g} THEN {y} * {y} ELSE 0.0 END)"
+                f" AS q_{ti}{pi}"]
+    m = {c: f"(s_{c} / n_{c})" for c in ("00", "01", "10", "11")}
+    v = {c: f"((q_{c} - s_{c} * s_{c} / n_{c}) / (n_{c} - 1) / n_{c})"
+         for c in ("00", "01", "10", "11")}
+    did = f"(({m['11']} - {m['10']}) - ({m['01']} - {m['00']}))"
+    se = ("CASE WHEN n_00 >= 2 AND n_01 >= 2 AND n_10 >= 2 AND n_11 >= 2"
+          f" THEN sqrt({v['00']} + {v['01']} + {v['10']} + {v['11']}) END")
+    msel = ", ".join(
+        f"ROUND(CASE WHEN n_{c} >= 1 THEN {m[c]} END, 6) + 0.0 AS m_{c}"
+        for c in ("00", "01", "10", "11"))
+    nsel = ", ".join(f"CAST(n_{c} AS BIGINT) AS n_{c}"
+                     for c in ("00", "01", "10", "11"))
+    return f"""
+WITH mom AS (SELECT {', '.join(cols)} FROM {table}),
+ext AS (SELECT *, {se} AS _se FROM mom)
+SELECT {nsel}, {msel},
+       ROUND(CASE WHEN n_00 >= 1 AND n_01 >= 1 AND n_10 >= 1
+                  AND n_11 >= 1 THEN {did} END, 6) + 0.0 AS did,
+       ROUND(_se, 6) + 0.0 AS se,
+       ROUND(CASE WHEN _se > 0 THEN {did} / _se END, 6) + 0.0 AS z,
+       ROUND(CASE WHEN _se > 0 THEN
+             {_WSR_P_FMT.format(z=f"ABS(({did}) / _se)")} END, 6) + 0.0
+         AS p_approx
+FROM ext
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed / winsorized means from the distinct-value histogram
+# ---------------------------------------------------------------------------
+
+def trimmed_stats(df: DataFrame, value_expr: str,
+                  by_expr: str | None = None,
+                  trim: float = 0.05) -> DataFrame:
+    """Exact trimmed and winsorized means per group — the robust
+    location estimates for metric pipelines where MAD flags outliers
+    but the readout still needs a mean-like number (revenue per user
+    with whales clipped). ``k = ⌊trim·n⌋`` observations are dropped
+    (trimmed) or clamped to the boundary order statistics
+    (winsorized) at EACH end. Output: (grp, n, k, mean, trimmed_mean,
+    winsor_mean, v_lo, v_hi) where v_lo/v_hi are the rank-(k+1) and
+    rank-(n−k) values.
+
+    Shape: the corpus reduces to the per-group DISTINCT-VALUE
+    histogram with ONE map-combined hash agg; one cumulative window
+    over that alphabet-sized table assigns each value its rank span;
+    partial overlap with the trimmed tails becomes a per-value weight
+    ``clamp(min(cum_end, n−k) − max(cum_start, k), 0, n_v)`` — so the
+    trimmed mean is EXACT (not bin-approximate) with no sort of raw
+    rows anywhere. 10^12 rows → |distinct values| per group on the
+    wire, same discipline as the rank tests.
+    """
+    g = F.expr(by_expr) if by_expr else F.lit("all")
+    hist = (df.select(g.alias("grp"),
+                      F.expr(value_expr).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("grp", "v").agg(F.count("*").alias("nv")))
+    w = Window.partitionBy("grp").orderBy("v")
+    wg = Window.partitionBy("grp")
+    cum = (hist
+           .withColumn("cum_end", F.sum("nv").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("n", F.sum("nv").over(wg))
+           .withColumn("cum_start", F.col("cum_end") - F.col("nv"))
+           .withColumn("k", F.floor(F.lit(float(trim)) * F.col("n"))))
+    wt = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum_end"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum_start"), F.col("k")))
+    cum = cum.withColumn("wt", wt)
+    return (cum.groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.max("k").cast("long").alias("_k"),
+                 F.sum(F.col("nv") * F.col("v")).alias("_s"),
+                 F.sum(F.col("wt") * F.col("v")).alias("_ts"),
+                 F.sum("wt").alias("_tw"),
+                 F.min(F.when(F.col("cum_end") >= F.col("k") + 1,
+                              F.col("v"))).alias("_vlo"),
+                 F.min(F.when(F.col("cum_end") >= F.col("n") - F.col("k"),
+                              F.col("v"))).alias("_vhi"))
+            .select("grp", "n", F.col("_k").alias("k"),
+                    _r6(F.col("_s") / F.col("n")).alias("mean"),
+                    _r6(F.expr("CASE WHEN _tw > 0 THEN _ts / _tw END"))
+                    .alias("trimmed_mean"),
+                    _r6((F.col("_ts") + F.col("_k")
+                         * (F.col("_vlo") + F.col("_vhi")))
+                        / F.col("n")).alias("winsor_mean"),
+                    _r6(F.col("_vlo")).alias("v_lo"),
+                    _r6(F.col("_vhi")).alias("v_hi")))
+
+
+def trimmed_stats_sql(table: str, value_expr: str,
+                      by_expr: str | None = None,
+                      trim: float = 0.05) -> str:
+    """DuckDB oracle: identical histogram, cumulative window, and
+    partial-weight algebra."""
+    g = by_expr if by_expr else "'all'"
+    return f"""
+WITH hist AS (
+  SELECT {g} AS grp, CAST(({value_expr}) AS DOUBLE) AS v,
+         COUNT(*) AS nv
+  FROM {table}
+  WHERE ({value_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         SUM(nv) OVER (PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end,
+         SUM(nv) OVER (PARTITION BY grp) AS n
+  FROM hist
+),
+ext AS (
+  SELECT *, cum_end - nv AS cum_start,
+         CAST(FLOOR({float(trim)!r} * n) AS BIGINT) AS k,
+         GREATEST(0, LEAST(cum_end, n - CAST(FLOOR({float(trim)!r} * n)
+                                             AS BIGINT))
+                  - GREATEST(cum_end - nv,
+                             CAST(FLOOR({float(trim)!r} * n) AS BIGINT)))
+           AS wt
+  FROM cum
+)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+       ROUND(SUM(nv * v) / MAX(n), 6) + 0.0 AS mean,
+       ROUND(CASE WHEN SUM(wt) > 0
+                  THEN SUM(wt * v) / SUM(wt) END, 6) + 0.0
+         AS trimmed_mean,
+       ROUND((SUM(wt * v) + MAX(k)
+              * (MIN(CASE WHEN cum_end >= k + 1 THEN v END)
+                 + MIN(CASE WHEN cum_end >= n - k THEN v END))) / MAX(n),
+             6) + 0.0 AS winsor_mean,
+       ROUND(MIN(CASE WHEN cum_end >= k + 1 THEN v END), 6) + 0.0
+         AS v_lo,
+       ROUND(MIN(CASE WHEN cum_end >= n - k THEN v END), 6) + 0.0
+         AS v_hi
+FROM ext GROUP BY grp
 """

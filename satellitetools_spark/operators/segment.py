@@ -375,3 +375,75 @@ SELECT key, rank,
             ELSE 'C' END AS abc_class
 FROM abr
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-visitation item-item similarity
+# ---------------------------------------------------------------------------
+
+def covisitation(df: DataFrame, key_col: str = "user_id",
+                 item_col: str = "event_type",
+                 min_count: int = 1) -> DataFrame:
+    """Item-item co-visitation similarity from a (user, item)
+    interaction log: for every item pair (a < b), the number of
+    distinct users touching BOTH and the cosine-normalized strength
+    ``n_ab / √(n_a·n_b)`` — the memory-based collaborative-filtering
+    primitive ("users who touched a also touched b") and the
+    co-occurrence backbone of related-content recommendations.
+
+    Shape: interactions dedupe to distinct (user, item) pairs (one
+    hash agg), then ONE wedge self-join on the user key with a < b —
+    fan-out Σ_u k_u² where k_u is the user's distinct-item count, the
+    same quadratic every co-occurrence method pays, bounded in
+    practice by per-user catalog touch (k_u ≪ catalog). Item
+    marginals join back at item cardinality. Power users can be
+    degree-capped upstream the same way `adamic_adar` caps wedge
+    apexes. No driver state, no UDFs.
+    """
+    ui = (df.select(F.col(key_col).alias("u"),
+                    F.col(item_col).alias("item")).distinct())
+    marg = ui.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = ui.select(F.col("u"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("u"), F.col("item").alias("item_b"))
+    pairs = (a.join(b, "u")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").cast("long").alias("n_both"))
+             .filter(F.col("n_both") >= int(min_count)))
+    ma = marg.select(F.col("item").alias("item_a"),
+                     F.col("n_item").alias("n_a"))
+    mb = marg.select(F.col("item").alias("item_b"),
+                     F.col("n_item").alias("n_b"))
+    return (pairs.join(ma, "item_a").join(mb, "item_b")
+            .select("item_a", "item_b", "n_both",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    (F.round(F.col("n_both")
+                             / F.sqrt(F.col("n_a") * F.col("n_b")), 6)
+                     + 0.0).alias("cosine")))
+
+
+def covisitation_sql(table: str, key_col: str = "user_id",
+                     item_col: str = "event_type",
+                     min_count: int = 1) -> str:
+    """DuckDB oracle: identical dedupe, wedge join, and cosine."""
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT {key_col} AS u, {item_col} AS item FROM {table}
+),
+marg AS (SELECT item, COUNT(*) AS n_item FROM ui GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {int(min_count)}
+)
+SELECT p.item_a, p.item_b, p.n_both,
+       CAST(ma.n_item AS BIGINT) AS n_a,
+       CAST(mb.n_item AS BIGINT) AS n_b,
+       ROUND(p.n_both / sqrt(ma.n_item * mb.n_item), 6) + 0.0 AS cosine
+FROM pairs p
+JOIN marg ma ON ma.item = p.item_a
+JOIN marg mb ON mb.item = p.item_b
+"""

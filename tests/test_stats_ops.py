@@ -1965,3 +1965,66 @@ def test_bfs_hops_path_and_multisource(spark):
     got2 = {r["node"]: r["hops"]
             for r in bfs_hops(pairs, seeds2, max_hops=3).collect()}
     assert got2["c"] == 2 and got2["d"] == 1 and got2["e"] == 0
+
+
+# ------------------------------- covisitation / DiD / trimmed means
+
+def test_covisitation_hand_counts(spark):
+    rows = [("u1", "a"), ("u1", "b"), ("u1", "a"),  # duplicate touch
+            ("u2", "a"), ("u2", "b"), ("u3", "a"), ("u3", "c")]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    from satellitetools_spark.operators.segment import covisitation
+    got = {(r["item_a"], r["item_b"]): r
+           for r in covisitation(df).collect()}
+    ab = got[("a", "b")]
+    assert ab["n_both"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["cosine"] == pytest.approx(2 / (3 * 2) ** 0.5, abs=1e-6)
+    assert got[("a", "c")]["n_both"] == 1
+    assert ("b", "c") not in got
+
+
+def test_diff_in_diff_planted_effect(spark):
+    import numpy as np
+    rng = np.random.RandomState(8)
+    rows = []
+    for i in range(2000):
+        t, p = i % 2, (i // 2) % 2
+        y = rng.randn() + 1.0 * t + 0.5 * p + 2.0 * t * p  # DiD = 2
+        rows.append((t, p, float(y)))
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = INF.diff_in_diff(df, "t = 1", "p = 1", "y").collect()[0]
+    assert r["did"] == pytest.approx(2.0, abs=0.2)
+    assert r["z"] > 10 and r["p_approx"] < 1e-6
+    # exact numpy parity on the point estimate
+    a = np.array(rows, dtype=object)
+    m = {}
+    for ti in (0, 1):
+        for pi in (0, 1):
+            vals = [y for (t, p, y) in rows if t == ti and p == pi]
+            m[(ti, pi)] = float(np.mean(vals))
+    want = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert r["did"] == pytest.approx(want, abs=1e-6)
+
+
+def test_trimmed_stats_exact_small(spark):
+    # values 1..10, trim=0.2 -> k=2: trimmed mean of 3..8 = 5.5;
+    # winsorized replaces {1,2}->3 and {9,10}->8 -> mean 5.5
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)],
+                               "v double")
+    r = INF.trimmed_stats(df, "v", trim=0.2).collect()[0]
+    assert r["n"] == 10 and r["k"] == 2
+    assert r["mean"] == 5.5
+    assert r["trimmed_mean"] == 5.5
+    assert r["winsor_mean"] == pytest.approx(
+        (sum(range(3, 9)) + 2 * 3 + 2 * 8) / 10, abs=1e-9)
+    assert (r["v_lo"], r["v_hi"]) == (3.0, 8.0)
+    # duplicate-heavy: partial tail overlap inside one histogram bucket
+    df2 = spark.createDataFrame(
+        [(1.0,)] * 5 + [(2.0,)] * 5 + [(100.0,)] * 2, "v double")
+    r2 = INF.trimmed_stats(df2, "v", trim=0.25).collect()[0]
+    # n=12, k=3: drop three 1.0s and {100,100,one 2.0}:
+    # remaining = two 1.0 + four 2.0 -> 10/6
+    assert r2["trimmed_mean"] == pytest.approx(10 / 6, abs=1e-6)
+    import numpy as np
+    assert r2["winsor_mean"] == pytest.approx(
+        float(np.mean([1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2])), abs=1e-6)
