@@ -2028,3 +2028,40 @@ def test_trimmed_stats_exact_small(spark):
     import numpy as np
     assert r2["winsor_mean"] == pytest.approx(
         float(np.mean([1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2])), abs=1e-6)
+
+
+def test_kriging_fill_numpy_parity_and_exactness(spark):
+    import numpy as np
+    sts = [(1, 0.0, 0.0, 10.0), (2, 100.0, 0.0, 20.0),
+           (3, 0.0, 100.0, 30.0), (4, 100.0, 100.0, 40.0),
+           (5, 50.0, 120.0, 25.0)]
+    stations = spark.createDataFrame(
+        sts, "station_id int, sx double, sy double, elevation double")
+    pts = [("t1", 50.0, 50.0), ("t2", 0.0, 0.0),  # t2 ON station 1
+           ("t3", 90.0, 10.0)]
+    points = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    out = {r["doc_id"]: r for r in SP.kriging_fill(
+        points, stations, k=5, radius=400.0, cell_m=40.0,
+        nugget=0.0, sill=1.0, vrange=500.0).collect()}
+
+    # exact interpolation at an observed location (nugget 0)
+    assert out["t2"]["krig_pred"] == pytest.approx(10.0, abs=1e-6)
+    assert out["t2"]["krig_var"] == pytest.approx(0.0, abs=1e-6)
+
+    # independent NumPy ordinary-kriging reference for t1
+    def gamma(h):
+        return 1.0 * (1.0 - np.exp(-3.0 * h / 500.0))
+    S = np.array([(s[1], s[2]) for s in sts])
+    v = np.array([s[3] for s in sts])
+    m = len(sts)
+    D = np.hypot(S[:, None, 0] - S[None, :, 0],
+                 S[:, None, 1] - S[None, :, 1])
+    G = np.zeros((m + 1, m + 1))
+    G[:m, :m] = gamma(D); np.fill_diagonal(G[:m, :m], 0.0)
+    G[m, :m] = G[:m, m] = 1.0
+    rhs = np.append(gamma(np.hypot(S[:, 0] - 50.0, S[:, 1] - 50.0)), 1.0)
+    sol = np.linalg.solve(G, rhs)
+    want = float(sol[:m] @ v)
+    assert out["t1"]["krig_pred"] == pytest.approx(want, abs=1e-5)
+    assert abs(sum(sol[:m]) - 1.0) < 1e-9  # weights sum to 1 (OK)
+    assert out["t1"]["n_used"] == 5
