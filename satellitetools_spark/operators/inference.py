@@ -1394,3 +1394,229 @@ SELECT grp, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
          AS v_hi
 FROM ext GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Rank-based inverse normal transform (INT)
+# ---------------------------------------------------------------------------
+
+# Acklam's inverse-normal-CDF rational approximation (|rel err| < 1.15e-9)
+# rendered as ONE shared expression string for the central region with
+# tail branches — both engines evaluate the identical text.
+_INV_NORM_CENTRAL = (
+    "((((((-3.969683028665376e+01 * {q2} + 2.209460984245205e+02) * {q2}"
+    " - 2.759285104469687e+02) * {q2} + 1.383577518672690e+02) * {q2}"
+    " - 3.066479806614716e+01) * {q2} + 2.506628277459239e+00) * {q}"
+    " / (((((-5.447609879822406e+01 * {q2} + 1.615858368580409e+02)"
+    " * {q2} - 1.556989798598866e+02) * {q2} + 6.680131188771972e+01)"
+    " * {q2} - 1.328068155288572e+01) * {q2} + 1.0))")
+_INV_NORM_TAIL = (
+    "((((((-7.784894002430293e-03 * {t} - 3.223964580411365e-01) * {t}"
+    " - 2.400758277161838e+00) * {t} - 2.549732539343734e+00) * {t}"
+    " + 4.374664141464968e+00) * {t} + 2.938163982698783e+00)"
+    " / ((((7.784695709041462e-03 * {t}"
+    " + 3.224671290700398e-01) * {t} + 2.445134137142996e+00) * {t}"
+    " + 3.754408661907416e+00) * {t} + 1.0))")
+
+
+def _inv_norm_fmt(p: str) -> str:
+    """Piecewise Acklam inverse Φ⁻¹({p}) as a shared formula string."""
+    q = f"(({p}) - 0.5)"
+    q2 = f"({q} * {q})"
+    tl = f"sqrt(-2.0 * ln(({p})))"
+    tu = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    central = _INV_NORM_CENTRAL.format(q=q, q2=q2)
+    lo = "(" + _INV_NORM_TAIL.format(t=tl) + ")"
+    hi = "(-" + _INV_NORM_TAIL.format(t=tu) + ")"
+    return (f"(CASE WHEN ({p}) < 0.02425 THEN {lo}"
+            f" WHEN ({p}) > 0.97575 THEN {hi}"
+            f" ELSE {central} END)")
+
+
+def rank_inverse_normal(df: DataFrame, value_expr: str,
+                        by_expr: str | None = None,
+                        offset: float = 0.5) -> DataFrame:
+    """Rank-based inverse normal transform (Blom-style): each value
+    maps to ``Φ⁻¹((midrank − offset) / n)`` within its group — the
+    standard normalization for heavy-tailed metrics before parametric
+    modeling (genomics INT, feature scaling robust to outliers).
+    Ties share their MIDRANK, so equal inputs get equal outputs.
+    Returns one row per distinct value: (grp, v, n_v, midrank, z).
+
+    Shape: the corpus reduces to the per-group distinct-value
+    histogram with ONE hash agg; a cumulative window over that
+    alphabet-sized table assigns midranks; Φ⁻¹ is the Acklam rational
+    approximation rendered as ONE shared formula string into both
+    engines — no scipy, no UDF, pure codegen. 10^12 rows → |distinct
+    values| rows per group on the wire.
+    """
+    g = F.expr(by_expr) if by_expr else F.lit("all")
+    hist = (df.select(g.alias("grp"),
+                      F.expr(value_expr).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("grp", "v").agg(F.count("*").alias("nv")))
+    w = Window.partitionBy("grp").orderBy("v")
+    wg = Window.partitionBy("grp")
+    cum = (hist
+           .withColumn("cum_end", F.sum("nv").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("n", F.sum("nv").over(wg))
+           .withColumn("midrank",
+                       F.col("cum_end") - (F.col("nv") - 1) / 2.0))
+    p = f"((midrank - {float(offset)!r}) / n)"
+    return (cum.select(
+        "grp", "v", F.col("nv").cast("long").alias("n_v"),
+        _r6(F.col("midrank")).alias("midrank"),
+        _r6(F.expr(_inv_norm_fmt(p))).alias("z")))
+
+
+def rank_inverse_normal_sql(table: str, value_expr: str,
+                            by_expr: str | None = None,
+                            offset: float = 0.5) -> str:
+    """DuckDB oracle: identical histogram, midranks, and the same
+    Acklam formula string."""
+    g = by_expr if by_expr else "'all'"
+    p = f"((midrank - {float(offset)!r}) / n)"
+    return f"""
+WITH hist AS (
+  SELECT {g} AS grp, CAST(({value_expr}) AS DOUBLE) AS v,
+         COUNT(*) AS nv
+  FROM {table} WHERE ({value_expr}) IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         SUM(nv) OVER (PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end,
+         SUM(nv) OVER (PARTITION BY grp) AS n
+  FROM hist
+),
+mid AS (SELECT *, cum_end - (nv - 1) / 2.0 AS midrank FROM cum)
+SELECT grp, v, CAST(nv AS BIGINT) AS n_v,
+       ROUND(midrank, 6) + 0.0 AS midrank,
+       ROUND({_inv_norm_fmt(p)}, 6) + 0.0 AS z
+FROM mid
+"""
+
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid sequential A/B monitor
+# ---------------------------------------------------------------------------
+
+def msprt_monitor(df: DataFrame, treat_expr: str, value_expr: str,
+                  ts_col: str = "ts", tau: float = 1.0) -> DataFrame:
+    """Mixture sequential probability ratio test (normal mixture,
+    prior scale ``tau``) over DAILY increments of a two-arm
+    experiment: per day, the cumulative mean difference, the mixture
+    likelihood ratio Λ_t, and the ALWAYS-VALID p-value
+    ``p_t = min(1, 1/max_{s≤t} Λ_s)`` — the readout that lets an A/B
+    dashboard be peeked at continuously without inflating false
+    positives (the fixed-horizon z-test `ab_ztest` is only valid once).
+    Λ uses the standard two-sample normal form with the pooled
+    variance estimated from ALL data (plug-in, as deployed in
+    practice). Output: one row per day.
+
+    Shape: daily (arm, n, Σy, Σy²) increments via ONE hash agg at
+    day-cardinality; cumulative sums, Λ, and the running max are
+    windows over the DAY table only (≤ a few thousand rows for any
+    real experiment) — the raw stream is touched once. The same
+    cumulative algebra renders into the DuckDB twin.
+    """
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({value_expr}) AS DOUBLE))"
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = (df.groupBy(day)
+             .agg(*[F.sum(F.expr(f"CASE WHEN {t} = {a} THEN 1"
+                                 f" ELSE 0 END")).alias(f"n{a}")
+                    for a in (0, 1)],
+                  *[F.sum(F.expr(f"CASE WHEN {t} = {a} THEN {y}"
+                                 f" ELSE 0.0 END")).alias(f"s{a}")
+                    for a in (0, 1)],
+                  F.sum(F.expr(f"{y} * {y}")).alias("qq"),
+                  F.sum(F.expr(y)).alias("ss"),
+                  F.count("*").alias("nn")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        *[F.sum(c).over(w).alias(f"c{c}")
+          for c in ("n0", "n1", "s0", "s1", "qq", "ss", "nn")])
+    tot = daily.agg(
+        ((F.sum("qq") - F.sum("ss") * F.sum("ss") / F.sum("nn"))
+         / (F.sum("nn") - 1)).alias("var_hat"))
+    t2 = float(tau) * float(tau)
+    lam = ("CASE WHEN cn0 > 0 AND cn1 > 0 THEN "
+           "sqrt(2.0 * var_hat * (1.0/cn0 + 1.0/cn1) "
+           " / (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           " * exp( pow(cs1/cn1 - cs0/cn0, 2) * {t2}"
+           "   / ((2.0 * var_hat * (1.0/cn0 + 1.0/cn1))"
+           "      * (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           " ) END").format(t2=repr(t2))
+    wmax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (cum.crossJoin(F.broadcast(tot))
+           .withColumn("_lam", F.expr(lam))
+           .withColumn("_lmax", F.max("_lam").over(wmax)))
+    return out.select(
+        "day", F.col("cn0").cast("long").alias("n0"),
+        F.col("cn1").cast("long").alias("n1"),
+        _r6(F.expr("CASE WHEN cn0 > 0 AND cn1 > 0"
+                   " THEN cs1/cn1 - cs0/cn0 END")).alias("diff"),
+        _r6(F.col("_lam")).alias("lam"),
+        _r6(F.expr("CASE WHEN _lmax IS NOT NULL THEN"
+                   " LEAST(1.0, 1.0 / _lmax) END")).alias("p_always_valid"))
+
+
+def msprt_monitor_sql(table: str, treat_expr: str, value_expr: str,
+                      ts_col: str = "ts", tau: float = 1.0) -> str:
+    """DuckDB oracle: identical daily increments, cumulative windows,
+    and mixture-LR algebra."""
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({value_expr}) AS DOUBLE))"
+    t2 = repr(float(tau) * float(tau))
+    lam = ("CASE WHEN cn0 > 0 AND cn1 > 0 THEN "
+           "sqrt(2.0 * var_hat * (1.0/cn0 + 1.0/cn1) "
+           f" / (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           " * exp( pow(cs1/cn1 - cs0/cn0, 2) * " + t2 +
+           "   / ((2.0 * var_hat * (1.0/cn0 + 1.0/cn1))"
+           f"      * (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           " ) END")
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', {ts_col}) AS day,
+         SUM(CASE WHEN {t} = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN {t} = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN {t} = 0 THEN {y} ELSE 0.0 END) AS s0,
+         SUM(CASE WHEN {t} = 1 THEN {y} ELSE 0.0 END) AS s1,
+         SUM({y} * {y}) AS qq, SUM({y}) AS ss, COUNT(*) AS nn
+  FROM {table} GROUP BY 1
+),
+tot AS (
+  SELECT (SUM(qq) - SUM(ss) * SUM(ss) / SUM(nn)) / (SUM(nn) - 1)
+           AS var_hat
+  FROM daily
+),
+cum AS (
+  SELECT day,
+         SUM(n0) OVER w AS cn0, SUM(n1) OVER w AS cn1,
+         SUM(s0) OVER w AS cs0, SUM(s1) OVER w AS cs1
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lamt AS (
+  SELECT day, cn0, cn1, cs0, cs1, {lam} AS _lam
+  FROM cum CROSS JOIN tot
+),
+mx AS (
+  SELECT *, MAX(_lam) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _lmax
+  FROM lamt
+)
+SELECT day, CAST(cn0 AS BIGINT) AS n0, CAST(cn1 AS BIGINT) AS n1,
+       ROUND(CASE WHEN cn0 > 0 AND cn1 > 0
+                  THEN cs1/cn1 - cs0/cn0 END, 6) + 0.0 AS diff,
+       ROUND(_lam, 6) + 0.0 AS lam,
+       ROUND(CASE WHEN _lmax IS NOT NULL
+                  THEN LEAST(1.0, 1.0 / _lmax) END, 6) + 0.0
+         AS p_always_valid
+FROM mx
+"""

@@ -2065,3 +2065,66 @@ def test_kriging_fill_numpy_parity_and_exactness(spark):
     assert out["t1"]["krig_pred"] == pytest.approx(want, abs=1e-5)
     assert abs(sum(sol[:m]) - 1.0) < 1e-9  # weights sum to 1 (OK)
     assert out["t1"]["n_used"] == 5
+
+
+def test_rank_inverse_normal_properties(spark):
+    import numpy as np
+    rng = np.random.RandomState(12)
+    vals = np.round(np.exp(rng.randn(500)), 2)  # heavy-tailed w/ ties
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = INF.rank_inverse_normal(df, "v").collect()
+    # z is strictly increasing in v and symmetric-ish around 0
+    srt = sorted(rows, key=lambda r: r["v"])
+    zs = [r["z"] for r in srt]
+    assert all(a < b for a, b in zip(zs, zs[1:]))
+    # Acklam accuracy: compare a central and a tail point to the exact
+    # inverse via bisection on erf
+    import math
+
+    def phi(x):
+        return 0.5 * (1 + math.erf(x / math.sqrt(2)))
+
+    for r in [srt[0], srt[len(srt) // 2], srt[-1]]:
+        p = (r["midrank"] - 0.5) / 500
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if phi(mid) < p:
+                lo = mid
+            else:
+                hi = mid
+        assert r["z"] == pytest.approx((lo + hi) / 2, abs=1e-6)
+    # ties map to identical z
+    dfd = spark.createDataFrame(
+        [(1.0,), (1.0,), (2.0,)], "v double")
+    rr = {r["v"]: r for r in INF.rank_inverse_normal(dfd, "v").collect()}
+    assert rr[1.0]["n_v"] == 2 and rr[1.0]["midrank"] == 1.5
+
+
+def test_msprt_always_valid_p_monotone_and_detects(spark):
+    import datetime as dt
+    import numpy as np
+    rng = np.random.RandomState(3)
+    T0 = dt.datetime(2026, 3, 1)
+    rows = []
+    for d in range(20):
+        for i in range(200):
+            t = i % 2
+            y = rng.randn() + (0.4 if t else 0.0)  # real effect
+            rows.append((i, T0 + dt.timedelta(days=d, minutes=i),
+                         float(y)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = sorted(INF.msprt_monitor(df, "user_id % 2 = 1", "value").collect(),
+                 key=lambda r: r["day"])
+    ps = [r["p_always_valid"] for r in out]
+    # always-valid p is non-increasing by construction (running max)
+    assert all(a >= b - 1e-9 for a, b in zip(ps, ps[1:]))
+    assert ps[-1] < 0.01          # real 0.4-sigma effect detected
+    assert out[-1]["diff"] == pytest.approx(0.4, abs=0.1)
+    # null experiment: p stays high
+    rows0 = [(i, T0 + dt.timedelta(days=d, minutes=i),
+              float(rng.randn()))
+             for d in range(20) for i in range(100)]
+    df0 = spark.createDataFrame(rows0, "user_id int, ts timestamp, value double")
+    out0 = INF.msprt_monitor(df0, "user_id % 2 = 1", "value").collect()
+    assert min(r["p_always_valid"] for r in out0) > 0.05
