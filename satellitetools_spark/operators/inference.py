@@ -1545,11 +1545,11 @@ def msprt_monitor(df: DataFrame, treat_expr: str, value_expr: str,
          / (F.sum("nn") - 1)).alias("var_hat"))
     t2 = float(tau) * float(tau)
     lam = ("CASE WHEN cn0 > 0 AND cn1 > 0 THEN "
-           "sqrt(2.0 * var_hat * (1.0/cn0 + 1.0/cn1) "
-           " / (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           "sqrt(2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) "
+           " / (2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) + 2.0 * {t2}))"
            " * exp( pow(cs1/cn1 - cs0/cn0, 2) * {t2}"
-           "   / ((2.0 * var_hat * (1.0/cn0 + 1.0/cn1))"
-           "      * (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           "   / ((2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1))"
+           "      * (2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) + 2.0 * {t2}))"
            " ) END").format(t2=repr(t2))
     wmax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     out = (cum.crossJoin(F.broadcast(tot))
@@ -1573,11 +1573,11 @@ def msprt_monitor_sql(table: str, treat_expr: str, value_expr: str,
     y = f"(CAST(({value_expr}) AS DOUBLE))"
     t2 = repr(float(tau) * float(tau))
     lam = ("CASE WHEN cn0 > 0 AND cn1 > 0 THEN "
-           "sqrt(2.0 * var_hat * (1.0/cn0 + 1.0/cn1) "
-           f" / (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           "sqrt(2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) "
+           f" / (2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) + 2.0 * {t2}))"
            " * exp( pow(cs1/cn1 - cs0/cn0, 2) * " + t2 +
-           "   / ((2.0 * var_hat * (1.0/cn0 + 1.0/cn1))"
-           f"      * (2.0 * var_hat * (1.0/cn0 + 1.0/cn1) + 2.0 * {t2}))"
+           "   / ((2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1))"
+           f"      * (2.0 * var_hat * (CAST(1 AS DOUBLE)/cn0 + CAST(1 AS DOUBLE)/cn1) + 2.0 * {t2}))"
            " ) END")
     return f"""
 WITH daily AS (
@@ -1619,4 +1619,97 @@ SELECT day, CAST(cn0 AS BIGINT) AS n0, CAST(cn1 AS BIGINT) AS n1,
                   THEN LEAST(1.0, 1.0 / _lmax) END, 6) + 0.0
          AS p_always_valid
 FROM mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-arm Poisson rate-ratio test
+# ---------------------------------------------------------------------------
+
+def poisson_rate_test(df: DataFrame, treat_expr: str, event_pred: str,
+                      exposure_key: str = "user_id") -> DataFrame:
+    """Two-arm Poisson rate-ratio test for COUNT metrics (errors per
+    user, purchases per user) where the t-test's normality assumption
+    is wrong: events matching ``event_pred`` are counted per arm,
+    exposure is the number of distinct ``exposure_key`` units per arm,
+    and the log rate ratio is tested with the standard
+    ``SE = √(1/k₀ + 1/k₁)`` normal approximation. One row:
+    (k0, k1, exp0, exp1, rate0, rate1, rate_ratio, log_rr, se, z,
+    p_approx).
+
+    Shape: ONE conditional aggregation (counts + approx-free exact
+    distinct exposure via two count_distincts — at 10^12 rows swap in
+    `kmv_distinct_by` if the exact distinct is itself the bottleneck);
+    everything after is scalar algebra on a single row, the erf p via
+    the shared formula string.
+    """
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    agg = df.agg(
+        F.sum(F.expr(f"CASE WHEN {t} = 0 AND ({event_pred}) THEN 1"
+                     " ELSE 0 END")).alias("k0"),
+        F.sum(F.expr(f"CASE WHEN {t} = 1 AND ({event_pred}) THEN 1"
+                     " ELSE 0 END")).alias("k1"),
+        F.expr(f"count(DISTINCT CASE WHEN {t} = 0 THEN {exposure_key}"
+               " END)").alias("e0"),
+        F.expr(f"count(DISTINCT CASE WHEN {t} = 1 THEN {exposure_key}"
+               " END)").alias("e1"))
+    lrr = "CASE WHEN k0 > 0 AND k1 > 0 AND e0 > 0 AND e1 > 0 THEN " \
+          "ln((CAST(k1 AS DOUBLE) / e1) / (CAST(k0 AS DOUBLE) / e0)) END"
+    se = "CASE WHEN k0 > 0 AND k1 > 0 THEN sqrt(CAST(1 AS DOUBLE)/k0 + CAST(1 AS DOUBLE)/k1) END"
+    zx = f"(({lrr}) / ({se}))"
+    return agg.select(
+        F.col("k0").cast("long"), F.col("k1").cast("long"),
+        F.col("e0").cast("long").alias("exp0"),
+        F.col("e1").cast("long").alias("exp1"),
+        _r6(F.expr("CASE WHEN e0 > 0 THEN CAST(k0 AS DOUBLE) / e0 END"))
+        .alias("rate0"),
+        _r6(F.expr("CASE WHEN e1 > 0 THEN CAST(k1 AS DOUBLE) / e1 END"))
+        .alias("rate1"),
+        _r6(F.expr("CASE WHEN k0 > 0 AND e0 > 0 AND e1 > 0 THEN"
+                   " (CAST(k1 AS DOUBLE) / e1) / (CAST(k0 AS DOUBLE) / e0) END"))
+        .alias("rate_ratio"),
+        _r6(F.expr(lrr)).alias("log_rr"),
+        _r6(F.expr(se)).alias("se"),
+        _r6(F.expr(f"CASE WHEN ({se}) > 0 AND ({lrr}) IS NOT NULL"
+                   f" THEN {zx} END")).alias("z"),
+        _r6(F.expr(
+            f"CASE WHEN ({se}) > 0 AND ({lrr}) IS NOT NULL THEN "
+            + _WSR_P_FMT.format(z=f"ABS({zx})") + " END"))
+        .alias("p_approx"))
+
+
+def poisson_rate_test_sql(table: str, treat_expr: str, event_pred: str,
+                          exposure_key: str = "user_id") -> str:
+    """DuckDB oracle: identical conditional counts and algebra."""
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    lrr = ("CASE WHEN k0 > 0 AND k1 > 0 AND e0 > 0 AND e1 > 0 THEN "
+           "ln((CAST(k1 AS DOUBLE) / e1) / (CAST(k0 AS DOUBLE) / e0)) END")
+    se = "CASE WHEN k0 > 0 AND k1 > 0 THEN sqrt(CAST(1 AS DOUBLE)/k0 + CAST(1 AS DOUBLE)/k1) END"
+    zx = f"(({lrr}) / ({se}))"
+    return f"""
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN {t} = 0 AND ({event_pred}) THEN 1 ELSE 0 END) AS k0,
+    SUM(CASE WHEN {t} = 1 AND ({event_pred}) THEN 1 ELSE 0 END) AS k1,
+    COUNT(DISTINCT CASE WHEN {t} = 0 THEN {exposure_key} END) AS e0,
+    COUNT(DISTINCT CASE WHEN {t} = 1 THEN {exposure_key} END) AS e1
+  FROM {table}
+)
+SELECT CAST(k0 AS BIGINT) AS k0, CAST(k1 AS BIGINT) AS k1,
+       CAST(e0 AS BIGINT) AS exp0, CAST(e1 AS BIGINT) AS exp1,
+       ROUND(CASE WHEN e0 > 0 THEN CAST(k0 AS DOUBLE) / e0 END, 6) + 0.0
+         AS rate0,
+       ROUND(CASE WHEN e1 > 0 THEN CAST(k1 AS DOUBLE) / e1 END, 6) + 0.0
+         AS rate1,
+       ROUND(CASE WHEN k0 > 0 AND e0 > 0 AND e1 > 0 THEN
+             (CAST(k1 AS DOUBLE) / e1) / (CAST(k0 AS DOUBLE) / e0) END, 6) + 0.0
+         AS rate_ratio,
+       ROUND({lrr}, 6) + 0.0 AS log_rr,
+       ROUND({se}, 6) + 0.0 AS se,
+       ROUND(CASE WHEN ({se}) > 0 AND ({lrr}) IS NOT NULL
+             THEN {zx} END, 6) + 0.0 AS z,
+       ROUND(CASE WHEN ({se}) > 0 AND ({lrr}) IS NOT NULL THEN
+             {_WSR_P_FMT.format(z=f"ABS({zx})")} END, 6) + 0.0
+         AS p_approx
+FROM agg
 """

@@ -3062,3 +3062,164 @@ SELECT k AS {key}, t AS conv_ts, ty AS conv_type,
           <= {float(lookback_seconds)!r}) AS in_window
 FROM mj WHERE is_conv
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank test (companion to kaplan_meier)
+# ---------------------------------------------------------------------------
+
+def log_rank_test(events: DataFrame, group_expr: str,
+                  key: str = "user_id", time_col: str = "ts",
+                  censor_horizon_days: int = 7) -> DataFrame:
+    """Two-group log-rank test over the SAME per-entity lifetime +
+    censoring construction as :func:`kaplan_meier` — "do the two arms'
+    survival curves differ", the inferential companion to the KM
+    plot. ``group_expr`` evaluates per entity on its FIRST-event row
+    attributes (entity-level covariate). One row:
+    (n0, n1, observed1, expected1, var, chi2, z, p_approx).
+
+    At each distinct death duration t: d_j deaths and n_j at-risk per
+    group; E1 += d·n1/n, V += d·(n1/n)·(1−n1/n)·(n−d)/(n−1). Shape:
+    entity-cardinality hash agg → (duration, group) histogram →
+    suffix at-risk windows over that tiny table → one global fold.
+    Identical algebra renders into the oracle.
+    """
+    per = (events.groupBy(key)
+           .agg(F.min(time_col).alias("_first"),
+                F.max(time_col).alias("_last"),
+                F.expr(f"min_by({group_expr}, {time_col})").alias("_g")))
+    gmax = events.agg(F.max(time_col).alias("_gmax"))
+    per = (per.crossJoin(F.broadcast(gmax))
+           .select(
+               F.col("_g").cast("int").alias("g"),
+               F.datediff(F.col("_last"), F.col("_first")).alias("dur"),
+               (F.datediff(F.col("_gmax"), F.col("_last"))
+                >= int(censor_horizon_days)).alias("died")))
+    hist = (per.groupBy("dur", "g")
+            .agg(F.sum(F.when(F.col("died"), 1).otherwise(0)).alias("d"),
+                 F.count("*").alias("m")))
+    # at-risk per (dur, g): suffix sum of m over durations >= dur
+    wg = (Window.partitionBy("g").orderBy(F.col("dur").asc())
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ar = hist.withColumn("n_at", F.sum("m").over(wg))
+    # pivot the two groups onto one row per duration
+    piv = (ar.groupBy("dur")
+           .agg(F.sum(F.when(F.col("g") == 1, F.col("d"))
+                      .otherwise(0)).alias("d1"),
+                F.sum("d").alias("dd"),
+                F.max(F.when(F.col("g") == 1, F.col("n_at")))
+                .alias("n1_raw"),
+                F.max(F.when(F.col("g") == 0, F.col("n_at")))
+                .alias("n0_raw")))
+    # a group absent at this duration is still at risk with the suffix
+    # count from the next-present duration; easiest exact form: fill
+    # via a second suffix window over the duration axis
+    wfill = (Window.orderBy(F.col("dur").asc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    piv = (piv.withColumn("n1", F.max("n1_raw").over(wfill))
+           .withColumn("n0", F.max("n0_raw").over(wfill)))
+    fold = (piv.filter(F.col("dd") > 0)
+            .select(
+                F.col("d1"), F.col("dd"),
+                F.coalesce("n1", F.lit(0)).alias("n1"),
+                F.coalesce("n0", F.lit(0)).alias("n0"))
+            .withColumn("n", F.col("n0") + F.col("n1"))
+            .filter(F.col("n") > 0)
+            .agg(F.sum("d1").alias("o1"),
+                 F.sum(F.col("dd") * F.col("n1") / F.col("n"))
+                 .alias("e1"),
+                 F.sum(F.expr(
+                     "CASE WHEN n > 1 THEN dd * (CAST(n1 AS DOUBLE) / n)"
+                     " * (1.0 - CAST(n1 AS DOUBLE) / n) * (n - dd) / (n - 1)"
+                     " ELSE 0.0 END")).alias("v")))
+    tot = per.groupBy().agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0_tot"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1_tot"))
+    z = "CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v) END"
+    return (fold.crossJoin(F.broadcast(tot))
+            .select(F.col("n0_tot").cast("long").alias("n0"),
+                    F.col("n1_tot").cast("long").alias("n1"),
+                    F.col("o1").cast("long").alias("observed1"),
+                    (F.round("e1", 6) + 0.0).alias("expected1"),
+                    (F.round("v", 6) + 0.0).alias("var"),
+                    (F.round(F.expr(f"CASE WHEN v > 0 THEN"
+                                    f" pow(o1 - e1, 2) / v END"), 6)
+                     + 0.0).alias("chi2"),
+                    (F.round(F.expr(z), 6) + 0.0).alias("z")))
+
+
+def log_rank_test_sql(table: str, group_expr: str,
+                      key: str = "user_id", time_col: str = "ts",
+                      censor_horizon_days: int = 7) -> str:
+    """DuckDB oracle: identical lifetime construction, suffix at-risk
+    windows, and fold."""
+    return f"""
+WITH per0 AS (
+  SELECT {key} AS k, MIN({time_col}) AS _first, MAX({time_col}) AS _last,
+         CAST(min_by({group_expr}, {time_col}) AS INT) AS g
+  FROM {table} GROUP BY {key}
+),
+gm AS (SELECT MAX({time_col}) AS _gmax FROM {table}),
+per AS (
+  SELECT g, date_diff('day', _first, _last) AS dur,
+         date_diff('day', _last, _gmax) >= {int(censor_horizon_days)}
+           AS died
+  FROM per0 CROSS JOIN gm
+),
+hist AS (
+  SELECT dur, g, SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS m
+  FROM per GROUP BY dur, g
+),
+ar AS (
+  SELECT *, SUM(m) OVER (PARTITION BY g ORDER BY dur
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS n_at
+  FROM hist
+),
+piv AS (
+  SELECT dur,
+         SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+         SUM(d) AS dd,
+         MAX(CASE WHEN g = 1 THEN n_at END) AS n1_raw,
+         MAX(CASE WHEN g = 0 THEN n_at END) AS n0_raw
+  FROM ar GROUP BY dur
+),
+filled AS (
+  SELECT dur, d1, dd,
+         MAX(n1_raw) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n1,
+         MAX(n0_raw) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n0
+  FROM piv
+),
+fold AS (
+  SELECT SUM(d1) AS o1,
+         SUM(dd * COALESCE(n1, 0) * 1.0
+             / (COALESCE(n0, 0) + COALESCE(n1, 0))) AS e1,
+         SUM(CASE WHEN COALESCE(n0, 0) + COALESCE(n1, 0) > 1
+             THEN dd * (COALESCE(n1, 0) * 1.0
+                        / (COALESCE(n0, 0) + COALESCE(n1, 0)))
+                  * (1.0 - COALESCE(n1, 0) * 1.0
+                     / (COALESCE(n0, 0) + COALESCE(n1, 0)))
+                  * ((COALESCE(n0, 0) + COALESCE(n1, 0)) - dd)
+                  / ((COALESCE(n0, 0) + COALESCE(n1, 0)) - 1)
+             ELSE 0.0 END) AS v
+  FROM filled
+  WHERE dd > 0 AND COALESCE(n0, 0) + COALESCE(n1, 0) > 0
+),
+tot AS (
+  SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0_tot,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1_tot
+  FROM per
+)
+SELECT CAST(n0_tot AS BIGINT) AS n0, CAST(n1_tot AS BIGINT) AS n1,
+       CAST(o1 AS BIGINT) AS observed1,
+       ROUND(e1, 6) + 0.0 AS expected1,
+       ROUND(v, 6) + 0.0 AS var,
+       ROUND(CASE WHEN v > 0 THEN pow(o1 - e1, 2) / v END, 6) + 0.0
+         AS chi2,
+       ROUND(CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v) END, 6) + 0.0
+         AS z
+FROM fold CROSS JOIN tot
+"""

@@ -2128,3 +2128,52 @@ def test_msprt_always_valid_p_monotone_and_detects(spark):
     df0 = spark.createDataFrame(rows0, "user_id int, ts timestamp, value double")
     out0 = INF.msprt_monitor(df0, "user_id % 2 = 1", "value").collect()
     assert min(r["p_always_valid"] for r in out0) > 0.05
+
+
+def test_poisson_rate_test_numpy_parity(spark):
+    import math
+    # arm1 produces errors at 2x the rate of arm0
+    rows = []
+    for u in range(200):
+        t = u % 2
+        n_err = 2 + (2 if t else 0)
+        for j in range(n_err):
+            rows.append((u, "error"))
+        rows.append((u, "view"))
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    r = INF.poisson_rate_test(df, "user_id % 2 = 1",
+                              "event_type = 'error'").collect()[0]
+    assert (r["k0"], r["k1"]) == (200, 400)
+    assert (r["exp0"], r["exp1"]) == (100, 100)
+    assert r["rate_ratio"] == pytest.approx(2.0, abs=1e-9)
+    lrr = math.log(2.0)
+    se = math.sqrt(1 / 200 + 1 / 400)
+    assert r["z"] == pytest.approx(lrr / se, abs=1e-5)
+    assert r["p_approx"] < 1e-6
+
+
+def test_log_rank_detects_survival_difference(spark):
+    import datetime as dt
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # group 0 users live ~20 days, group 1 users ~5 days; all died
+    # well before the 7-day censor horizon from global max (day 60)
+    for u in range(60):
+        g = u % 2
+        life = 5 if g else 20
+        rows.append((u, T0))
+        rows.append((u, T0 + dt.timedelta(days=life + (u % 3))))
+    rows.append((999, T0 + dt.timedelta(days=60)))  # pins global max
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    r = TP.log_rank_test(df, "user_id % 2").collect()[0]
+    assert r["chi2"] > 20          # strongly different curves
+    # short-lived group 1 dies earlier -> observed1 exceeds expected1
+    # at early times; direction via z sign
+    assert r["z"] is not None and abs(r["z"]) > 4
+    # identical groups -> chi2 near 0
+    rows2 = [(u, T0) for u in range(40)] + [
+        (u, T0 + dt.timedelta(days=10 + u % 5)) for u in range(40)]
+    rows2.append((999, T0 + dt.timedelta(days=60)))
+    df2 = spark.createDataFrame(rows2, "user_id int, ts timestamp")
+    r2 = TP.log_rank_test(df2, "user_id % 2").collect()[0]
+    assert r2["chi2"] < 1.0
