@@ -3967,3 +3967,117 @@ def kriging_fill(points: DataFrame, stations: DataFrame,
             yield res
 
     return grouped.mapInPandas(_solve, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Polygon overlay: Sutherland-Hodgman clip + intersection area
+# ---------------------------------------------------------------------------
+
+def clip_polygons(subjects: DataFrame, clip_ring,
+                  key_col: str = "doc_id",
+                  ring_col: str = "ring") -> DataFrame:
+    """Vector overlay: clip every subject polygon by ONE CONVEX clip
+    window (Sutherland-Hodgman) and report the clipped ring, vertex
+    count, and shoelace areas — the vector complement to the raster
+    mask/clip path (AOI ∩ tile footprint, AOI ∩ processing window).
+    ``clip_ring`` is a list of (x, y) tuples in CCW order; convexity
+    is REQUIRED (S-H folds concave windows incorrectly — tile
+    footprints and processing windows are rectangles, the intended
+    use) and is validated up front. Output: (key, n_in, area_in,
+    n_out, area_out, clipped).
+
+    Shape: the clip window rides into an Arrow-batched pandas UDF as
+    a closure constant (it is ONE small ring); each subject row clips
+    independently — zero shuffle, embarrassingly parallel, the same
+    map-only discipline as `simplify_rings`. For polygon-set ×
+    polygon-set overlays, generate candidates with the existing cell
+    cover join and apply this kernel per pair. The edge-walk is
+    non-SQL; pytest pins golden rectangle/triangle cases + area
+    conservation; the gate records rows-only.
+    """
+    cw = [(float(x), float(y)) for x, y in clip_ring]
+    if len(cw) >= 2 and cw[0] == cw[-1]:
+        cw = cw[:-1]
+    if len(cw) < 3:
+        raise ValueError("clip_ring needs >= 3 distinct vertices")
+    # convexity + CCW validation: all cross products must be >= 0
+    crosses = []
+    m = len(cw)
+    for i in range(m):
+        ax, ay = cw[i]
+        bx, by = cw[(i + 1) % m]
+        cx_, cy_ = cw[(i + 2) % m]
+        crosses.append((bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax))
+    if any(c < 0 for c in crosses):
+        raise ValueError("clip_ring must be convex and CCW-ordered")
+
+    def _area(pts):
+        n = len(pts)
+        if n < 3:
+            return 0.0
+        s = 0.0
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2.0
+
+    def _clip(pts):
+        out = pts
+        for i in range(m):
+            if not out:
+                return []
+            ax, ay = cw[i]
+            bx, by = cw[(i + 1) % m]
+            nxt = []
+            K = len(out)
+            for j in range(K):
+                px, py = out[j]
+                qx, qy = out[(j + 1) % K]
+                pin = (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+                qin = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax) >= 0
+                if pin:
+                    nxt.append((px, py))
+                if pin != qin:
+                    # t solves cross(B-A, P + t(Q-P) - A) = 0:
+                    # t = -cross(B-A, P-A) / cross(B-A, Q-P)
+                    denom = ((bx - ax) * (qy - py)
+                             - (by - ay) * (qx - px))
+                    if denom != 0.0:
+                        t = (((by - ay) * (px - ax)
+                              - (bx - ax) * (py - ay)) / denom)
+                        t = min(1.0, max(0.0, t))
+                        nxt.append((px + t * (qx - px),
+                                    py + t * (qy - py)))
+            out = nxt
+        return out
+
+    out_t = T.StructType([
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("area_in", T.DoubleType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("area_out", T.DoubleType()),
+        T.StructField("clipped", T.ArrayType(T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType())])))])
+
+    @pandas_udf(out_t)
+    def _kernel(col):
+        res = []
+        for ring in col:
+            pts = [(float(p["x"]), float(p["y"])) for p in ring]
+            if len(pts) >= 2 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            cl = _clip(pts)
+            res.append({
+                "n_in": len(pts),
+                "area_in": round(_area(pts), 6) + 0.0,
+                "n_out": len(cl),
+                "area_out": round(_area(cl), 6) + 0.0,
+                "clipped": [{"x": x, "y": y} for x, y in cl]})
+        return pd.DataFrame(res)
+
+    return (subjects.select(key_col, F.col(ring_col))
+            .withColumn("_c", _kernel(F.col(ring_col)))
+            .select(key_col, "_c.n_in", "_c.area_in", "_c.n_out",
+                    "_c.area_out", "_c.clipped"))

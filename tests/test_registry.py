@@ -26,8 +26,10 @@ def test_every_query_has_an_oracle():
     #   geo_hull       — monotone-chain hull selection
     #   geo_simplify   — Douglas-Peucker split recursion
     #   geo_kriging    — per-point ordinary-kriging linear solve
+    #   geo_clip       — Sutherland-Hodgman edge walk
     assert missing == ["docs_isotonic", "docs_logistic", "events_dtw",
-                       "geo_hull", "geo_kriging", "geo_simplify"], (
+                       "geo_clip", "geo_hull", "geo_kriging",
+                       "geo_simplify"], (
         f"queries without oracles: {missing}")
     assert extra == [], f"oracles without queries: {extra}"
 

@@ -2177,3 +2177,35 @@ def test_log_rank_detects_survival_difference(spark):
     df2 = spark.createDataFrame(rows2, "user_id int, ts timestamp")
     r2 = TP.log_rank_test(df2, "user_id % 2").collect()[0]
     assert r2["chi2"] < 1.0
+
+
+def test_clip_polygons_golden_cases(spark):
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+
+    def ring(pts):
+        return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+    subjects = spark.createDataFrame(
+        [("inside", ring([(2, 2), (4, 2), (4, 4), (2, 4)])),
+         ("overlap", ring([(5, 5), (15, 5), (15, 15), (5, 15)])),
+         ("disjoint", ring([(20, 20), (22, 20), (22, 22), (20, 22)])),
+         ("covers", ring([(-5, -5), (15, -5), (15, 15), (-5, 15)])),
+         ("tri", ring([(5, -5), (15, 5), (5, 15)]))],
+        "doc_id string, ring array<struct<x:double,y:double>>")
+    got = {r["doc_id"]: r
+           for r in SP.clip_polygons(subjects, sq).collect()}
+    assert got["inside"]["area_out"] == 4.0       # untouched
+    assert got["overlap"]["area_out"] == 25.0     # quarter overlap
+    assert got["disjoint"]["area_out"] == 0.0
+    assert got["disjoint"]["n_out"] == 0
+    assert got["covers"]["area_out"] == 100.0     # clip window itself
+    # triangle (5,-5),(15,5),(5,15) ∩ square: interior is x>=5,
+    # y >= x-10, y <= 20-x, which inside [0,10]^2 is exactly the
+    # rectangle [5,10]x[0,10] -> area 50
+    assert got["tri"]["area_in"] == 100.0
+    assert got["tri"]["area_out"] == pytest.approx(50.0, abs=1e-6)
+    # validation: concave clip ring rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SP.clip_polygons(subjects, [(0, 0), (10, 0), (5, 5), (10, 10),
+                                    (0, 10)])
