@@ -1713,3 +1713,84 @@ SELECT CAST(k0 AS BIGINT) AS k0, CAST(k1 AS BIGINT) AS k1,
          AS p_approx
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted treatment effect (Hajek)
+# ---------------------------------------------------------------------------
+
+def ipw_effect(df: DataFrame, treat_expr: str, y_expr: str,
+               propensity_expr: str,
+               clip: float = 0.01) -> DataFrame:
+    """Hájek (self-normalized) inverse-propensity-weighted average
+    treatment effect for observational comparisons where a propensity
+    ``e(x)`` is available (e.g. from `modeleval.logistic_fit` scores):
+    ``ATE = Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))``, with
+    propensities CLIPPED to [clip, 1−clip] (positivity guard — the
+    standard fix for extreme weights) and the effective sample size
+    per arm (Kish) reported so weight degeneracy is visible. One row:
+    (n_t, n_c, ess_t, ess_c, mean_t, mean_c, ate_ipw).
+
+    Shape: ONE conditional aggregation — eight weighted sums — at any
+    scale; everything downstream is scalar algebra on one row.
+    """
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({y_expr}) AS DOUBLE))"
+    e = (f"LEAST(1.0 - {float(clip)!r}, GREATEST({float(clip)!r},"
+         f" CAST(({propensity_expr}) AS DOUBLE)))")
+    wt = f"(CASE WHEN {t} = 1 THEN 1.0 / {e} ELSE 0.0 END)"
+    wc = f"(CASE WHEN {t} = 0 THEN 1.0 / (1.0 - {e}) ELSE 0.0 END)"
+    agg = df.agg(
+        F.sum(F.expr(t)).alias("n_t"),
+        F.sum(F.expr(f"1 - {t}")).alias("n_c"),
+        F.sum(F.expr(wt)).alias("sw_t"),
+        F.sum(F.expr(wc)).alias("sw_c"),
+        F.sum(F.expr(f"{wt} * {wt}")).alias("sw2_t"),
+        F.sum(F.expr(f"{wc} * {wc}")).alias("sw2_c"),
+        F.sum(F.expr(f"{wt} * {y}")).alias("swy_t"),
+        F.sum(F.expr(f"{wc} * {y}")).alias("swy_c"))
+    return agg.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        _r6(F.expr("CASE WHEN sw2_t > 0 THEN sw_t * sw_t / sw2_t END"))
+        .alias("ess_t"),
+        _r6(F.expr("CASE WHEN sw2_c > 0 THEN sw_c * sw_c / sw2_c END"))
+        .alias("ess_c"),
+        _r6(F.expr("CASE WHEN sw_t > 0 THEN swy_t / sw_t END"))
+        .alias("mean_t"),
+        _r6(F.expr("CASE WHEN sw_c > 0 THEN swy_c / sw_c END"))
+        .alias("mean_c"),
+        _r6(F.expr("CASE WHEN sw_t > 0 AND sw_c > 0 THEN"
+                   " swy_t / sw_t - swy_c / sw_c END")).alias("ate_ipw"))
+
+
+def ipw_effect_sql(table: str, treat_expr: str, y_expr: str,
+                   propensity_expr: str, clip: float = 0.01) -> str:
+    """DuckDB oracle: identical clipped weights and folds."""
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CAST(({y_expr}) AS DOUBLE))"
+    e = (f"LEAST(1.0 - {float(clip)!r}, GREATEST({float(clip)!r},"
+         f" CAST(({propensity_expr}) AS DOUBLE)))")
+    wt = f"(CASE WHEN {t} = 1 THEN 1.0 / {e} ELSE 0.0 END)"
+    wc = f"(CASE WHEN {t} = 0 THEN 1.0 / (1.0 - {e}) ELSE 0.0 END)"
+    return f"""
+WITH agg AS (
+  SELECT SUM({t}) AS n_t, SUM(1 - {t}) AS n_c,
+         SUM({wt}) AS sw_t, SUM({wc}) AS sw_c,
+         SUM({wt} * {wt}) AS sw2_t, SUM({wc} * {wc}) AS sw2_c,
+         SUM({wt} * {y}) AS swy_t, SUM({wc} * {y}) AS swy_c
+  FROM {table}
+)
+SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       ROUND(CASE WHEN sw2_t > 0 THEN sw_t * sw_t / sw2_t END, 6)
+         + 0.0 AS ess_t,
+       ROUND(CASE WHEN sw2_c > 0 THEN sw_c * sw_c / sw2_c END, 6)
+         + 0.0 AS ess_c,
+       ROUND(CASE WHEN sw_t > 0 THEN swy_t / sw_t END, 6) + 0.0
+         AS mean_t,
+       ROUND(CASE WHEN sw_c > 0 THEN swy_c / sw_c END, 6) + 0.0
+         AS mean_c,
+       ROUND(CASE WHEN sw_t > 0 AND sw_c > 0 THEN
+             swy_t / sw_t - swy_c / sw_c END, 6) + 0.0 AS ate_ipw
+FROM agg
+"""

@@ -1897,3 +1897,111 @@ def logistic_fit(df: DataFrame, label_expr: str,
     return spark.createDataFrame(
         rows, "feature string, coef double, se double, z double, "
               "p_approx double")
+
+
+# ---------------------------------------------------------------------------
+# Uplift (Qini) curve by score bins
+# ---------------------------------------------------------------------------
+
+def qini_curve(df: DataFrame, treat_expr: str, label_expr: str,
+               score_expr: str, n_bins: int = 10,
+               lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Qini uplift curve over fixed score bins (best bin first): per
+    cumulative prefix of the uplift-score ranking, the incremental
+    responders ``Qini(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k)`` plus the
+    per-bin treated/control response rates and their uplift — the
+    targeting readout for "whom does the treatment actually move"
+    (uplift models, campaign audiences). Value-binned (not
+    rank-tiled) so ties are engine-independent, mirroring
+    `calibration_bins`.
+
+    Shape: ONE conditional hash agg to (bin × 4 counters), cumulative
+    windows over the n_bins-row table only. Raw rows touched once.
+    """
+    if not float(hi) > float(lo):
+        raise ValueError("qini_curve: hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("qini_curve: n_bins must be >= 1")
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END)"
+    width = (float(hi) - float(lo)) / int(n_bins)
+    # CAST to DOUBLE before binning: Spark parses numeric literals in
+    # the score expression as exact DECIMALs, whose floor at bin
+    # boundaries differs from DuckDB's IEEE doubles (0.3/0.1 is 3 in
+    # decimal, 2.999... in binary) — the cast pins both engines to the
+    # same IEEE arithmetic
+    b = (f"LEAST({int(n_bins) - 1}, GREATEST(0, CAST(floor("
+         f"(CAST(({score_expr}) AS DOUBLE) - {float(lo)!r})"
+         f" / {width!r}) AS INT)))")
+    binned = (df.groupBy(F.expr(b).alias("bin"))
+              .agg(F.sum(F.expr(t)).alias("n_t"),
+                   F.sum(F.expr(f"1 - {t}")).alias("n_c"),
+                   F.sum(F.expr(f"{t} * {y}")).alias("r_t"),
+                   F.sum(F.expr(f"(1 - {t}) * {y}")).alias("r_c")))
+    w = (Window.orderBy(F.col("bin").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (binned
+           .withColumn("cn_t", F.sum("n_t").over(w))
+           .withColumn("cn_c", F.sum("n_c").over(w))
+           .withColumn("cr_t", F.sum("r_t").over(w))
+           .withColumn("cr_c", F.sum("r_c").over(w)))
+    return cum.select(
+        "bin",
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        _r6(F.expr("CASE WHEN n_t > 0 THEN CAST(r_t AS DOUBLE) / n_t"
+                   " END")).alias("rate_t"),
+        _r6(F.expr("CASE WHEN n_c > 0 THEN CAST(r_c AS DOUBLE) / n_c"
+                   " END")).alias("rate_c"),
+        _r6(F.expr("CASE WHEN n_t > 0 AND n_c > 0 THEN"
+                   " CAST(r_t AS DOUBLE) / n_t"
+                   " - CAST(r_c AS DOUBLE) / n_c END")).alias("uplift"),
+        _r6(F.expr("CASE WHEN cn_c > 0 THEN cr_t"
+                   " - CAST(cr_c AS DOUBLE) * cn_t / cn_c END"))
+        .alias("qini"))
+
+
+def qini_curve_sql(table: str, treat_expr: str, label_expr: str,
+                   score_expr: str, n_bins: int = 10,
+                   lo: float = 0.0, hi: float = 1.0) -> str:
+    """DuckDB oracle: identical binning, counters, and cumulative
+    walk."""
+    t = f"(CASE WHEN ({treat_expr}) THEN 1 ELSE 0 END)"
+    y = f"(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END)"
+    width = (float(hi) - float(lo)) / int(n_bins)
+    # CAST to DOUBLE before binning: Spark parses numeric literals in
+    # the score expression as exact DECIMALs, whose floor at bin
+    # boundaries differs from DuckDB's IEEE doubles (0.3/0.1 is 3 in
+    # decimal, 2.999... in binary) — the cast pins both engines to the
+    # same IEEE arithmetic
+    b = (f"LEAST({int(n_bins) - 1}, GREATEST(0, CAST(floor("
+         f"(CAST(({score_expr}) AS DOUBLE) - {float(lo)!r})"
+         f" / {width!r}) AS INT)))")
+    return f"""
+WITH binned AS (
+  SELECT {b} AS bin,
+         SUM({t}) AS n_t, SUM(1 - {t}) AS n_c,
+         SUM({t} * {y}) AS r_t, SUM((1 - {t}) * {y}) AS r_c
+  FROM {table} GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         SUM(n_t) OVER w AS cn_t, SUM(n_c) OVER w AS cn_c,
+         SUM(r_t) OVER w AS cr_t, SUM(r_c) OVER w AS cr_c
+  FROM binned
+  WINDOW w AS (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bin, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       ROUND(CASE WHEN n_t > 0 THEN CAST(r_t AS DOUBLE) / n_t END, 6)
+         + 0.0 AS rate_t,
+       ROUND(CASE WHEN n_c > 0 THEN CAST(r_c AS DOUBLE) / n_c END, 6)
+         + 0.0 AS rate_c,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0 THEN
+             CAST(r_t AS DOUBLE) / n_t - CAST(r_c AS DOUBLE) / n_c
+             END, 6) + 0.0 AS uplift,
+       ROUND(CASE WHEN cn_c > 0 THEN
+             cr_t - CAST(cr_c AS DOUBLE) * cn_t / cn_c END, 6) + 0.0
+         AS qini
+FROM cum
+"""

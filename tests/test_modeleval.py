@@ -663,3 +663,53 @@ def test_logistic_fit_numpy_irls_parity(spark):
     # recovered effects carry the right signs and magnitudes
     assert 0.4 < got["x1"]["coef"] < 1.4
     assert -1.8 < got["x2"]["coef"] < -0.7
+
+
+def test_qini_curve_planted_uplift(spark):
+    import numpy as np
+    rng = np.random.RandomState(21)
+    rows = []
+    for i in range(4000):
+        t = i % 2
+        s = rng.rand()
+        base = 0.2
+        lift = 0.4 * s if t else 0.0      # uplift grows with score
+        y = int(rng.rand() < base + lift)
+        rows.append((t, int(y), float(s)))
+    df = spark.createDataFrame(rows, "t int, y int, s double")
+    out = sorted(ME.qini_curve(df, "t = 1", "y = 1", "s").collect(),
+                 key=lambda r: -r["bin"])
+    # top-score bin shows strong positive uplift, bottom ~0
+    assert out[0]["uplift"] > 0.2
+    assert abs(out[-1]["uplift"]) < 0.15
+    # final qini ~ total incremental responders; positive and sane
+    assert out[-1]["qini"] > 100
+    # prefix counts are cumulative and end at the arm totals
+    assert out[-1]["n_t"] + sum(r["n_t"] for r in out[:-1]) == 2000
+
+
+def test_ipw_effect_recovers_null_under_confounding(spark):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    rows = []
+    # outcome depends on x only; treatment assignment depends on x
+    # (confounded) -> naive diff biased, IPW with the TRUE propensity
+    # recovers ~0
+    for i in range(6000):
+        x = rng.rand()
+        e = 0.2 + 0.6 * x
+        t = int(rng.rand() < e)
+        y = 10.0 * x + rng.randn()
+        rows.append((t, float(y), float(e)))
+    df = spark.createDataFrame(rows, "t int, y double, e double")
+    r = INF_ipw(df)
+    naive = (np.mean([y for t, y, e in rows if t == 1])
+             - np.mean([y for t, y, e in rows if t == 0]))
+    assert naive > 0.5                      # confounding bias visible
+    assert abs(r["ate_ipw"]) < 0.25         # IPW kills it
+    assert r["ess_t"] < r["n_t"]            # weights cost ESS
+
+
+def INF_ipw(df):
+    from satellitetools_spark.operators import inference as INF
+    return INF.ipw_effect(df, "t = 1", "y", "e").collect()[0]
