@@ -486,3 +486,62 @@ def test_smd_balance_single_aggregate(spark):
     plan = _plan(smd_balance(df, "t = 1", ["x", "z"]))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_scd2_single_exchange(spark):
+    # lag-mark and lead-close must share ONE (key, ts) sort: exactly
+    # one Exchange and at most two Sort nodes (partial+final of the
+    # same ordering) in the plan
+    from satellitetools_spark.operators.temporal import scd2_build
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2026, 1, 1 + i), "s" + str(i % 2))
+         for i in range(6)],
+        "user_id string, ts timestamp, state string")
+    plan = _plan(scd2_build(df, "user_id", "ts", ["state"]))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_trimmed_stats_histogram_then_window_only(spark):
+    # raw rows feed ONE hash aggregate; windows run over the distinct-
+    # value histogram only — no join, no global sort of raw rows
+    from satellitetools_spark.operators.inference import trimmed_stats
+    df = spark.createDataFrame([(float(i % 37),) for i in range(500)],
+                               "v double")
+    plan = _plan(trimmed_stats(df, "v"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qini_single_conditional_aggregate(spark):
+    from satellitetools_spark.operators.modeleval import qini_curve
+    df = spark.createDataFrame(
+        [(i % 2, i % 3 == 0, float(i % 10) / 10.0) for i in range(100)],
+        "t int, y boolean, s double")
+    plan = _plan(qini_curve(df, "t = 1", "y", "s"))
+    assert "Join" not in plan
+    # one agg over raw rows + windows over the 10-bin table
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_covisitation_no_cartesian(spark):
+    from satellitetools_spark.operators.segment import covisitation
+    df = spark.createDataFrame(
+        [(i % 7, f"it{i % 4}") for i in range(50)],
+        "user_id int, event_type string")
+    plan = _plan(covisitation(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_haversine_join_is_banded_equi_join(spark):
+    from satellitetools_spark.operators.spatial import haversine_join
+    p = spark.createDataFrame([(1, 10.0, 20.0)],
+                              "event_id int, lon double, lat double")
+    s = spark.createDataFrame(
+        [(1, 10.5, 20.5)], "station_id int, slon double, slat double")
+    plan = _plan(haversine_join(p, s, radius_km=200.0))
+    assert "BroadcastHashJoin" in plan       # latband equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
