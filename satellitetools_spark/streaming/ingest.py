@@ -529,3 +529,70 @@ def streaming_heavy_hitters(doc_stream: DataFrame, k: int = 64,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_attribution(events: DataFrame,
+                          conversion_types=("purchase",),
+                          touch_types=("view", "click"),
+                          lookback_seconds: float = 86400.0,
+                          key: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """Stateful streaming last-touch attribution
+    (``applyInPandasWithState``): per user, the state carries the most
+    recent qualifying touch (ts + type); every conversion event emits
+    one attributed row as it arrives — the real-time twin of the batch
+    `temporal.attribution` (last-touch columns; journey first-touch is
+    a batch-side readout). State per key is ONE (timestamp, type)
+    pair — constant memory, sharded by the user key like any keyed
+    aggregation.
+
+    Correctness contract (pinned in test_streaming): over a
+    time-ordered replay, the emitted (user, conv_ts, last_touch_type,
+    in_window) multiset equals the batch operator's. Events inside one
+    micro-batch are sorted by (ts, type) before the state fold, so
+    batch boundaries never reorder a user's stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    conv = set(conversion_types)
+    touch = set(touch_types)
+    keyed = events.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+        F.col(type_col).alias("ty"))
+
+    def update_fn(kv, pdfs, state):
+        if state.exists:
+            lt_us, lt_ty = state.get
+        else:
+            lt_us, lt_ty = None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["t", "ty"])
+            for t, ty in zip(pdf["t"], pdf["ty"]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if ty in conv:
+                    in_w = (lt_us is not None
+                            and (t_us - lt_us) / 1e6
+                            <= lookback_seconds)
+                    rows.append((str(kv[0]), t, ty, lt_ty,
+                                 bool(in_w)))
+                if ty in touch:
+                    lt_us, lt_ty = t_us, ty
+        if lt_us is not None:
+            state.update((lt_us, lt_ty))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "conv_ts", "conv_type", "last_touch_type",
+                "in_window"])
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        update_fn,
+        outputStructType=("user_id string, conv_ts timestamp, "
+                         "conv_type string, last_touch_type string, "
+                         "in_window boolean"),
+        stateStructType="lt_us long, lt_ty string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

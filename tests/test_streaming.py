@@ -490,3 +490,52 @@ def test_streaming_heavy_hitters_exact_in_small_alphabet(spark, tmp_path):
           FROM hh_stream) WHERE rn = 1
     """).toPandas().set_index("token")["lb"].to_dict()
     assert got == {"hot": 9, "warm": 8, "cold": 5}
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Stateful streaming last-touch attribution over a 3-micro-batch
+    time-ordered replay emits the same (user, conv_ts,
+    last_touch_type, in_window) multiset as the batch operator."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from satellitetools_spark.operators.temporal import attribution
+    from satellitetools_spark.streaming.ingest import streaming_attribution
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(src).select("user_id", "event_type", "ts")
+    feed = tmp_path / "at_feed"
+    feed.mkdir()
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = (ev.agg(F.expr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"))
+              .collect()[0])
+    chunks = [ev.filter(t <= lo), ev.filter((t > lo) & (t <= hi)),
+              ev.filter(t > hi)]
+    for i, chunk in enumerate(chunks):
+        tmp_dir = str(tmp_path / f"at_chunk_{i}")
+        chunk.coalesce(1).write.parquet(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.copy(part, feed / f"part-{i}.parquet")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(feed)))
+    q = (streaming_attribution(stream)
+         .writeStream.format("memory").queryName("attr_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_at"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = set(map(tuple, spark.sql(
+        "SELECT user_id, conv_ts, last_touch_type, in_window "
+        "FROM attr_stream").toPandas().astype(str).values))
+    ref_df = attribution(ev, "event_type = 'purchase'",
+                         "event_type IN ('view', 'click')", 86400.0)
+    ref = set(map(tuple, ref_df.select(
+        F.col("user_id").cast("string"), "conv_ts",
+        "last_touch_type", "in_window").toPandas().astype(str).values))
+    assert got == ref and len(got) > 0
