@@ -65,6 +65,10 @@ HEADLINE = [
     "orders_rfm",
     "docs_dice_pairs",
     "geo_change",
+    # round-3 session-4 additions: classifier, warehouse, text mining
+    "docs_naive_bayes",
+    "events_scd2",
+    "docs_rake",
 ]
 
 
