@@ -1794,3 +1794,103 @@ SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
              swy_t / sw_t - swy_c / sw_c END, 6) + 0.0 AS ate_ipw
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k groups)
+# ---------------------------------------------------------------------------
+
+def median_test(df: DataFrame, group_expr: str,
+                value_expr: str) -> DataFrame:
+    """Mood's median test across k groups: does each group put the
+    same fraction of mass above the GRAND median? The coarsest, most
+    outlier-proof location test — the right sanity check when even
+    rank tests are suspect (heavy censoring, instrument saturation).
+    Output: one row per group (grp, n, n_above, expected_above) plus
+    the shared chi² and dof repeated per row (alphabet-sized).
+
+    Shape: grand median EXACTLY from the distinct-value histogram
+    (cumulative window at value-alphabet cardinality — never a sort of
+    raw rows), broadcast back into ONE conditional per-group agg;
+    values EQUAL to the median are excluded (the classic convention,
+    keeping the 2×k table margins exact). χ² = Σ (O−E)²/E over the
+    above/below cells with dof k−1.
+    """
+    g = F.expr(group_expr)
+    pre = (df.select(g.alias("grp"),
+                     F.expr(value_expr).cast("double").alias("v"))
+           .filter(F.col("v").isNotNull()))
+    hist = pre.groupBy("v").agg(F.count("*").alias("nv"))
+    w = Window.orderBy("v")
+    cum = (hist.withColumn("cume", F.sum("nv").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(hist.agg(F.sum("nv").alias("nn")))))
+    med = (cum.filter(F.col("cume") * 2 >= F.col("nn"))
+           .agg(F.min("v").alias("med")))
+    per = (pre.crossJoin(F.broadcast(med))
+           .filter(F.col("v") != F.col("med"))
+           .groupBy("grp")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col("v") > F.col("med"), 1)
+                      .otherwise(0)).alias("n_above")))
+    tot = per.agg(F.sum("n").alias("tn"),
+                  F.sum("n_above").alias("ta"),
+                  F.count("*").alias("k"))
+    per = per.crossJoin(F.broadcast(tot))
+    cell = per.withColumn(
+        "_e", F.col("n") * F.col("ta") / F.col("tn"))
+    chi = cell.agg(F.sum(
+        F.expr("pow(n_above - _e, 2) / _e"
+               " + pow((n - n_above) - (n - _e), 2) / (n - _e)"))
+        .alias("chi2"), F.max("k").alias("kk"))
+    return (cell.crossJoin(F.broadcast(chi))
+            .select("grp", F.col("n").cast("long").alias("n"),
+                    F.col("n_above").cast("long").alias("n_above"),
+                    _r6(F.col("_e")).alias("expected_above"),
+                    _r6(F.col("chi2")).alias("chi2"),
+                    (F.col("kk") - 1).cast("long").alias("dof")))
+
+
+def median_test_sql(table: str, group_expr: str,
+                    value_expr: str) -> str:
+    """DuckDB oracle: identical histogram median, conditional counts,
+    and χ² fold."""
+    return f"""
+WITH pre AS (
+  SELECT ({group_expr}) AS grp, CAST(({value_expr}) AS DOUBLE) AS v
+  FROM {table} WHERE ({value_expr}) IS NOT NULL
+),
+hist AS (SELECT v, COUNT(*) AS nv FROM pre GROUP BY v),
+cum AS (
+  SELECT v, SUM(nv) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
+         (SELECT SUM(nv) FROM hist) AS nn
+  FROM hist
+),
+med AS (SELECT MIN(v) AS med FROM cum WHERE cume * 2 >= nn),
+per AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS n_above
+  FROM pre CROSS JOIN med WHERE v != med
+  GROUP BY grp
+),
+tot AS (SELECT SUM(n) AS tn, SUM(n_above) AS ta, COUNT(*) AS k
+        FROM per),
+cell AS (
+  SELECT p.*, t.tn, t.ta, t.k,
+         p.n * t.ta * 1.0 / t.tn AS _e
+  FROM per p CROSS JOIN tot t
+),
+chi AS (
+  SELECT SUM(pow(n_above - _e, 2) / _e
+             + pow((n - n_above) - (n - _e), 2) / (n - _e)) AS chi2,
+         MAX(k) AS kk
+  FROM cell
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(n_above AS BIGINT) AS n_above,
+       ROUND(_e, 6) + 0.0 AS expected_above,
+       ROUND(chi2, 6) + 0.0 AS chi2,
+       CAST(kk - 1 AS BIGINT) AS dof
+FROM cell CROSS JOIN chi
+"""

@@ -2209,3 +2209,26 @@ def test_clip_polygons_golden_cases(spark):
     with _pt.raises(ValueError):
         SP.clip_polygons(subjects, [(0, 0), (10, 0), (5, 5), (10, 10),
                                     (0, 10)])
+
+
+def test_median_test_planted_shift_and_null(spark):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    rows = ([("a", float(v)) for v in rng.randn(300)]
+            + [("b", float(v + 1.5)) for v in rng.randn(300)]
+            + [("c", float(v) + 0.0) for v in rng.randn(300)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["grp"]: r for r in INF.median_test(df, "g", "v").collect()}
+    assert got["a"]["dof"] == 2
+    # shifted group sits mostly above the grand median; a/c below
+    assert got["b"]["n_above"] > got["b"]["expected_above"] + 50
+    assert got["a"]["chi2"] > 50          # strong rejection
+    # null case: identical distributions -> small chi2
+    rows0 = [(g, float(v)) for g in "ab" for v in rng.randn(400)]
+    df0 = spark.createDataFrame(rows0, "g string, v double")
+    c0 = INF.median_test(df0, "g", "v").collect()[0]
+    assert c0["chi2"] < 6.0
+    # counts sanity: above ~ half per group overall
+    tot_above = sum(r["n_above"] for r in got.values())
+    tot_n = sum(r["n"] for r in got.values())
+    assert abs(tot_above - tot_n / 2) <= 1
