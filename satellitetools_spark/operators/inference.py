@@ -1894,3 +1894,77 @@ SELECT grp, CAST(n AS BIGINT) AS n,
        CAST(kk - 1 AS BIGINT) AS dof
 FROM cell CROSS JOIN chi
 """
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test
+# ---------------------------------------------------------------------------
+
+def trend_test(df: DataFrame, dose_expr: str,
+               label_expr: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in a binary rate
+    across ordered dose levels — the ordered-alternative complement to
+    `checks.chi_square_independence` (which ignores ordering): is the
+    positive rate monotone in quality tier / bucket index / exposure
+    level? One row: (k, n, z, p_approx) with
+    ``z = Σ wᵢ(rᵢ − nᵢ·p̄) / √(p̄(1−p̄)(Σ nᵢwᵢ² − (Σ nᵢwᵢ)²/N))``.
+
+    Shape: ONE hash agg to the per-dose (n, r) table (dose-alphabet
+    cardinality), then a single fold — raw rows touched once. The erf
+    p rides the shared formula string.
+    """
+    pre = df.select(F.expr(dose_expr).cast("double").alias("w"),
+                    F.expr(f"CASE WHEN ({label_expr}) THEN 1 ELSE 0"
+                           " END").alias("y"))
+    per = (pre.filter(F.col("w").isNotNull())
+           .groupBy("w").agg(F.count("*").alias("n"),
+                             F.sum("y").alias("r")))
+    fold = per.agg(F.count("*").alias("k"),
+                   F.sum("n").alias("nn"), F.sum("r").alias("rr"),
+                   F.sum(F.col("w") * F.col("r")).alias("swr"),
+                   F.sum(F.col("w") * F.col("n")).alias("swn"),
+                   F.sum(F.col("w") * F.col("w") * F.col("n"))
+                   .alias("sw2n"))
+    num = "(swr - swn * (CAST(rr AS DOUBLE) / nn))"
+    var = ("((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)"
+           " * (sw2n - swn * swn / nn))")
+    z = f"CASE WHEN {var} > 0 THEN {num} / sqrt({var}) END"
+    return fold.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        _r6(F.expr(z)).alias("z"),
+        _r6(F.expr(f"CASE WHEN ({z}) IS NOT NULL THEN "
+                   + _WSR_P_FMT.format(z=f"ABS({z})") + " END"))
+        .alias("p_approx"))
+
+
+def trend_test_sql(table: str, dose_expr: str,
+                   label_expr: str) -> str:
+    """DuckDB oracle: identical per-dose table and fold."""
+    num = "(swr - swn * (CAST(rr AS DOUBLE) / nn))"
+    var = ("((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)"
+           " * (sw2n - swn * swn / nn))")
+    z = f"CASE WHEN {var} > 0 THEN {num} / sqrt({var}) END"
+    return f"""
+WITH pre AS (
+  SELECT CAST(({dose_expr}) AS DOUBLE) AS w,
+         CASE WHEN ({label_expr}) THEN 1 ELSE 0 END AS y
+  FROM {table}
+),
+per AS (
+  SELECT w, COUNT(*) AS n, SUM(y) AS r
+  FROM pre WHERE w IS NOT NULL GROUP BY w
+),
+fold AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(r) AS rr,
+         SUM(w * r) AS swr, SUM(w * n) AS swn,
+         SUM(w * w * n) AS sw2n
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       ROUND({z}, 6) + 0.0 AS z,
+       ROUND(CASE WHEN ({z}) IS NOT NULL THEN
+             {_WSR_P_FMT.format(z=f"ABS({z})")} END, 6) + 0.0
+         AS p_approx
+FROM fold
+"""

@@ -2232,3 +2232,21 @@ def test_median_test_planted_shift_and_null(spark):
     tot_above = sum(r["n_above"] for r in got.values())
     tot_n = sum(r["n"] for r in got.values())
     assert abs(tot_above - tot_n / 2) <= 1
+
+
+def test_trend_test_monotone_vs_flat(spark):
+    import numpy as np
+    rng = np.random.RandomState(14)
+    rows = []
+    for dose in range(5):
+        for _ in range(300):
+            rows.append((dose, bool(rng.rand() < 0.1 + 0.15 * dose)))
+    df = spark.createDataFrame(rows, "d int, y boolean")
+    r = INF.trend_test(df, "d", "y").collect()[0]
+    assert r["k"] == 5 and r["n"] == 1500
+    assert r["z"] > 8 and r["p_approx"] < 1e-6   # strong rising trend
+    rows0 = [(d, bool(rng.rand() < 0.3))
+             for d in range(5) for _ in range(300)]
+    df0 = spark.createDataFrame(rows0, "d int, y boolean")
+    r0 = INF.trend_test(df0, "d", "y").collect()[0]
+    assert abs(r0["z"]) < 3 and r0["p_approx"] > 0.001
