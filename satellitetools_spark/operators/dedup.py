@@ -587,19 +587,29 @@ def allpairs_jaccard_pairs(docs: DataFrame, n: int = 3,
               .withColumn("pos", F.row_number().over(wdoc))
               .withColumn("sz", F.count("*").over(
                   Window.partitionBy("doc_id"))))
+    # ceil with an epsilon guard: IEEE double products can land a hair
+    # ABOVE an exact integer crossing (0.55*20 -> 11.000000000000002,
+    # ceil 12), shortening the prefix by one token and silently losing
+    # exact recall. The 1e-9 pull-back restores the decimal ceiling
+    # while leaving every non-crossing value unchanged.
     pref = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(float(threshold))
-                                             * F.col("sz")) + 1)
+                                             * F.col("sz")
+                                             - F.lit(1e-9)) + 1)
     pa = pref.select(F.col("doc_id").alias("doc_a"), "shingle",
                      F.col("sz").alias("sz_a"))
     pb = pref.select(F.col("doc_id").alias("doc_b"), "shingle",
                      F.col("sz").alias("sz_b"))
+    # The length filter gets the same epsilon treatment: at the exact
+    # boundary (|B| = t*|A| with B ⊂ A, J = t precisely) the IEEE
+    # product t*|A| can exceed the integer |B| by 1 ulp and reject an
+    # admissible pair.
     cand = (pa.join(pb, ["shingle"])
             .filter((F.col("doc_a") < F.col("doc_b"))
                     & (F.col("sz_b") * F.lit(float(threshold))
-                       <= F.col("sz_a"))
+                       - F.lit(1e-9) <= F.col("sz_a"))
                     & (F.col("sz_a") * F.lit(float(threshold))
-                       <= F.col("sz_b")))
+                       - F.lit(1e-9) <= F.col("sz_b")))
             .select("doc_a", "doc_b", "sz_a", "sz_b")
             .distinct())
     ca = sh.withColumnRenamed("doc_id", "doc_a")

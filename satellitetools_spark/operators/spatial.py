@@ -3676,8 +3676,9 @@ def haversine_join(points: DataFrame, stations: DataFrame,
     Candidate generation bands BOTH sides on latitude (band height =
     the radius in degrees), replicating each station into its ±1
     bands — an EQUI-join a hash join executes, never a theta join —
-    then applies a longitude window pre-filter (Δλ ≤ δ/cos φ, clamped
-    at high latitude) before the exact haversine predicate, so the
+    then applies a longitude window pre-filter (Δλ ≤ δ/min cos φ over
+    the admissible latitude band, clamped near the pole) before the
+    exact haversine predicate, so the
     trig runs only on banded survivors. This is the formula-exact
     path; at planetary density the production candidate generator is
     the existing S2-style `cell_join` cover. The shared haversine
@@ -3695,8 +3696,16 @@ def haversine_join(points: DataFrame, stations: DataFrame,
         cand = F.broadcast(cand)
     pts = points.withColumn(
         "latband", F.floor(F.col("lat") / F.lit(ddeg)).cast("long"))
-    lon_w = (F.lit(ddeg)
-             / F.greatest(F.cos(F.radians(F.col("slat"))), F.lit(0.01)))
+    # Longitude window: a within-radius point may sit up to ddeg poleward
+    # of the station, where meridians converge — bounding with
+    # cos(slat) alone under-counts by ~(1 + tan^2(slat)*ddeg^2/4) and
+    # silently drops near-radius mid/high-latitude pairs. Use the
+    # MINIMUM cosine over the admissible latitude band (|slat| + ddeg,
+    # capped below 90°), inflated 1% as spherical-geometry headroom;
+    # the exact haversine filter below makes any over-width harmless.
+    band_lat = F.least(F.lit(89.9), F.abs(F.col("slat")) + F.lit(ddeg))
+    lon_w = (F.lit(ddeg * 1.01)
+             / F.greatest(F.cos(F.radians(band_lat)), F.lit(0.01)))
     dist = F.expr(_HAVERSINE_FMT.format(
         lat1="lat", lon1="lon", lat2="slat", lon2="slon"))
     dlon = F.abs(F.col("lon") - F.col("slon"))

@@ -3135,7 +3135,12 @@ def log_rank_test(events: DataFrame, group_expr: str,
     tot = per.groupBy().agg(
         F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0_tot"),
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1_tot"))
+    from satellitetools_spark.operators.inference import _WSR_P_FMT
     z = "CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v) END"
+    # chi-square with 1 dof == two-sided normal: p = erfc(|z|/sqrt(2)),
+    # rendered with the shared A&S erf polynomial string
+    p = ("CASE WHEN v > 0 THEN "
+         + _WSR_P_FMT.format(z=f"ABS({z})") + " END")
     return (fold.crossJoin(F.broadcast(tot))
             .select(F.col("n0_tot").cast("long").alias("n0"),
                     F.col("n1_tot").cast("long").alias("n1"),
@@ -3145,7 +3150,8 @@ def log_rank_test(events: DataFrame, group_expr: str,
                     (F.round(F.expr(f"CASE WHEN v > 0 THEN"
                                     f" pow(o1 - e1, 2) / v END"), 6)
                      + 0.0).alias("chi2"),
-                    (F.round(F.expr(z), 6) + 0.0).alias("z")))
+                    (F.round(F.expr(z), 6) + 0.0).alias("z"),
+                    (F.round(F.expr(p), 6) + 0.0).alias("p_approx")))
 
 
 def log_rank_test_sql(table: str, group_expr: str,
@@ -3153,6 +3159,8 @@ def log_rank_test_sql(table: str, group_expr: str,
                       censor_horizon_days: int = 7) -> str:
     """DuckDB oracle: identical lifetime construction, suffix at-risk
     windows, and fold."""
+    from satellitetools_spark.operators.inference import _WSR_P_FMT
+    _p = _WSR_P_FMT.format(z="ABS((o1 - e1) / sqrt(v))")
     return f"""
 WITH per0 AS (
   SELECT {key} AS k, MIN({time_col}) AS _first, MAX({time_col}) AS _last,
@@ -3220,6 +3228,7 @@ SELECT CAST(n0_tot AS BIGINT) AS n0, CAST(n1_tot AS BIGINT) AS n1,
        ROUND(CASE WHEN v > 0 THEN pow(o1 - e1, 2) / v END, 6) + 0.0
          AS chi2,
        ROUND(CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v) END, 6) + 0.0
-         AS z
+         AS z,
+       ROUND(CASE WHEN v > 0 THEN {_p} END, 6) + 0.0 AS p_approx
 FROM fold CROSS JOIN tot
 """

@@ -1949,8 +1949,11 @@ def naive_bayes_predict(docs: DataFrame, label_col: str = "lang",
                          F.explode("_toks").alias("token"))
              .groupBy("doc_id", "actual", "token")
              .agg(F.count("*").alias("c")))
-    doclen = facts.groupBy("doc_id", "actual").agg(
-        F.sum("c").alias("t_doc"))
+    # doclen comes from BASE, not the exploded facts: a document whose
+    # text yields zero [a-z0-9]+ tokens must still be classified
+    # (t_doc = 0 -> score = prior), not silently dropped.
+    doclen = base.select("doc_id", "actual",
+                         F.size("_toks").cast("long").alias("t_doc"))
     # model: per-label priors and token log-likelihoods
     cls = (facts.groupBy("actual", "token")
            .agg(F.sum("c").alias("ct"))
@@ -2022,7 +2025,8 @@ cnt AS (
   FROM facts GROUP BY 1, 2, 3
 ),
 doclen AS (
-  SELECT doc_id, actual, SUM(c) AS t_doc FROM cnt GROUP BY 1, 2
+  -- from BASE so zero-token documents keep a (prior-only) prediction
+  SELECT doc_id, actual, CAST(len(toks) AS BIGINT) AS t_doc FROM base
 ),
 cls AS (
   SELECT actual AS label, token, SUM(c) AS ct FROM cnt GROUP BY 1, 2

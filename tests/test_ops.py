@@ -1993,6 +1993,26 @@ def test_naive_bayes_predict_hand_computed(spark):
     assert abs(got["d5"]["log_score"] - round(want, 6)) < 1e-9
 
 
+def test_naive_bayes_predicts_empty_text_docs(spark):
+    # A document with zero [a-z0-9]+ tokens must still be classified
+    # (prior-only score), not silently dropped from the output.
+    import math
+    from satellitetools_spark.operators.text import naive_bayes_predict
+    docs = spark.createDataFrame(
+        [("d1", "cat", "meow meow purr"),
+         ("d2", "cat", "meow purr purr"),
+         ("d3", "dog", "woof woof bark"),
+         ("d6", "dog", "!!! ??? ---")],      # no tokens at all
+        ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: r for r in
+           naive_bayes_predict(docs, "lang").collect()}
+    assert set(got) == {"d1", "d2", "d3", "d6"}
+    # prior-only argmax: ln(2/4) for cat vs ln(2/4) for dog — tie
+    # broken label-ASC -> cat; score is exactly the prior
+    assert got["d6"]["pred"] == "cat"
+    assert abs(got["d6"]["log_score"] - round(math.log(2 / 4), 6)) < 1e-9
+
+
 def test_allpairs_jaccard_matches_bruteforce(spark):
     # Corpus with heavy shared boilerplate (common shingles would
     # dominate a naive equi-join) + true near-dup pairs at several
@@ -2015,6 +2035,33 @@ def test_allpairs_jaccard_matches_bruteforce(spark):
                for r in allpairs_jaccard_pairs(
                    docs, n=3, threshold=t).collect()}
         assert got == want and len(want) > 0
+
+
+def test_allpairs_jaccard_ieee_ceil_boundary(spark):
+    # Adversarial exact-boundary pair at t=0.55: A has 20 shingles,
+    # B = A's first 13 words (11 shingles, all shared, B subset of A)
+    # -> J = 11/20 = 0.55 exactly. Filler copies of B inflate the
+    # shared shingles' df so A's 9 unique shingles rank FIRST
+    # (rarest-first) in A's prefix. Correct prefix length
+    # 20 - ceil(0.55*20) + 1 = 10 includes exactly one shared shingle;
+    # IEEE 0.55*20 = 11.000000000000002 ceils to 12 without the
+    # epsilon guard, shortening the prefix to 9 (all-unique, no
+    # collision) AND failing the sz_a*t <= sz_b length filter — either
+    # bug silently loses this exact-threshold pair.
+    from satellitetools_spark.operators.dedup import (
+        allpairs_jaccard_pairs, jaccard_pairs)
+    words_b = [f"s{j}" for j in range(13)]
+    words_a = words_b + [f"u{j}" for j in range(9)]
+    rows = [("A", " ".join(words_a)), ("B", " ".join(words_b)),
+            ("f1", " ".join(words_b)), ("f2", " ".join(words_b))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, n=3, threshold=0.55).collect()}
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in allpairs_jaccard_pairs(
+               docs, n=3, threshold=0.55).collect()}
+    assert ("A", "B", 0.55) in want      # the bait pair really is J=0.55
+    assert got == want
 
 
 def test_label_propagation_two_triangles_with_bridge(spark):

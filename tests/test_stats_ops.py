@@ -1851,6 +1851,24 @@ def test_haversine_join_bruteforce_parity_and_wraparound(spark):
     assert (4, 2) in got and (5, 2) in got
 
 
+def test_haversine_join_midlat_near_radius_window(spark):
+    # Near-radius pair at 60°N: great-circle curvature makes the
+    # admissible dlon (5.39726° at exactly 300 km) exceed the naive
+    # ddeg/cos(slat) window (5.39593°) — a pre-filter bounded by
+    # cos(slat) alone silently drops this pair. The banded window must
+    # use the minimum cosine over the latitude band.
+    p = spark.createDataFrame(
+        [(0, 5.3965, 60.0),        # same-lat, dist ≈ 299.95 km
+         (1, 3.0, 62.0)],          # poleward near-radius companion
+        "event_id int, lon double, lat double")
+    s = spark.createDataFrame(
+        [(0, 0.0, 60.0)], "station_id int, slon double, slat double")
+    got = {r["event_id"]: r["dist_km"]
+           for r in SP.haversine_join(p, s, radius_km=300.0).collect()}
+    assert 0 in got and 299.9 < got[0] <= 300.0
+    assert 1 in got
+
+
 def test_simplify_rings_properties_and_reference_parity(spark):
     import numpy as np
     # noisy circle: 80 vertices, radius 100 +- small wiggle
@@ -2170,6 +2188,8 @@ def test_log_rank_detects_survival_difference(spark):
     # short-lived group 1 dies earlier -> observed1 exceeds expected1
     # at early times; direction via z sign
     assert r["z"] is not None and abs(r["z"]) > 4
+    # p_approx = erfc(|z|/sqrt(2)): strongly different -> near 0
+    assert r["p_approx"] is not None and r["p_approx"] < 1e-3
     # identical groups -> chi2 near 0
     rows2 = [(u, T0) for u in range(40)] + [
         (u, T0 + dt.timedelta(days=10 + u % 5)) for u in range(40)]
@@ -2177,6 +2197,7 @@ def test_log_rank_detects_survival_difference(spark):
     df2 = spark.createDataFrame(rows2, "user_id int, ts timestamp")
     r2 = TP.log_rank_test(df2, "user_id % 2").collect()[0]
     assert r2["chi2"] < 1.0
+    assert r2["p_approx"] is None or r2["p_approx"] > 0.2
 
 
 def test_clip_polygons_golden_cases(spark):
