@@ -1,0 +1,77 @@
+"""The ground-truth generators behind the formerly rows-only oracles
+(satellitetools_spark/groundtruth.py) — sanity of the independent
+implementations themselves. Engine-vs-ground-truth value equality is
+exercised by scripts/check_correctness.py (and the driver's gate); here
+we pin the generator's own invariants on small inputs.
+"""
+
+import math
+
+import numpy as np
+
+from satellitetools_spark import groundtruth as GT
+
+
+def test_jarvis_hull_square_with_interior_and_edge_points():
+    pts = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0],
+                    [1.0, 1.0],      # interior
+                    [1.0, 0.0], [2.0, 1.0]])  # on hull edges
+    h = GT._jarvis_hull(np.unique(pts, axis=0))
+    assert len(h) == 4              # collinear edge points skipped
+    area, per = GT._ring_area_perimeter(h)
+    assert abs(area - 4.0) < 1e-12 and abs(per - 8.0) < 1e-12
+
+
+def test_jarvis_hull_collinear_degenerates_to_segment():
+    pts = np.unique(np.array(
+        [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]), axis=0)
+    h = GT._jarvis_hull(pts)
+    assert len(h) == 2
+    area, per = GT._ring_area_perimeter(h)
+    assert area == 0.0 and abs(per - 2.0 * math.hypot(3, 3)) < 1e-12
+
+
+def test_recursive_rdp_matches_segment_tolerance_contract():
+    # zig-zag: middle spikes above tolerance survive, below vanish
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 0.05, 3.0, 0.05, 0.0]
+    keep = [False] * 5
+    keep[0] = keep[4] = True
+    GT._rdp_keep(xs, ys, 0, 4, keep, 1.0)
+    assert keep == [True, False, True, False, True]
+    keep2 = [False] * 5
+    keep2[0] = keep2[4] = True
+    GT._rdp_keep(xs, ys, 0, 4, keep2, 100.0)
+    assert keep2 == [True, False, False, False, True]
+
+
+def test_sh_clip_square_overlap_area():
+    subject = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    window = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)]
+    out = GT._sh_clip(subject, window)
+    assert abs(GT._poly_area(out) - 4.0) < 1e-12
+    # fully inside -> unchanged; fully outside -> empty
+    inner = [(2.5, 2.5), (3.0, 2.5), (3.0, 3.0)]
+    assert GT._sh_clip(inner, window) == inner
+    assert GT._sh_clip([(10.0, 10.0), (11.0, 10.0), (11.0, 11.0)],
+                       window) == []
+
+
+def test_isotonic_minimax_equals_pav_on_classic_example():
+    # minimax closed form vs a hand-run PAV: rates 1, 0 must pool to
+    # the weighted mean; monotone input stays untouched
+    W = np.array([0.0, 2.0, 4.0])          # two blocks, weight 2 each
+    S = np.array([0.0, 2.0, 2.0])          # rates 1.0 then 0.0
+    # inline re-derivation of the generator's loop for m=2
+    m = 2
+    cal = np.full(m, -np.inf)
+    for j in range(m):
+        run = np.inf
+        mins = np.empty(m - j)
+        for kk in range(m - 1, j - 1, -1):
+            mean = (S[kk + 1] - S[j]) / (W[kk + 1] - W[j])
+            run = min(run, mean)
+            mins[kk - j] = run
+        for i in range(j, m):
+            cal[i] = max(cal[i], mins[i - j])
+    assert np.allclose(cal, [0.5, 0.5])

@@ -17,20 +17,13 @@ def test_every_query_has_an_oracle():
     o = E.oracle_sql()
     missing = sorted(set(q) - set(o))
     extra = sorted(set(o) - set(q))
-    # rows-only entries are allowed by the driver but must be a
-    # DELIBERATE choice — exactly these, each a genuinely non-SQL-
-    # expressible loop pinned by independent-NumPy pytest parity:
-    #   docs_isotonic  — PAV's data-dependent pooling merge
-    #   events_dtw     — the DTW dynamic-programming recurrence
-    #   docs_logistic  — IRLS driver-side Newton solve
-    #   geo_hull       — monotone-chain hull selection
-    #   geo_simplify   — Douglas-Peucker split recursion
-    #   geo_kriging    — per-point ordinary-kriging linear solve
-    #   geo_clip       — Sutherland-Hodgman edge walk
-    assert missing == ["docs_isotonic", "docs_logistic", "events_dtw",
-                       "geo_clip", "geo_hull", "geo_kriging",
-                       "geo_simplify"], (
-        f"queries without oracles: {missing}")
+    # Round 4 closed the rows-only list: the seven non-SQL-expressible
+    # loops (PAV pooling, DTW recurrence, IRLS solve, hull selection,
+    # DP recursion, kriging solve, S-H edge walk) now ship
+    # ground-truth-parquet oracles re-computed by INDEPENDENT
+    # implementations (satellitetools_spark/groundtruth.py), so every
+    # registered query is value-checked.
+    assert missing == [], f"queries without oracles: {missing}"
     assert extra == [], f"oracles without queries: {extra}"
 
 
