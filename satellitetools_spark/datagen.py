@@ -299,6 +299,20 @@ def _oracle_pixels_for_doc(d, gsd: float):
     txs, tys = R.target_grid(d["bbox"], gsd)
     x2, y2 = np.meshgrid(txs, tys)
     inside = G.points_in_rings(x2.ravel(), y2.ravel(), d["rings_utm"])
+    # Cross-check with the independently written winding-number PIP:
+    # the engine and this oracle share geometry.points_in_rings at the
+    # dataflow level, so a bug in the shared kernel would otherwise be
+    # invisible to the gate. Every oracle row is verified against the
+    # second implementation at generation time (and again in pytest).
+    from satellitetools_spark.groundtruth import points_in_rings_winding
+    wind = points_in_rings_winding(x2.ravel(), y2.ravel(),
+                                   d["rings_utm"])
+    if (wind != inside).any():
+        bad = int((wind != inside).sum())
+        raise AssertionError(
+            f"PIP cross-check failed for doc {d['doc_id']}: "
+            f"{bad} grid points disagree between even-odd ray casting "
+            f"and the winding-number reference")
     out = {
         "x": x2.ravel(), "y": y2.ravel(), "inside": inside,
         "aoi_pixels": int(inside.sum()),

@@ -59,6 +59,34 @@ LABEL_SQL = "CAST(lang = 'en' AS INT)"
 # geometry kernels (independent re-derivations)
 # ---------------------------------------------------------------------------
 
+def points_in_rings_winding(px, py, rings) -> np.ndarray:
+    """Point-in-polygon by the WINDING NUMBER (Sunday's crossing
+    rules) — written independently of the engine's even-odd
+    ray-casting kernel (``geometry.points_in_rings``), as its
+    cross-check. For the simple (non-self-intersecting) rings the
+    fixtures use, nonzero-winding equals even-odd PER RING; rings are
+    then combined by XOR, reproducing the engine's multi-ring hole
+    semantics while sharing no code path with it. Points exactly on an
+    edge may differ — the synthetic grids place pixel centers
+    generically off edges by construction."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if (r[0] != r[-1]).any():
+            r = np.vstack([r, r[:1]])
+        wn = np.zeros(px.shape, dtype=np.int64)
+        for i in range(len(r) - 1):
+            ax, ay = r[i]
+            bx, by = r[i + 1]
+            is_left = ((bx - ax) * (py - ay) - (px - ax) * (by - ay))
+            up = (ay <= py) & (by > py) & (is_left > 0)
+            dn = (ay > py) & (by <= py) & (is_left < 0)
+            wn += up.astype(np.int64) - dn.astype(np.int64)
+        inside ^= wn != 0
+    return inside
+
 def _jarvis_hull(pts: np.ndarray) -> np.ndarray:
     """Convex hull by gift wrapping over unique points; collinear
     points on hull edges are skipped (farthest-point rule), matching

@@ -1,0 +1,93 @@
+"""Distributed prefix sums over a total order — the scale-safe
+replacement for ``Window.orderBy(...)`` with no partition spec, which
+Spark executes by moving EVERY row to a single partition ("Moving all
+data to a single partition" warning; one task owns the whole table).
+
+The rank/midrank/ECDF family (roc_auc, cumulative_gains,
+average_precision, Mann-Whitney/Kruskal-Wallis midranks, KS CDFs,
+Wilcoxon, Mood's median) reduces the fact stream to a distinct-value
+histogram first, so the ordered cumulative pass runs at ALPHABET
+cardinality. For binned/quantized scores that table is tiny and a
+single-partition window would be harmless — but for a CONTINUOUS score
+column at 10^12 rows the alphabet approaches the row count and the
+cumsum single-threads. This module removes that cliff: same outputs,
+bounded per-task work at any alphabet size.
+
+Shape (two-level scan, the same checkpoint-pinned scheme as
+``sampling.global_row_number``):
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys
+   (ONE wide op), pinned with a lazy ``localCheckpoint`` so every
+   consumer sees identical partitions (no reliance on exchange reuse).
+2. Per-range-partition partial sums — #partitions rows, NOT data rows —
+   are collected to the driver and turned into literal per-partition
+   offsets (driver traffic O(partitions × columns), independent of row
+   count).
+3. The running sum is then a per-partition window (partitioned by the
+   stamped range-partition id — bounded task state) plus the literal
+   offset: a map-side projection.
+
+Exactness: all call sites sum COUNT columns (doubles holding integers),
+so regrouping the additions is bit-exact up to 2^53 — outputs are
+IDENTICAL to the single-partition window, not merely close. Callers
+summing arbitrary floats should expect last-ulp differences from the
+re-association and round their outputs (every gate operator does).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sums(df: DataFrame, order_by: Sequence[Column],
+                sum_cols: Sequence[str],
+                num_partitions: int = None,
+                prefix: str = "cum_",
+                return_totals: bool = False):
+    """Append inclusive running sums ``<prefix><col>`` of each
+    ``sum_cols`` entry in the total order ``order_by``.
+
+    ``order_by`` must be a total order over the rows (the histogram
+    scaffolds order by the distinct value itself, which is unique by
+    construction); with ties, rows within a tie group receive
+    frame-order-dependent intermediate sums exactly like the window
+    form. Exclusive ("rows below") variants are the inclusive sum minus
+    the row's own value — exact for count data.
+
+    With ``return_totals=True`` also returns ``{col: grand_total}``
+    (already known driver-side from the partials — no extra scan),
+    replacing the whole-frame ``Window.partitionBy()`` total, which
+    funnels every row through one partition too.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (df.repartitionByRange(n, *order_by)
+                .sortWithinPartitions(*order_by)
+                .withColumn("_pspid", F.spark_partition_id())
+                .localCheckpoint(eager=False))
+    partials = (ranged.groupBy("_pspid")
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+                .collect())
+    pmap = {int(r["_pspid"]): r for r in partials}
+    w = (Window.partitionBy("_pspid").orderBy(*order_by)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = ranged
+    grand = {}
+    for c in sum_cols:
+        acc, offs = 0.0, []
+        for i in range(n):
+            offs.append(acc)
+            r = pmap.get(i)
+            if r is not None and r[c] is not None:
+                acc += float(r[c])
+        grand[c] = acc
+        off = F.element_at(
+            F.array(*[F.lit(float(o)) for o in offs]),
+            F.col("_pspid").cast("int") + 1)
+        out = out.withColumn(prefix + c, F.sum(c).over(w) + off)
+    out = out.drop("_pspid")
+    return (out, grand) if return_totals else out

@@ -230,16 +230,19 @@ def mann_whitney_u(df: DataFrame, group_expr: str, value_col: str
     average-tie ranks over the raw rows, without ever sorting them. The
     tie term Σ(t³−t) rides the same histogram.
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(group_expr).cast("int").alias("g"),
                    F.col(value_col).alias("v"))
          .filter(F.col("v").isNotNull())
          .groupBy("v")
          .agg(F.count("*").cast("double").alias("t"),
               F.sum(F.col("g")).cast("double").alias("c1")))
-    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, -1)
-    ranked = h.withColumn("before", F.coalesce(F.sum("t").over(w),
-                                               F.lit(0.0)))
+    # two-level scan over the value alphabet (cumsum.prefix_sums) —
+    # a continuous metric's alphabet approaches row count, so the
+    # cumulative pass must never collapse to one partition; counts
+    # are integral, so the regrouped sums stay bit-exact
+    ranked = (prefix_sums(h, [F.col("v").asc()], ["t"])
+              .withColumn("before", F.col("cum_t") - F.col("t")))
     mid = F.col("before") + (F.col("t") + 1.0) / 2.0
     agg = ranked.agg(
         F.sum("t").alias("nn"),
@@ -314,18 +317,18 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str
     table only — per-group midrank sums come from the per-(value,group)
     counts joined onto it), one k-row agg, one 1-row readout.
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import prefix_sums
     vg = (df.select(F.col(group_col).alias("g"),
                     F.col(value_col).alias("v"))
           .filter(F.col("v").isNotNull())
           .groupBy("v", "g")
           .agg(F.count("*").cast("double").alias("c")))
-    # value-level totals carry the cumulative rank base and tie term
-    w = _W.partitionBy().orderBy("v").rowsBetween(
-        _W.unboundedPreceding, -1)
-    vt = (vg.groupBy("v").agg(F.sum("c").alias("t"))
-          .withColumn("before",
-                      F.coalesce(F.sum("t").over(w), F.lit(0.0))))
+    # value-level totals carry the cumulative rank base and tie term;
+    # the cumulative pass is the two-level alphabet scan (see
+    # cumsum.prefix_sums), never a single-partition window
+    vt = (prefix_sums(vg.groupBy("v").agg(F.sum("c").alias("t")),
+                      [F.col("v").asc()], ["t"])
+          .withColumn("before", F.col("cum_t") - F.col("t")))
     mid = F.col("before") + (F.col("t") + 1.0) / 2.0
     per_g = (vg.join(vt, "v")
              .groupBy("g")
@@ -404,7 +407,7 @@ def ks_test(df: DataFrame, group_expr: str, value_col: str) -> DataFrame:
     the distinct-value histogram: one fact-stream hash agg, one
     cumulative window + max over the value alphabet, a 1-row readout.
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(group_expr).cast("int").alias("g"),
                    F.col(value_col).alias("v"))
          .filter(F.col("v").isNotNull())
@@ -413,12 +416,14 @@ def ks_test(df: DataFrame, group_expr: str, value_col: str) -> DataFrame:
               .alias("c0"),
               F.sum(F.when(F.col("g") == 1, 1.0).otherwise(0.0))
               .alias("c1")))
-    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
-    wall = _W.partitionBy()
-    cum = (h.withColumn("f0", F.sum("c0").over(w))
-           .withColumn("f1", F.sum("c1").over(w))
-           .withColumn("tn0", F.sum("c0").over(wall))
-           .withColumn("tn1", F.sum("c1").over(wall)))
+    # ECDF steps via the two-level alphabet scan; group sizes ride
+    # back from the same partials as driver-side literals
+    cum, tot = prefix_sums(h, [F.col("v").asc()], ["c0", "c1"],
+                           return_totals=True)
+    cum = (cum.withColumnRenamed("cum_c0", "f0")
+           .withColumnRenamed("cum_c1", "f1")
+           .withColumn("tn0", F.lit(tot["c0"]))
+           .withColumn("tn1", F.lit(tot["c1"])))
     agg = cum.agg(
         F.max("tn0").alias("n0"), F.max("tn1").alias("n1"),
         F.max(F.abs(F.col("f0") / F.col("tn0")
@@ -992,7 +997,7 @@ def wilcoxon_signed_rank(df: DataFrame, a_expr: str, b_expr: str
     window over the value alphabet, a 1-row readout. Raw differences
     are never rank-sorted.
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import prefix_sums
     d = (F.expr(a_expr) - F.expr(b_expr))
     h = (df.select(d.alias("d"))
          .filter(F.col("d").isNotNull() & (F.col("d") != 0.0))
@@ -1001,9 +1006,9 @@ def wilcoxon_signed_rank(df: DataFrame, a_expr: str, b_expr: str
          .groupBy("ad")
          .agg(F.count("*").cast("double").alias("t"),
               F.sum("pos").alias("tp")))
-    w = _W.orderBy("ad").rowsBetween(_W.unboundedPreceding, -1)
-    cum = h.withColumn(
-        "below", F.coalesce(F.sum("t").over(w), F.lit(0.0)))
+    # two-level scan over the |d| alphabet (see cumsum.prefix_sums)
+    cum = (prefix_sums(h, [F.col("ad").asc()], ["t"])
+           .withColumn("below", F.col("cum_t") - F.col("t")))
     mid = F.col("below") + (F.col("t") + 1.0) / 2.0
     agg = cum.agg(
         F.sum("t").alias("n"),
@@ -1820,12 +1825,15 @@ def median_test(df: DataFrame, group_expr: str,
     pre = (df.select(g.alias("grp"),
                      F.expr(value_expr).cast("double").alias("v"))
            .filter(F.col("v").isNotNull()))
-    hist = pre.groupBy("v").agg(F.count("*").alias("nv"))
-    w = Window.orderBy("v")
-    cum = (hist.withColumn("cume", F.sum("nv").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-        .crossJoin(F.broadcast(hist.agg(F.sum("nv").alias("nn")))))
-    med = (cum.filter(F.col("cume") * 2 >= F.col("nn"))
+    hist = pre.groupBy("v").agg(
+        F.count("*").cast("double").alias("nv"))
+    # exact grand median from the histogram via the two-level
+    # alphabet scan (see cumsum.prefix_sums) — the value alphabet of a
+    # continuous metric must never funnel through one partition
+    from satellitetools_spark.operators.cumsum import prefix_sums
+    cum, tot = prefix_sums(hist, [F.col("v").asc()], ["nv"],
+                           return_totals=True)
+    med = (cum.filter(F.col("cum_nv") * 2 >= F.lit(tot["nv"]))
            .agg(F.min("v").alias("med")))
     per = (pre.crossJoin(F.broadcast(med))
            .filter(F.col("v") != F.col("med"))

@@ -60,10 +60,15 @@ def roc_auc(df: DataFrame, label_expr: str, score_expr: str) -> DataFrame:
 
     Midranks come from the distinct-score histogram exactly as
     `inference.mann_whitney_u` builds them: midrank(v) =
-    (# obs < v) + (t_v + 1)/2. One fact-stream hash agg, one
-    cumulative window over the score alphabet, a 1-row readout with
-    ``auc`` and ``gini = 2·AUC − 1``.
+    (# obs < v) + (t_v + 1)/2. One fact-stream hash agg, then the
+    cumulative pass over the score alphabet runs as a TWO-LEVEL scan
+    (``cumsum.prefix_sums``: range partition + per-partition window +
+    literal offsets) so a continuous score at 10^12 rows never funnels
+    its alphabet through one task; a 1-row readout with ``auc`` and
+    ``gini = 2·AUC − 1``. Counts are integers in doubles, so the
+    regrouped sums are bit-exact.
     """
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(label_expr).cast("int").alias("y"),
                    F.expr(score_expr).alias("s"))
          .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
@@ -72,10 +77,9 @@ def roc_auc(df: DataFrame, label_expr: str, score_expr: str) -> DataFrame:
               .alias("c0"),
               F.sum(F.when(F.col("y") == 1, 1.0).otherwise(0.0))
               .alias("c1")))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = h.withColumn(
-        "below", F.coalesce(F.sum(F.col("c0") + F.col("c1")).over(w),
-                            F.lit(0.0)))
+    cum = (prefix_sums(h.withColumn("t", F.col("c0") + F.col("c1")),
+                       [F.col("s").asc()], ["t"])
+           .withColumn("below", F.col("cum_t") - F.col("t")))
     mid = F.col("below") + (F.col("c0") + F.col("c1") + 1.0) / 2.0
     agg = cum.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
                   F.sum(F.col("c1") * mid).alias("r1"))
@@ -291,28 +295,34 @@ def cumulative_gains(df: DataFrame, label_expr: str, score_expr: str,
     Buckets are therefore approximately, not exactly, equal-sized in
     the presence of heavy ties — documented behavior, determinism wins.
     """
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(label_expr).cast("int").alias("y"),
                    F.expr(score_expr).alias("s"))
          .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
          .groupBy("s")
          .agg(F.count("*").cast("double").alias("cn"),
               F.sum(F.col("y").cast("double")).alias("cp")))
-    w = Window.orderBy(F.col("s").desc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = (h.withColumn("cum_n", F.sum("cn").over(w))
-           .withColumn("n", F.sum("cn").over(wall)))
+    # descending cumulative count over the score alphabet as a
+    # two-level scan (never a single-partition window); the grand
+    # totals come back driver-side from the same partials for free
+    cum, tot = prefix_sums(h, [F.col("s").desc()], ["cn"],
+                           return_totals=True)
+    cum = (cum.withColumnRenamed("cum_cn", "cum_n")
+           .withColumn("n", F.lit(tot["cn"])))
     bucket = F.least(
         F.ceil(F.lit(float(n_buckets)) * F.col("cum_n") / F.col("n")),
         F.lit(n_buckets)).cast("int")
     byb = (cum.withColumn("bucket", bucket)
            .groupBy("bucket")
            .agg(F.sum("cn").alias("bn"), F.sum("cp").alias("bp")))
-    w2 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    out = (byb.withColumn("cum_n", F.sum("bn").over(w2))
-           .withColumn("cum_pos", F.sum("bp").over(w2))
-           .withColumn("n", F.sum("bn").over(wall))
-           .withColumn("npos", F.sum("bp").over(wall)))
+    # the bucket table is <= n_buckets rows, but the same two-level
+    # scan keeps the plan single-partition-window-free uniformly
+    out, btot = prefix_sums(byb, [F.col("bucket").asc()],
+                            ["bn", "bp"], return_totals=True)
+    out = (out.withColumnRenamed("cum_bn", "cum_n")
+           .withColumnRenamed("cum_bp", "cum_pos")
+           .withColumn("n", F.lit(btot["bn"]))
+           .withColumn("npos", F.lit(btot["bp"])))
     gain = F.col("cum_pos") / F.col("npos")
     readf = F.col("cum_n") / F.col("n")
     return out.select(
@@ -884,19 +894,21 @@ def average_precision(df: DataFrame, label_expr: str, score_expr: str
     Shape: the same distinct-score histogram as `roc_auc`, one
     descending cumulative window over the alphabet, a 1-row fold.
     """
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(label_expr).cast("int").alias("y"),
                    F.expr(score_expr).alias("s"))
          .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
          .groupBy("s")
          .agg(F.count("*").cast("double").alias("cn"),
               F.sum(F.col("y").cast("double")).alias("cp")))
-    w = Window.orderBy(F.col("s").desc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = (h.withColumn("tp", F.sum("cp").over(w))
-           .withColumn("nn", F.sum("cn").over(w))
-           .withColumn("npos", F.sum("cp").over(wall))
-           .withColumn("n", F.sum("cn").over(wall)))
+    # two-level descending cumulatives over the score alphabet (see
+    # cumsum.prefix_sums) — label counts are integral, so bit-exact
+    cum, tot = prefix_sums(h, [F.col("s").desc()], ["cp", "cn"],
+                           return_totals=True)
+    cum = (cum.withColumnRenamed("cum_cp", "tp")
+           .withColumnRenamed("cum_cn", "nn")
+           .withColumn("npos", F.lit(tot["cp"]))
+           .withColumn("n", F.lit(tot["cn"])))
     # ΔR·P per threshold: (cp/npos) · (tp/nn)
     agg = cum.agg(
         F.max("n").alias("n"), F.max("npos").alias("npos"),
@@ -1091,7 +1103,8 @@ FROM cka
 # Kendall's tau-b (ordinal association, tie-corrected)
 # ---------------------------------------------------------------------------
 
-def kendall_tau_b(df: DataFrame, x_expr: str, y_expr: str) -> DataFrame:
+def kendall_tau_b(df: DataFrame, x_expr: str, y_expr: str,
+                  max_cells: int = 100_000) -> DataFrame:
     """Kendall's τ-b between two ORDINAL expressions:
     ``τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))`` with concordant C,
     discordant D, n₀ = n(n−1)/2, and the x-/y-tie corrections n₁/n₂ —
@@ -1100,23 +1113,34 @@ def kendall_tau_b(df: DataFrame, x_expr: str, y_expr: str) -> DataFrame:
     Shape: the naive statistic is O(n²) over facts; here the facts
     collapse to the (x, y) joint histogram (|X|·|Y| cells) and C/D are
     pair-counted over the CELL table's self-join restricted to x₁ < x₂
-    — O(cells²) work, independent of n. The inputs are therefore
-    expected to be bounded-alphabet ordinals (hour-of-day, a binned
-    measure, a rating); bin a continuous double first, as the rank
-    tests in `inference.py` document.
+    — O(cells²) work, independent of n. The inputs MUST be
+    bounded-alphabet ordinals (hour-of-day, a binned measure, a
+    rating); a continuous double must be pre-binned first, as the rank
+    tests in `inference.py` document. This is ENFORCED: the cell count
+    is probed before planning the quadratic join and the call fails
+    fast beyond ``max_cells`` rather than letting a nested-loop join
+    run at an unbounded alphabet.
     """
     j = (df.select(F.expr(x_expr).alias("x"), F.expr(y_expr).alias("y"))
          .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-         .groupBy("x", "y").agg(F.count("*").cast("double").alias("c")))
-    wx = Window.partitionBy("x")
-    wy = Window.partitionBy("y")
-    wall = Window.partitionBy()
-    g = (j.withColumn("cx", F.sum("c").over(wx))
-         .withColumn("cy", F.sum("c").over(wy))
-         .withColumn("n", F.sum("c").over(wall)))
-    left = g.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
+         .groupBy("x", "y").agg(F.count("*").cast("double").alias("c"))
+         .localCheckpoint(eager=False))
+    # HARD bounded-alphabet guard: the x1 < x2 cell join below is a
+    # broadcast-nested-loop theta join, O(cells²). For ordinals and
+    # binned measures cells is tiny; for a continuous double it
+    # approaches row count and the join must never be allowed to run.
+    # The checkpoint pins the cell table so this probe (cell-, not
+    # row-cardinality) is not a second fact-stream scan.
+    n_cells = j.count()
+    if n_cells > int(max_cells):
+        raise ValueError(
+            f"kendall_tau_b: {n_cells} distinct (x, y) cells exceeds "
+            f"max_cells={max_cells}; the concordance join is O(cells²)."
+            " Pre-bin the continuous input (e.g. FLOOR(x / width)) or"
+            " raise max_cells deliberately.")
+    left = j.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
                     F.col("c").alias("c1"))
-    right = g.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+    right = j.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
                      F.col("c").alias("c2"))
     pairs = left.join(right, F.col("x1") < F.col("x2"))
     cd = pairs.agg(

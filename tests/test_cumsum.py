@@ -1,0 +1,62 @@
+"""Two-level distributed prefix sums (operators/cumsum.py) — the
+single-partition-window replacement used by the rank/midrank/ECDF
+family — plus the kendall_tau_b bounded-alphabet guard."""
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from satellitetools_spark.operators.cumsum import prefix_sums
+
+
+def test_prefix_sums_matches_global_window_asc_and_desc(spark):
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 101).cast("double").alias("v"),
+        F.lit(1.0).alias("one"),
+        (F.col("id") % 3).cast("double").alias("w"))
+    h = df.groupBy("v").agg(F.sum("one").alias("t"),
+                            F.sum("w").alias("sw"))
+    for order, wspec in ((F.col("v").asc(), F.col("v").asc()),
+                         (F.col("v").desc(), F.col("v").desc())):
+        got, tot = prefix_sums(h, [order], ["t", "sw"],
+                               num_partitions=7, return_totals=True)
+        w = Window.orderBy(wspec).rowsBetween(
+            Window.unboundedPreceding, 0)
+        want = h.withColumn("et", F.sum("t").over(w)) \
+                .withColumn("esw", F.sum("sw").over(w))
+        gm = {r["v"]: (r["cum_t"], r["cum_sw"]) for r in got.collect()}
+        for r in want.collect():
+            assert gm[r["v"]] == (r["et"], r["esw"])  # bit-exact
+        assert tot["t"] == 500.0
+    # more requested partitions than rows still works
+    tiny = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)], ["v", "t"])
+    got = {r["v"]: r["cum_t"] for r in
+           prefix_sums(tiny, [F.col("v").asc()], ["t"],
+                       num_partitions=16).collect()}
+    assert got == {1.0: 2.0, 2.0: 5.0}
+
+
+def test_prefix_sums_no_single_partition_window_in_plan(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"),
+                                 F.lit(1.0).alias("t"))
+    out = prefix_sums(df, [F.col("v").asc()], ["t"], num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must carry a partition spec (the _pspid hash)
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "_pspid" in line, f"unpartitioned window: {line}"
+
+
+def test_kendall_guard_rejects_unbounded_alphabet(spark):
+    from satellitetools_spark.operators.modeleval import kendall_tau_b
+    df = spark.range(2000).select(
+        (F.col("id") + F.rand(7)).alias("x"),
+        (F.col("id") * 2 + F.rand(11)).alias("y"))
+    with pytest.raises(ValueError, match="cells"):
+        kendall_tau_b(df, "x", "y", max_cells=100).collect()
+    # binned inputs pass the guard and agree with a tiny hand case
+    small = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (1, 2)], ["x", "y"])
+    r = kendall_tau_b(small, "x", "y").collect()[0]
+    assert r["n"] == 4 and r["concordant"] > r["discordant"]

@@ -57,6 +57,48 @@ def test_sh_clip_square_overlap_area():
                        window) == []
 
 
+def test_winding_pip_agrees_with_engine_on_every_oracle_row():
+    # The geo oracle's `inside` flags come from the engine's own
+    # even-odd ray-casting kernel (shared-kernel risk flagged in the
+    # r3 verdict). The independently written winding-number PIP must
+    # agree on EVERY oracle grid point at the gate scale — this test
+    # fails if the shared-kernel assumption ever breaks.
+    import os
+    import duckdb
+    from satellitetools_spark.datagen import (build_documents,
+                                              ensure_geodata)
+    d = ensure_geodata("sf0.01")
+    docs = {doc["doc_id"]: doc for doc in build_documents("sf0.01")}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, x, y, inside FROM read_parquet(?)",
+        [os.path.join(d, "oracle_pixels.parquet")]).fetchnumpy()
+    assert len(rows["x"]) > 10000
+    checked = 0
+    for doc_id in np.unique(rows["doc_id"]):
+        m = rows["doc_id"] == doc_id
+        wind = GT.points_in_rings_winding(
+            rows["x"][m], rows["y"][m], docs[str(doc_id)]["rings_utm"])
+        assert (wind == rows["inside"][m]).all(), (
+            f"PIP disagreement for {doc_id}")
+        checked += int(m.sum())
+    assert checked == len(rows["x"])
+
+
+def test_winding_pip_hole_semantics():
+    # square with a square hole: even-odd and winding-XOR must agree
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+             (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    px = np.array([5.0, 2.0, 11.0, 4.5])
+    py = np.array([5.0, 2.0, 5.0, 5.5])
+    from satellitetools_spark.geometry import points_in_rings
+    got = GT.points_in_rings_winding(px, py, [outer, hole])
+    want = points_in_rings(px, py, [outer, hole])
+    assert (got == want).all()
+    assert list(got) == [False, True, False, False]
+
+
 def test_isotonic_minimax_equals_pav_on_classic_example():
     # minimax closed form vs a hand-run PAV: rates 1, 0 must pool to
     # the weighted mean; monotone input stays untouched
