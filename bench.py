@@ -291,13 +291,16 @@ def main() -> None:
         "sf": sf,
     }
 
-    # Per-query clean ledger (same idea as the scaling ledger): the LATEST
-    # probe-clean timing per query persists to BENCH_QUERIES_CLEAN.json and
-    # is attached to every run as queries_last_clean — so a driver-side
-    # bench that lands inside a contention episode still carries the most
-    # recent uncontaminated per-query evidence. "Latest clean" (not
-    # min-over-history) so the ledger tracks the current code, not a
-    # faster past version.
+    # Per-query clean ledger (same idea as the scaling ledger): the
+    # MIN-of-clean timing per query persists to BENCH_QUERIES_CLEAN.json
+    # and is attached to every run as queries_last_clean — so a
+    # driver-side bench that lands inside a contention episode still
+    # carries uncontaminated per-query evidence. Min-of-clean (r3
+    # verdict): a newer faster clean rep always replaces an older slower
+    # one, and residual host noise inside "clean" windows biases the
+    # ledger toward the machine's true capability rather than whichever
+    # rep happened to come last. `latest_sec` rides along so a genuine
+    # code-level slowdown is still visible next to the historical min.
     q_ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_QUERIES_CLEAN.json")
     try:
@@ -313,8 +316,15 @@ def main() -> None:
     for name, sec in per_query.items():
         p = query_probes.get(name, 9e9)
         if p <= q_tol * cal_probe and p <= ABS_CLEAN and sf >= 0.1:
-            q_hist[name] = {"sec": sec, "probe": p, "sf": sf,
-                            "captured_utc": now}
+            prev = q_hist.get(name)
+            if prev is None or sec < prev.get("sec", 9e9):
+                q_hist[name] = {"sec": sec, "probe": p, "sf": sf,
+                                "captured_utc": now,
+                                "latest_sec": sec,
+                                "latest_utc": now}
+            else:
+                q_hist[name] = {**prev, "latest_sec": sec,
+                                "latest_utc": now}
             updated = True
     if updated:
         try:

@@ -86,10 +86,18 @@ def flagship_timeseries(
     docs: DataFrame,
     variables: Iterable[str] = ("ndvi", "lai"),
     qi_threshold: float = 0.02,
+    median_accuracy: int | None = None,
 ) -> DataFrame:
     """The repo's core query: 'cloud-filtered per-date biophysical/VI
     timeseries for every AOI' — QI filter → decode fused with NDVI + SNAP
-    LAI → per-date stats with uncertainty + 95% CI."""
+    LAI → per-date stats with uncertainty + 95% CI.
+
+    ``median_accuracy=None`` keeps the reference-parity EXACT median
+    (buffers each (aoi, date) group in one task — fine up to ~10^7
+    pixels per group); the 100 TB profile sets it (e.g. 10000) to the
+    mergeable ``percentile_approx`` sketch — see README "100 TB scale
+    profile".
+    """
     variables = [v.lower() for v in variables]
     vi_vars = [v for v in variables if v in _VI_NAMES]
     snap_vars = [_SNAP_NAME[v] for v in variables if v not in _VI_NAMES]
@@ -108,5 +116,6 @@ def flagship_timeseries(
         snap_vars=snap_vars)
     ts = dataset_to_timeseries(
         pixels, variables, add_uncertainty=True,
-        add_confidence_intervals=True, confidence_level="95")
+        add_confidence_intervals=True, confidence_level="95",
+        median_accuracy=median_accuracy)
     return ts.orderBy("aoi", "time")
