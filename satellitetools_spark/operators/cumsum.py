@@ -46,7 +46,8 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
                 sum_cols: Sequence[str],
                 num_partitions: int = None,
                 prefix: str = "cum_",
-                return_totals: bool = False):
+                return_totals: bool = False,
+                lead_of: str = None):
     """Append inclusive running sums ``<prefix><col>`` of each
     ``sum_cols`` entry in the total order ``order_by``.
 
@@ -61,6 +62,14 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
     (already known driver-side from the partials — no extra scan),
     replacing the whole-frame ``Window.partitionBy()`` total, which
     funnels every row through one partition too.
+
+    ``lead_of="v"`` additionally appends ``lead_v`` — the next row's
+    value in the global order (NULL on the last row), the distributed
+    form of ``LEAD(v) OVER (ORDER BY v)``. Only supported when the
+    order is a single ASCENDING column equal to ``lead_of`` (the
+    alphabet-histogram case): per-partition leads come from the
+    bounded window and each partition's LAST row takes the next
+    non-empty partition's minimum, collected with the same partials.
     """
     spark = df.sparkSession
     n = num_partitions or int(
@@ -69,9 +78,10 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
                 .sortWithinPartitions(*order_by)
                 .withColumn("_pspid", F.spark_partition_id())
                 .localCheckpoint(eager=False))
-    partials = (ranged.groupBy("_pspid")
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
-                .collect())
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if lead_of is not None:
+        aggs.append(F.min(lead_of).alias("_head"))
+    partials = ranged.groupBy("_pspid").agg(*aggs).collect()
     pmap = {int(r["_pspid"]): r for r in partials}
     w = (Window.partitionBy("_pspid").orderBy(*order_by)
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -89,5 +99,22 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
             F.array(*[F.lit(float(o)) for o in offs]),
             F.col("_pspid").cast("int") + 1)
         out = out.withColumn(prefix + c, F.sum(c).over(w) + off)
+    if lead_of is not None:
+        # next-partition heads as a driver literal: heads[pid] = the
+        # min of lead_of over the first NON-EMPTY partition after pid
+        heads = [None] * n
+        nxt = None
+        for i in range(n - 1, -1, -1):
+            heads[i] = nxt
+            r = pmap.get(i)
+            if r is not None and r["_head"] is not None:
+                nxt = r["_head"]
+        head_arr = F.array(*[F.lit(h).cast("double") for h in heads])
+        wl = Window.partitionBy("_pspid").orderBy(*order_by)
+        out = out.withColumn(
+            "lead_" + lead_of,
+            F.coalesce(F.lead(lead_of).over(wl),
+                       F.element_at(head_arr,
+                                    F.col("_pspid").cast("int") + 1)))
     out = out.drop("_pspid")
     return (out, grand) if return_totals else out

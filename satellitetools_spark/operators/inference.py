@@ -596,23 +596,24 @@ def wasserstein_1(df: DataFrame, group_expr: str, value_col: str
     one-agg + alphabet-window shape as `ks_test`; the lead(v) term
     makes the final row contribute 0 naturally (no next value).
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import prefix_sums
     h = (df.select(F.expr(group_expr).cast("int").alias("g"),
-                   F.col(value_col).alias("v"))
+                   F.col(value_col).cast("double").alias("v"))
          .filter(F.col("v").isNotNull())
          .groupBy("v")
          .agg(F.sum(F.when(F.col("g") == 0, 1.0).otherwise(0.0))
               .alias("c0"),
               F.sum(F.when(F.col("g") == 1, 1.0).otherwise(0.0))
               .alias("c1")))
-    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
-    wlead = _W.orderBy("v")
-    wall = _W.partitionBy()
-    cum = (h.withColumn("f0", F.sum("c0").over(w))
-           .withColumn("f1", F.sum("c1").over(w))
-           .withColumn("nv", F.lead("v").over(wlead))
-           .withColumn("n0", F.sum("c0").over(wall))
-           .withColumn("n1", F.sum("c1").over(wall)))
+    # two-level alphabet scan; the cross-partition LEAD rides the same
+    # partials (see cumsum.prefix_sums lead_of)
+    cum, tot = prefix_sums(h, [F.col("v").asc()], ["c0", "c1"],
+                           return_totals=True, lead_of="v")
+    cum = (cum.withColumnRenamed("cum_c0", "f0")
+           .withColumnRenamed("cum_c1", "f1")
+           .withColumnRenamed("lead_v", "nv")
+           .withColumn("n0", F.lit(tot["c0"]))
+           .withColumn("n1", F.lit(tot["c1"])))
     seg = (F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))
            * (F.coalesce(F.col("nv"), F.col("v")) - F.col("v")))
     agg = cum.agg(F.max("n0").alias("n0"), F.max("n1").alias("n1"),

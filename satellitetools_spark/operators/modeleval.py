@@ -1390,10 +1390,13 @@ def conformal_interval(df: DataFrame, pred_expr: str, actual_expr: str,
               .alias("cc"),
               F.sum(F.when(~F.col("is_cal"), 1.0).otherwise(0.0))
               .alias("ct")))
-    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = (h.withColumn("cum", F.sum("cc").over(w))
-           .withColumn("nc", F.sum("cc").over(wall)))
+    # two-level scan over the residual alphabet (cumsum.prefix_sums);
+    # the calibration count comes back from the same partials
+    from satellitetools_spark.operators.cumsum import prefix_sums
+    cum, tot = prefix_sums(h, [F.col("r").asc()], ["cc"],
+                           return_totals=True)
+    cum = (cum.withColumnRenamed("cum_cc", "cum")
+           .withColumn("nc", F.lit(tot["cc"])))
     # rank of the conformal quantile: k = ceil((n+1)(1-alpha)), capped
     k = F.least(F.ceil((F.col("nc") + 1.0) * F.lit(1.0 - alpha)),
                 F.col("nc"))

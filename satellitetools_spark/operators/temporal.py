@@ -1921,9 +1921,12 @@ def event_trigrams(events: DataFrame, key: str = "user_id",
            .select(F.concat_ws(">", "_t1", "_t2", type_col)
                    .alias("trigram")))
     agg = tri.groupBy("trigram").agg(F.count("*").cast("long").alias("n"))
+    # cut FIRST (TakeOrderedAndProject heap top-k — the trigram
+    # alphabet is |types|³ and must not feed a global-sort window),
+    # then number the k survivors
+    top = agg.orderBy(F.col("n").desc(), F.col("trigram")).limit(int(top_k))
     rw = Window.orderBy(F.col("n").desc(), F.col("trigram"))
-    return (agg.withColumn("rank", F.row_number().over(rw))
-            .filter(F.col("rank") <= top_k)
+    return (top.withColumn("rank", F.row_number().over(rw))
             .select("trigram", "n", F.col("rank").cast("int").alias("rank")))
 
 

@@ -1801,11 +1801,14 @@ def term_dispersion(docs: DataFrame, text_col: str = "text",
     mean = F.col("_s") / F.col("_nd").cast("double")
     var = F.col("_s2") / F.col("_nd").cast("double") - mean * mean
     vmr = (F.round(var / mean, 6) + 0.0)
+    # cut FIRST (TakeOrderedAndProject: per-partition heaps, no global
+    # sort of the vocabulary), then number the k survivors — the
+    # row_number window only ever sees top_k rows
+    sel = (mom.select("term", "df", F.col("_s").alias("tf"),
+                      vmr.alias("vmr"))
+           .orderBy(F.desc("vmr"), F.asc("term")).limit(int(top_k)))
     w = Window.orderBy(F.desc("vmr"), F.asc("term"))
-    return (mom.select("term", "df",
-                       F.col("_s").alias("tf"), vmr.alias("vmr"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(top_k))
+    return (sel.withColumn("rank", F.row_number().over(w))
             .select("rank", "term", "df", "tf", "vmr"))
 
 
