@@ -1318,13 +1318,17 @@ def trimmed_stats(df: DataFrame, value_expr: str,
     hist = (df.select(g.alias("grp"),
                       F.expr(value_expr).cast("double").alias("v"))
             .filter(F.col("v").isNotNull())
-            .groupBy("grp", "v").agg(F.count("*").alias("nv")))
-    w = Window.partitionBy("grp").orderBy("v")
-    wg = Window.partitionBy("grp")
-    cum = (hist
-           .withColumn("cum_end", F.sum("nv").over(
-               w.rowsBetween(Window.unboundedPreceding, 0)))
-           .withColumn("n", F.sum("nv").over(wg))
+            .groupBy("grp", "v")
+            .agg(F.count("*").cast("double").alias("nv")))
+    # per-group cumulative + group totals via the grouped two-level
+    # scan (few groups × huge value alphabets — the regime where a
+    # group-partitioned window single-threads each group)
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    cum = (grouped_prefix_sums(hist, ["grp"], [F.col("v").asc()],
+                               ["nv"])
+           .withColumnRenamed("cum_nv", "cum_end")
+           .withColumnRenamed("tot_nv", "n")
            .withColumn("cum_start", F.col("cum_end") - F.col("nv"))
            .withColumn("k", F.floor(F.lit(float(trim)) * F.col("n"))))
     wt = F.greatest(
@@ -1460,13 +1464,16 @@ def rank_inverse_normal(df: DataFrame, value_expr: str,
     hist = (df.select(g.alias("grp"),
                       F.expr(value_expr).cast("double").alias("v"))
             .filter(F.col("v").isNotNull())
-            .groupBy("grp", "v").agg(F.count("*").alias("nv")))
-    w = Window.partitionBy("grp").orderBy("v")
-    wg = Window.partitionBy("grp")
-    cum = (hist
-           .withColumn("cum_end", F.sum("nv").over(
-               w.rowsBetween(Window.unboundedPreceding, 0)))
-           .withColumn("n", F.sum("nv").over(wg))
+            .groupBy("grp", "v")
+            .agg(F.count("*").cast("double").alias("nv")))
+    # grouped two-level scan (see trimmed_stats) — per-group midranks
+    # without single-threading a group's value alphabet
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    cum = (grouped_prefix_sums(hist, ["grp"], [F.col("v").asc()],
+                               ["nv"])
+           .withColumnRenamed("cum_nv", "cum_end")
+           .withColumnRenamed("tot_nv", "n")
            .withColumn("midrank",
                        F.col("cum_end") - (F.col("nv") - 1) / 2.0))
     p = f"((midrank - {float(offset)!r}) / n)"

@@ -32,10 +32,11 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
     ``c_custkey`` tie-break — NTILE without a total order is
     nondeterministic in any engine).
 
-    Shape at scale: agg shuffles once on ``o_custkey``; the three
-    windows share ONE unpartitioned sort each — at 10⁹ customers
-    swap the window for a ``percent_rank``-free bucketing over
-    pre-aggregated quantile bounds. The global max date is a scalar
+    Shape at scale: agg shuffles once on ``o_custkey``; each NTILE is
+    a TWO-LEVEL scan (range partition + bounded per-partition rank +
+    driver-literal offsets, cumsum.prefix_sums) with SQL NTILE's exact
+    bucket formula applied to the global rank — no single-partition
+    sort even at 10⁹ customers. The global max date is a scalar
     subquery (broadcast), never a driver collect.
     """
     gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("_gmax"))
@@ -50,15 +51,42 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
                    F.datediff("_gmax", "_last").cast("long")
                    .alias("recency_days"),
                    "frequency", F.col("_mon")))
-    w_r = Window.orderBy(F.col("recency_days").asc(),
-                         F.col("c_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(),
-                         F.col("c_custkey").asc())
-    w_m = Window.orderBy(F.col("_mon").desc(), F.col("c_custkey").asc())
-    out = (per
-           .withColumn("r_score", F.ntile(n_tiles).over(w_r))
-           .withColumn("f_score", F.ntile(n_tiles).over(w_f))
-           .withColumn("m_score", F.ntile(n_tiles).over(w_m)))
+    # ntile over 10⁹ customers must not collapse into one sort task:
+    # each dimension gets a global 1-based rank from the two-level scan
+    # (cumsum.prefix_sums with_index) and NTILE's exact bucket formula
+    # is applied to the rank with driver-literal (n, tiles) — first
+    # n % tiles buckets hold ceil(n/tiles) rows, identical to SQL NTILE.
+    from satellitetools_spark.operators.cumsum import prefix_sums
+
+    def _ntile_from_idx(idx_col, n_rows: int, tiles: int):
+        base, rem = divmod(int(n_rows), int(tiles))
+        big = F.lit(rem * (base + 1)).cast("long")
+        i = idx_col.cast("long")
+        in_big = ((i - 1) / F.lit(base + 1)).cast("long") + 1
+        in_small = (F.lit(rem)
+                    + ((i - big - 1) / F.lit(max(base, 1))).cast("long")
+                    + 1)
+        return F.when(i <= big, in_big).otherwise(in_small).cast("int")
+
+    out, tot = prefix_sums(
+        per, [F.col("recency_days").asc(), F.col("c_custkey").asc()],
+        [], return_totals=True, with_index=True)
+    n_rows = int(tot["_count"])
+    out = out.withColumn(
+        "r_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
+    ).drop("_idx")
+    out = prefix_sums(
+        out, [F.col("frequency").desc(), F.col("c_custkey").asc()],
+        [], with_index=True)
+    out = out.withColumn(
+        "f_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
+    ).drop("_idx")
+    out = prefix_sums(
+        out, [F.col("_mon").desc(), F.col("c_custkey").asc()],
+        [], with_index=True)
+    out = out.withColumn(
+        "m_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
+    ).drop("_idx")
     return out.select(
         "c_custkey", "recency_days", "frequency",
         (F.round(F.col("_mon").cast("double"), 4) + 0.0)
@@ -115,14 +143,18 @@ def gini_concentration(li: DataFrame, key_col: str = "l_suppkey",
     suppliers from 10¹² fact rows) — the fact scan never sorts.
     """
     frac = float(top_frac)
+    from satellitetools_spark.operators.cumsum import prefix_sums
     per = (li.groupBy(key_col)
            .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
                 .alias("_x")))
-    w = Window.orderBy(F.col("_x").asc(), F.col(key_col).asc())
-    ranked = per.select(
-        "_x", F.row_number().over(w).cast("long").alias("_i"),
-        F.count("*").over(Window.partitionBy()).cast("long")
-        .alias("_n"))
+    # global ascending rank + key count via the two-level scan — no
+    # single-partition window over the key table
+    idxed, tot = prefix_sums(
+        per, [F.col("_x").asc(), F.col(key_col).asc()], [],
+        return_totals=True, with_index=True)
+    ranked = idxed.select(
+        "_x", F.col("_idx").cast("long").alias("_i"),
+        F.lit(int(tot["_count"])).cast("long").alias("_n"))
     n_top = F.ceil(F.lit(frac) * F.col("_n")).cast("long")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n_keys"),
@@ -315,22 +347,23 @@ def abc_analysis(li: DataFrame, key_col: str = "l_partkey",
     revenue share — A up to ``a_cut``, B up to ``b_cut``, C the tail.
     The inventory-prioritization standard.
 
-    Shape: per-key agg (one shuffle), then ONE unpartitioned window
-    over the aggregated key table only (never the fact rows). The
-    cumulative share divides two exact decimals, so both engines
-    compare identical doubles at the class boundaries.
+    Shape: per-key agg (one shuffle), then the cumulative revenue and
+    global rank come from ONE two-level scan over the aggregated key
+    table (cumsum.prefix_sums with decimal-exact offsets — no
+    single-partition window even at 10⁹ keys). The cumulative share
+    divides two exact decimals, so both engines compare identical
+    doubles at the class boundaries.
     """
+    from satellitetools_spark.operators.cumsum import prefix_sums
     per = (li.groupBy(key_col)
            .agg(F.sum(F.col(value_col).cast("decimal(18,2)"))
                 .alias("_x")))
-    w = (Window.orderBy(F.col("_x").desc(), F.col(key_col).asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tot = per.agg(F.sum("_x").alias("_t"))
-    ranked = (per.crossJoin(F.broadcast(tot))
-              .withColumn("_cum", F.sum("_x").over(w))
-              .withColumn("rank", F.row_number().over(
-                  Window.orderBy(F.col("_x").desc(),
-                                 F.col(key_col).asc()))))
+    ranked, tot = prefix_sums(
+        per, [F.col("_x").desc(), F.col(key_col).asc()], ["_x"],
+        return_totals=True, with_index=True)
+    ranked = (ranked.withColumnRenamed("cum__x", "_cum")
+              .withColumnRenamed("_idx", "rank")
+              .withColumn("_t", F.lit(tot["_x"])))
     share = F.col("_cum").cast("double") / F.col("_t").cast("double")
     cls = (F.when(share <= float(a_cut), "A")
            .when(share <= float(b_cut), "B").otherwise("C"))

@@ -48,6 +48,40 @@ def test_prefix_sums_no_single_partition_window_in_plan(spark):
             assert "_pspid" in line, f"unpartitioned window: {line}"
 
 
+def test_grouped_prefix_sums_matches_group_windows(spark):
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 13 % 97).cast("double").alias("v"))
+    h = df.groupBy("grp", "v").agg(
+        F.count("*").cast("double").alias("nv"))
+    got = grouped_prefix_sums(h, ["grp"], [F.col("v").asc()], ["nv"],
+                              num_partitions=5)
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wg = Window.partitionBy("grp")
+    want = (h.withColumn("e_cum", F.sum("nv").over(w))
+            .withColumn("e_tot", F.sum("nv").over(wg)))
+    gm = {(r["grp"], r["v"]): (r["cum_nv"], r["tot_nv"])
+          for r in got.collect()}
+    rows = want.collect()
+    assert len(gm) == len(rows)
+    for r in rows:
+        assert gm[(r["grp"], r["v"])] == (r["e_cum"], r["e_tot"])
+
+
+def test_prefix_sums_lead_crosses_partitions(spark):
+    df = spark.range(50).select(
+        (F.col("id") * 2.0).alias("v"), F.lit(1.0).alias("t"))
+    got = prefix_sums(df, [F.col("v").asc()], ["t"],
+                      num_partitions=7, lead_of="v")
+    rows = sorted(got.collect(), key=lambda r: r["v"])
+    for i, r in enumerate(rows[:-1]):
+        assert r["lead_v"] == rows[i + 1]["v"]
+    assert rows[-1]["lead_v"] is None
+
+
 def test_kendall_guard_rejects_unbounded_alphabet(spark):
     from satellitetools_spark.operators.modeleval import kendall_tau_b
     df = spark.range(2000).select(
