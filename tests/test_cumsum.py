@@ -82,6 +82,30 @@ def test_prefix_sums_lead_crosses_partitions(spark):
     assert rows[-1]["lead_v"] is None
 
 
+def test_rfm_ntile_formula_matches_sql_ntile_with_remainder(spark):
+    # 7 customers into 3 tiles: SQL NTILE gives buckets of 3, 2, 2 —
+    # the remainder path of the index-formula replacement
+    import datetime as dt
+    rows = [(c, dt.date(2024, 1, 1 + c), 100.0 + c)
+            for c in range(1, 8)]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    from satellitetools_spark.operators.segment import rfm_segments
+    got = {r["c_custkey"]: r["r_score"]
+           for r in rfm_segments(orders, n_tiles=3).collect()}
+    # recency asc = most recent first: custkey 7 is most recent
+    # (recency 0) -> tile 1; SQL NTILE(3) over 7 rows = 3,2,2 sizes
+    want_order = [7, 6, 5, 4, 3, 2, 1]
+    want = {}
+    sizes = [3, 2, 2]
+    i = 0
+    for t, s in enumerate(sizes, start=1):
+        for _ in range(s):
+            want[want_order[i]] = t
+            i += 1
+    assert got == want
+
+
 def test_kendall_guard_rejects_unbounded_alphabet(spark):
     from satellitetools_spark.operators.modeleval import kendall_tau_b
     df = spark.range(2000).select(
