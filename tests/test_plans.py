@@ -316,9 +316,15 @@ def test_rfm_windows_after_customer_agg(spark):
         " o_orderdate timestamp")
     plan = _plan(rfm_segments(orders))
     assert "CartesianProduct" not in plan
-    # windows consume the agg output: HashAggregate appears before any
-    # Window node in the bottom-up plan string
-    assert "HashAggregate" in plan and "Window" in plan
+    assert "SortMergeJoin" not in plan
+    # r4: NTILE runs as the two-level scan — the visible plan starts at
+    # the checkpoint-pinned range partition (lineage truncated to a
+    # Scan ExistingRDD) and every Window node is partitioned by the
+    # stamped range-partition id, never unpartitioned
+    assert "Window" in plan and "_pspid" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pspid" in line, f"unpartitioned window: {line}"
 
 
 def test_kaplan_meier_no_row_cardinality_window(spark):
@@ -504,14 +510,21 @@ def test_scd2_single_exchange(spark):
 
 
 def test_trimmed_stats_histogram_then_window_only(spark):
-    # raw rows feed ONE hash aggregate; windows run over the distinct-
-    # value histogram only — no join, no global sort of raw rows
+    # raw rows feed ONE hash aggregate; the cumulative pass runs as the
+    # grouped two-level scan over the distinct-value histogram — the
+    # only joins are the BROADCAST offset/total rejoins (tiny,
+    # driver-built), never a sort-merge or cartesian of values
     from satellitetools_spark.operators.inference import trimmed_stats
     df = spark.createDataFrame([(float(i % 37),) for i in range(500)],
                                "v double")
     plan = _plan(trimmed_stats(df, "v"))
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every window is partitioned (by the range-partition id + group)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pspid" in line, f"unpartitioned window: {line}"
 
 
 def test_qini_single_conditional_aggregate(spark):
