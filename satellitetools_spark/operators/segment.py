@@ -23,7 +23,8 @@ __all__ = [
 ]
 
 
-def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+def rfm_segments(orders: DataFrame, n_tiles: int = 4,
+                 small_table_threshold: int = 2_000_000) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation.
 
     One hash agg at customer cardinality (recency vs the global max
@@ -32,12 +33,16 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
     ``c_custkey`` tie-break — NTILE without a total order is
     nondeterministic in any engine).
 
-    Shape at scale: agg shuffles once on ``o_custkey``; each NTILE is
-    a TWO-LEVEL scan (range partition + bounded per-partition rank +
-    driver-literal offsets, cumsum.prefix_sums) with SQL NTILE's exact
-    bucket formula applied to the global rank — no single-partition
-    sort even at 10⁹ customers. The global max date is a scalar
-    subquery (broadcast), never a driver collect.
+    Shape at scale: agg shuffles once on ``o_custkey``; the NTILE pass
+    is ADAPTIVE on the aggregated customer count — ≤
+    ``small_table_threshold`` uses the classic windows (the table
+    provably fits one task), above it each dimension is a TWO-LEVEL
+    scan (range partition + bounded per-partition rank + driver-literal
+    offsets, cumsum.prefix_sums) with SQL NTILE's exact bucket formula
+    applied to the global rank — no single-partition sort at 10⁹
+    customers, no extra jobs at 10³. Both paths produce identical
+    scores (pinned in tests). The global max date is a scalar subquery
+    (broadcast), never a driver collect.
     """
     gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("_gmax"))
     per = (orders
@@ -51,42 +56,51 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
                    F.datediff("_gmax", "_last").cast("long")
                    .alias("recency_days"),
                    "frequency", F.col("_mon")))
-    # ntile over 10⁹ customers must not collapse into one sort task:
-    # each dimension gets a global 1-based rank from the two-level scan
+    # ntile over 10⁹ customers must not collapse into one sort task —
+    # but the two-level scan costs three extra jobs (checkpoint +
+    # partials collect each), which dominates when the customer table
+    # is small. ADAPTIVE split on the aggregated cardinality (one cheap
+    # count on the pinned agg): below the threshold the classic NTILE
+    # windows sort a provably small table in one task; above it each
+    # dimension gets a global 1-based rank from the two-level scan
     # (cumsum.prefix_sums with_index) and NTILE's exact bucket formula
-    # is applied to the rank with driver-literal (n, tiles) — first
-    # n % tiles buckets hold ceil(n/tiles) rows, identical to SQL NTILE.
+    # — first n % tiles buckets hold ceil(n/tiles) rows, identical to
+    # SQL NTILE — is applied to the rank with driver-literal (n, tiles).
     from satellitetools_spark.operators.cumsum import prefix_sums
 
-    def _ntile_from_idx(idx_col, n_rows: int, tiles: int):
-        base, rem = divmod(int(n_rows), int(tiles))
-        big = F.lit(rem * (base + 1)).cast("long")
-        i = idx_col.cast("long")
-        in_big = ((i - 1) / F.lit(base + 1)).cast("long") + 1
-        in_small = (F.lit(rem)
-                    + ((i - big - 1) / F.lit(max(base, 1))).cast("long")
-                    + 1)
-        return F.when(i <= big, in_big).otherwise(in_small).cast("int")
+    per = per.localCheckpoint(eager=False)
+    n_rows = per.count()
+    order_r = [F.col("recency_days").asc(), F.col("c_custkey").asc()]
+    order_f = [F.col("frequency").desc(), F.col("c_custkey").asc()]
+    order_m = [F.col("_mon").desc(), F.col("c_custkey").asc()]
+    if n_rows <= int(small_table_threshold):
+        out = (per
+               .withColumn("r_score",
+                           F.ntile(n_tiles).over(Window.orderBy(*order_r)))
+               .withColumn("f_score",
+                           F.ntile(n_tiles).over(Window.orderBy(*order_f)))
+               .withColumn("m_score",
+                           F.ntile(n_tiles).over(Window.orderBy(*order_m))))
+    else:
+        def _ntile_from_idx(idx_col, n: int, tiles: int):
+            base, rem = divmod(int(n), int(tiles))
+            big = F.lit(rem * (base + 1)).cast("long")
+            i = idx_col.cast("long")
+            in_big = ((i - 1) / F.lit(base + 1)).cast("long") + 1
+            in_small = (F.lit(rem)
+                        + ((i - big - 1) / F.lit(max(base, 1)))
+                        .cast("long") + 1)
+            return (F.when(i <= big, in_big).otherwise(in_small)
+                    .cast("int"))
 
-    out, tot = prefix_sums(
-        per, [F.col("recency_days").asc(), F.col("c_custkey").asc()],
-        [], return_totals=True, with_index=True)
-    n_rows = int(tot["_count"])
-    out = out.withColumn(
-        "r_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
-    ).drop("_idx")
-    out = prefix_sums(
-        out, [F.col("frequency").desc(), F.col("c_custkey").asc()],
-        [], with_index=True)
-    out = out.withColumn(
-        "f_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
-    ).drop("_idx")
-    out = prefix_sums(
-        out, [F.col("_mon").desc(), F.col("c_custkey").asc()],
-        [], with_index=True)
-    out = out.withColumn(
-        "m_score", _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
-    ).drop("_idx")
+        out = per
+        for score, order in (("r_score", order_r),
+                             ("f_score", order_f),
+                             ("m_score", order_m)):
+            out = prefix_sums(out, order, [], with_index=True)
+            out = out.withColumn(
+                score, _ntile_from_idx(F.col("_idx"), n_rows, n_tiles)
+            ).drop("_idx")
     return out.select(
         "c_custkey", "recency_days", "frequency",
         (F.round(F.col("_mon").cast("double"), 4) + 0.0)

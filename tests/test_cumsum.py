@@ -104,6 +104,14 @@ def test_rfm_ntile_formula_matches_sql_ntile_with_remainder(spark):
             want[want_order[i]] = t
             i += 1
     assert got == want
+    # the two-level (big-table) path must produce IDENTICAL scores —
+    # force it with threshold 0 and compare all three dimensions
+    big = {r["c_custkey"]: (r["r_score"], r["f_score"], r["m_score"])
+           for r in rfm_segments(orders, n_tiles=3,
+                                 small_table_threshold=0).collect()}
+    small = {r["c_custkey"]: (r["r_score"], r["f_score"], r["m_score"])
+             for r in rfm_segments(orders, n_tiles=3).collect()}
+    assert big == small
 
 
 def test_kendall_guard_rejects_unbounded_alphabet(spark):

@@ -314,16 +314,20 @@ def test_rfm_windows_after_customer_agg(spark):
          for i in range(100)],
         "o_orderkey long, o_custkey long, o_totalprice double,"
         " o_orderdate timestamp")
+    # r4 adaptive: a small aggregated customer table takes the classic
+    # NTILE windows (bounded by the threshold — provably one-task safe)
     plan = _plan(rfm_segments(orders))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    # r4: NTILE runs as the two-level scan — the visible plan starts at
-    # the checkpoint-pinned range partition (lineage truncated to a
-    # Scan ExistingRDD) and every Window node is partitioned by the
-    # stamped range-partition id, never unpartitioned
-    assert "Window" in plan and "_pspid" in plan
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
+    assert "Window" in plan
+    # the big-table path (forced via threshold 0) runs every NTILE as
+    # the two-level scan: plan starts at the checkpoint-pinned range
+    # partition and every Window node is partitioned by the stamped
+    # range-partition id, never unpartitioned
+    plan_big = _plan(rfm_segments(orders, small_table_threshold=0))
+    assert "_pspid" in plan_big
+    for line in plan_big.splitlines():
+        if "windowspecdefinition" in line:
             assert "_pspid" in line, f"unpartitioned window: {line}"
 
 
