@@ -591,28 +591,47 @@ def spearman_corr(df: DataFrame, key_cols, a_col: str, b_col: str
     monotone-association check that survives outliers and nonlinear
     scales (is document length associated with word count per language,
     sensor A with sensor B per site?). Ties get average (mid) ranks —
-    computed WITHOUT a rank-then-average pass: midrank =
-    ``RANK() + (tie_count − 1)/2``, a pure function of two window
-    primitives both engines define identically — then Pearson's
-    moment formula on the ranks.
+    midrank(v) = (# obs below v) + (t_v + 1)/2, identical algebra to
+    RANK() + (ties − 1)/2 — then Pearson's moment formula on the ranks.
 
-    Shape: two key windows (one sort each on a and b), one tie-count
-    window per column sharing the same partitioning, ONE final hash agg
-    at key cardinality. No self-joins, nothing quadratic in group size.
+    Shape (r4): the facts reduce to the per-group (a, b) JOINT
+    histogram with one hash agg; midranks come from the two marginal
+    histograms via the grouped TWO-LEVEL scan (cumsum.grouped_
+    prefix_sums — a per-group RANK() over raw rows would single-thread
+    each group's row set, the fact-cardinality version of the alphabet
+    cliff), joined back at alphabet cardinality; ONE final key-level
+    moment agg weighted by cell counts. No self-joins, nothing
+    quadratic, no per-row rank pass.
     """
-    from pyspark.sql import Window as _W
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
     keys = list(key_cols)
-    ra = (F.rank().over(_W.partitionBy(*keys).orderBy(a_col))
-          + (F.count("*").over(_W.partitionBy(*keys, a_col)) - 1) / 2.0)
-    rb = (F.rank().over(_W.partitionBy(*keys).orderBy(b_col))
-          + (F.count("*").over(_W.partitionBy(*keys, b_col)) - 1) / 2.0)
-    r = df.select(*keys, ra.alias("ra"), rb.alias("rb"))
-    agg = r.groupBy(*keys).agg(
-        F.count("*").cast("long").alias("n_obs"),
-        F.avg("ra").alias("ma"), F.avg("rb").alias("mb"),
-        F.avg(F.col("ra") * F.col("rb")).alias("mab"),
-        F.avg(F.col("ra") * F.col("ra")).alias("maa"),
-        F.avg(F.col("rb") * F.col("rb")).alias("mbb"))
+    cells = (df.groupBy(*keys, F.col(a_col).alias("_a"),
+                        F.col(b_col).alias("_b"))
+             .agg(F.count("*").cast("double").alias("_c")))
+
+    def _marginal_mid(value_alias):
+        h = (cells.groupBy(*keys, value_alias)
+             .agg(F.sum("_c").alias("_t")))
+        cum = grouped_prefix_sums(
+            h, keys, [F.col(value_alias).asc()], ["_t"])
+        return cum.select(
+            *keys, value_alias,
+            (F.col("cum__t") - F.col("_t")
+             + (F.col("_t") + 1.0) / 2.0).alias("_mid_" + value_alias))
+
+    cells = (cells
+             .join(_marginal_mid("_a"), [*keys, "_a"])
+             .join(_marginal_mid("_b"), [*keys, "_b"]))
+    ra, rb, c = F.col("_mid__a"), F.col("_mid__b"), F.col("_c")
+    n = F.sum(c)
+    agg = cells.groupBy(*keys).agg(
+        F.sum(c).cast("long").alias("n_obs"),
+        (F.sum(c * ra) / n).alias("ma"),
+        (F.sum(c * rb) / n).alias("mb"),
+        (F.sum(c * ra * rb) / n).alias("mab"),
+        (F.sum(c * ra * ra) / n).alias("maa"),
+        (F.sum(c * rb * rb) / n).alias("mbb"))
     cov = F.col("mab") - F.col("ma") * F.col("mb")
     den = F.sqrt((F.col("maa") - F.col("ma") ** 2)
                  * (F.col("mbb") - F.col("mb") ** 2))
