@@ -156,7 +156,8 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
                         sum_cols: Sequence[str],
                         num_partitions: int = None,
                         prefix: str = "cum_",
-                        totals_prefix: str = "tot_") -> DataFrame:
+                        totals_prefix: str = "tot_",
+                        with_index: bool = False) -> DataFrame:
     """Per-group running sums in a per-group total order, plus the
     per-group grand totals — the two-level form of
     ``SUM(c) OVER (PARTITION BY g ORDER BY ...)`` +
@@ -174,7 +175,10 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
     constraint, not the scan.
 
     Count columns stay bit-exact (integer doubles); see
-    :func:`prefix_sums` for the general fp note.
+    :func:`prefix_sums` for the general fp note. ``with_index=True``
+    appends ``_idx`` — the 1-based rank WITHIN the group in the given
+    order (``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...)``), from
+    the same partials.
     """
     spark = df.sparkSession
     n = num_partitions or int(
@@ -184,17 +188,23 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
                 .sortWithinPartitions(*(gsort + list(order_by)))
                 .withColumn("_pspid", F.spark_partition_id())
                 .localCheckpoint(eager=False))
+    paggs = [F.sum(c).alias(c) for c in sum_cols]
+    if with_index:
+        paggs.append(F.count("*").alias("_gcnt"))
     partials = (ranged.groupBy("_pspid", *group_cols)
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
-                .collect())
+                .agg(*paggs).collect())
     # per-group running offsets in pid order + per-group grand totals
     acc: dict = {}
+    iacc: dict = {}
     off_rows = []
     for r in sorted(partials, key=lambda r: int(r["_pspid"])):
         key = tuple(r[c] for c in group_cols)
         cur = acc.setdefault(key, {c: 0.0 for c in sum_cols})
-        off_rows.append((int(r["_pspid"]), *key,
-                         *[cur[c] for c in sum_cols]))
+        row = [int(r["_pspid"]), *key, *[cur[c] for c in sum_cols]]
+        if with_index:
+            row.append(int(iacc.get(key, 0)))
+            iacc[key] = iacc.get(key, 0) + int(r["_gcnt"])
+        off_rows.append(tuple(row))
         for c in sum_cols:
             if r[c] is not None:
                 cur[c] += float(r[c])
@@ -203,7 +213,9 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
     off_schema = T.StructType(
         [T.StructField("_pspid", T.IntegerType())] + gfields
         + [T.StructField("_off_" + c, T.DoubleType())
-           for c in sum_cols])
+           for c in sum_cols]
+        + ([T.StructField("_ioff", T.LongType())] if with_index
+           else []))
     off_df = spark.createDataFrame(off_rows, off_schema)
     tot_rows = [(*key, *[v[c] for c in sum_cols])
                 for key, v in acc.items()]
@@ -225,16 +237,23 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
         & _nullsafe(ranged, off_df, group_cols), "inner")
     out = joined.select(
         *[ranged[c] for c in df.columns], ranged["_pspid"],
-        *[off_df["_off_" + c] for c in sum_cols])
+        *[off_df["_off_" + c] for c in sum_cols],
+        *([off_df["_ioff"]] if with_index else []))
     w = (Window.partitionBy("_pspid", *group_cols).orderBy(*order_by)
          .rowsBetween(Window.unboundedPreceding, 0))
     for c in sum_cols:
         out = out.withColumn(prefix + c,
                              F.sum(c).over(w) + F.col("_off_" + c))
+    if with_index:
+        wrn = Window.partitionBy("_pspid", *group_cols).orderBy(
+            *order_by)
+        out = (out.withColumn(
+            "_idx", F.row_number().over(wrn).cast("long")
+            + F.col("_ioff")).drop("_ioff"))
     out = out.drop("_pspid", *["_off_" + c for c in sum_cols])
     out = out.join(F.broadcast(tot_df),
                    _nullsafe(out, tot_df, group_cols), "inner").select(
         *[out[c] for c in out.columns if c in df.columns
-          or c.startswith(prefix)],
+          or c.startswith(prefix) or c == "_idx"],
         *[tot_df[totals_prefix + c] for c in sum_cols])
     return out

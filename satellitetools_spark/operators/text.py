@@ -1578,19 +1578,25 @@ def zipf_fit(docs: DataFrame, group_col: str = "lang",
     table, never the corpus — then a group-cardinality OLS agg in
     moment form (identical expression tree both engines).
     """
-    from pyspark.sql import Window as _W
     toks = (docs.select(group_col,
                         F.explode(F.split(F.col(text_col), " "))
                         .alias("tok"))
             .filter(F.col("tok") != ""))
     freq = toks.groupBy(group_col, "tok").agg(
         F.count("*").cast("double").alias("f"))
-    w = _W.partitionBy(group_col).orderBy(F.col("f").desc(),
-                                          F.col("tok"))
-    ranked = (freq.withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") <= top_n)
+    # per-group (freq DESC, token ASC) rank via the grouped two-level
+    # scan — a per-group row_number window would sort each group's
+    # whole VOCAB in one task; the two-level index bounds task state
+    # at range-partition size regardless of vocabulary growth
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    ranked = (grouped_prefix_sums(
+                  freq, [group_col],
+                  [F.col("f").desc(), F.col("tok").asc()], [],
+                  with_index=True)
+              .filter(F.col("_idx") <= top_n)
               .select(group_col,
-                      F.log(F.col("r").cast("double")).alias("x"),
+                      F.log(F.col("_idx").cast("double")).alias("x"),
                       F.log("f").alias("y")))
     agg = ranked.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_types"),
