@@ -37,3 +37,23 @@ def test_all_queries_callable_and_oracles_sqlish():
         assert callable(fn), name
     for name, sql in E.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_driver_window_self_rotation(monkeypatch):
+    """The first ~50 registered names must always be never-driver-checked
+    entries: as CORRECTNESS artifacts land, the window advances
+    automatically. Simulate the next round by marking the current
+    window as checked and assert a fresh 50 surface."""
+    import __spark_entry__ as E
+    base = list(E.queries())
+    checked_now = E._driver_checked_names()
+    assert all(n not in checked_now for n in base[:50])
+    # simulate round N+1: today's window has artifacts
+    future = checked_now | set(base[:50])
+    monkeypatch.setattr(E, "_driver_checked_names", lambda: future)
+    rotated = list(E.queries())
+    assert set(rotated) == set(base)          # registry frozen
+    fresh = [n for n in rotated[:50] if n not in future]
+    # everything never-checked (if any remain) sorts before checked
+    n_never = len([n for n in base if n not in future])
+    assert len(fresh) == min(50, n_never)
