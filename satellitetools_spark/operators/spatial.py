@@ -3687,7 +3687,16 @@ def haversine_join(points: DataFrame, stations: DataFrame,
     nothing.
     """
     ddeg = radius_km / 111.1950802335329  # km per degree latitude
-    band = F.floor(F.col("slat") / F.lit(ddeg)).cast("long")
+    # Band HEIGHT gets 0.1% slack over ddeg: a pair at distance exactly
+    # `radius` spans exactly ddeg of latitude, and the rounded distance
+    # filter admits up to ~5e-7 km beyond — with bands of exactly ddeg,
+    # a boundary pair whose latitudes straddle TWO band edges (e.g.
+    # station at -1e-10, point at +ddeg) lands |Δband| = 2 and the ±1
+    # replication silently drops it (hypothesis-found edge). With
+    # height ddeg*1.001, Δlat/height < 1 strictly, so |Δband| ≤ 1
+    # always; the only cost is a sliver more candidates.
+    bs = ddeg * 1.001
+    band = F.floor(F.col("slat") / F.lit(bs)).cast("long")
     cand = (stations
             .select(station_id_col, "slon", "slat",
                     F.explode(F.sequence(band - 1, band + 1))
@@ -3695,7 +3704,7 @@ def haversine_join(points: DataFrame, stations: DataFrame,
     if broadcast_stations:
         cand = F.broadcast(cand)
     pts = points.withColumn(
-        "latband", F.floor(F.col("lat") / F.lit(ddeg)).cast("long"))
+        "latband", F.floor(F.col("lat") / F.lit(bs)).cast("long"))
     # Longitude window: a within-radius point may sit up to ddeg poleward
     # of the station, where meridians converge — bounding with
     # cos(slat) alone under-counts by ~(1 + tan^2(slat)*ddeg^2/4) and
@@ -3992,8 +4001,14 @@ def clip_polygons(subjects: DataFrame, clip_ring,
     ``clip_ring`` is a list of (x, y) tuples in CCW order; convexity
     is REQUIRED (S-H folds concave windows incorrectly — tile
     footprints and processing windows are rectangles, the intended
-    use) and is validated up front. Output: (key, n_in, area_in,
-    n_out, area_out, clipped).
+    use) and is validated up front. Subjects may be concave, with the
+    classic S-H caveat: when the intersection is DISCONNECTED, the
+    pieces come back joined by degenerate bridging edges along the
+    window boundary, and the shoelace ``area_out`` of that bridged
+    ring can deviate from the true piece-sum (hypothesis-verified on
+    random star polygons). Exact whenever the intersection is
+    connected — the AOI ∩ processing-window use. Output: (key, n_in,
+    area_in, n_out, area_out, clipped).
 
     Shape: the clip window rides into an Arrow-batched pandas UDF as
     a closure constant (it is ONE small ring); each subject row clips
