@@ -790,7 +790,15 @@ def distance_join(points: DataFrame, stations: DataFrame, radius: float,
     sides on the cell key instead — same replicated-build shape, still
     no cross product anywhere. Stations carry (``station_id``, sx, sy).
     """
-    r_cells = int(math.ceil(radius / cell_m))
+    # +1 ring of slack beyond ceil(radius/cell): a pair at distance
+    # EXACTLY radius whose coordinates sit on cell boundaries can span
+    # ceil(radius/cell)+1 cells once fp division rounds the two floor
+    # arguments in opposite directions (hypothesis-found, same class as
+    # the haversine latitude-band edge). The exact d² filter below
+    # discards the extra candidates, so the wider cover is lossless-by-
+    # construction at a ~(1+1/r_cells)² candidate-build cost on the
+    # replicated (small) side only.
+    r_cells = int(math.ceil(radius / cell_m)) + 1
     six = F.floor(F.col("sx") / cell_m).cast("long")
     siy = F.floor(F.col("sy") / cell_m).cast("long")
     cand = (stations

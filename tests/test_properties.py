@@ -201,6 +201,25 @@ def test_sh_clip_area_bounds_and_idempotence(pts, wx, wy, half):
     assert abs(GT._poly_area(out2) - a_out) <= 1e-6
 
 
+# --------------------------------------- planar cell banding slack
+
+@settings(max_examples=2000, deadline=None)
+@given(st.floats(-1e7, 1e7), st.floats(1.0, 5000.0),
+       st.floats(10.0, 2000.0), st.floats(0.0, 1.0))
+def test_distance_join_cell_cover_never_drops_within_radius(
+        sx, radius, cell, frac):
+    # replicate the operator's arithmetic: station cell ± r_cells must
+    # cover every point within the radius, including exact-boundary
+    # coordinates where fp division rounds the two floors apart —
+    # without the +1 slack ring this fails (e.g. sx=-1e-38, x=radius,
+    # radius == cell)
+    dx = frac * radius
+    r_cells = int(math.ceil(radius / cell)) + 1
+    for x in (sx + dx, sx - dx):
+        d = math.floor(x / cell) - math.floor(sx / cell)
+        assert -r_cells <= d <= r_cells
+
+
 # --------------------------------------- haversine longitude window
 
 @settings(max_examples=400, deadline=None)
