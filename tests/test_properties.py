@@ -201,6 +201,31 @@ def test_sh_clip_area_bounds_and_idempotence(pts, wx, wy, half):
     assert abs(GT._poly_area(out2) - a_out) <= 1e-6
 
 
+# ------------------------------------------- polygon cell cover
+
+@settings(max_examples=150, deadline=None)
+@given(_simple_polygon(),
+       st.lists(st.tuples(st.floats(-40, 40), st.floats(-40, 40)),
+                min_size=1, max_size=20),
+       st.sampled_from([2.0, 5.0, 10.0]))
+def test_polygon_cell_cover_contains_every_inside_point(ring, pts,
+                                                        cell):
+    # completeness of the cover the cell join trusts: EVERY point
+    # inside the polygon must fall in a full-or-partial cover cell —
+    # a missed boundary cell would silently drop its pixels before
+    # the PIP refinement ever runs
+    from satellitetools_spark import geometry as G
+    cover = G.polygon_cell_cover([ring], cell)
+    cells = set(cover["full"].tolist()) | set(cover["partial"].tolist())
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    inside = G.points_in_rings(px, py, [ring])
+    ids = G.cell_id(px, py, cell)
+    for i in range(len(pts)):
+        if inside[i]:
+            assert int(ids[i]) in cells
+
+
 # --------------------------------------- planar cell banding slack
 
 @settings(max_examples=2000, deadline=None)
