@@ -71,6 +71,23 @@ def test_grouped_prefix_sums_matches_group_windows(spark):
         assert gm[(r["grp"], r["v"])] == (r["e_cum"], r["e_tot"])
 
 
+def test_grouped_prefix_sums_null_group_key(spark):
+    # a NULL group (by_expr evaluating null) must form its own group
+    # through the null-safe offset/total joins, not vanish
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    df = spark.createDataFrame(
+        [(None, 1.0, 2.0), (None, 2.0, 3.0),
+         ("a", 1.0, 1.0), ("a", 5.0, 4.0)],
+        "grp string, v double, nv double")
+    out = {(r["grp"], r["v"]): (r["cum_nv"], r["tot_nv"])
+           for r in grouped_prefix_sums(
+               df, ["grp"], [F.col("v").asc()], ["nv"],
+               num_partitions=3).collect()}
+    assert out == {(None, 1.0): (2.0, 5.0), (None, 2.0): (5.0, 5.0),
+                   ("a", 1.0): (1.0, 5.0), ("a", 5.0): (5.0, 5.0)}
+
+
 def test_prefix_sums_lead_crosses_partitions(spark):
     df = spark.range(50).select(
         (F.col("id") * 2.0).alias("v"), F.lit(1.0).alias("t"))
