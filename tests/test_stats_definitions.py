@@ -137,3 +137,81 @@ def test_average_precision_matches_step_definition(spark, seed):
         prev_r = rec
     assert r["ap"] == pytest.approx(float(ap), abs=1e-6)
     assert r["n_pos"] == int(npos)
+
+
+@pytest.mark.parametrize("seed", [8, 31])
+def test_kruskal_matches_direct_rank_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 3, 120)
+    v = rng.randint(0, 10, 120).astype(float)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(g, v)], "g int, v double")
+    r = INF.kruskal_wallis(df, "g", "v").collect()[0]
+    # direct midranks over the pooled sample
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    while i < len(v):
+        j = i
+        while j < len(v) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(v)
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[g == k].sum() ** 2 / (g == k).sum()
+        for k in np.unique(g)) - 3 * (n + 1)
+    _, counts = np.unique(v, return_counts=True)
+    corr = 1.0 - (counts.astype(float) ** 3 - counts).sum() / (
+        n ** 3 - n)
+    assert r["h"] == pytest.approx(float(h), abs=1e-5)
+    assert r["h_adj"] == pytest.approx(float(h / corr), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [9, 37])
+def test_median_test_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 3, 150)
+    v = rng.randint(0, 15, 150).astype(float)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(g, v)], "g int, v double")
+    rows = INF.median_test(df, "g", "v").collect()
+    # grand LOWER median: smallest v with 2*cum >= n (the documented
+    # convention), then the above/below 2xk table excluding == median
+    sv = np.sort(v)
+    med = sv[int(np.ceil(len(sv) / 2.0)) - 1]
+    keep = v != med
+    gk, vk = g[keep], v[keep]
+    tot_above = (vk > med).sum()
+    for r in rows:
+        m = gk == r["grp"]
+        assert r["n"] == int(m.sum())
+        assert r["n_above"] == int((vk[m] > med).sum())
+        assert r["expected_above"] == pytest.approx(
+            m.sum() * tot_above / len(vk), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [10, 41])
+def test_trimmed_stats_matches_direct_sort_based_trim(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 2, 140)
+    v = rng.randint(0, 40, 140).astype(float)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(g, v)], "g int, v double")
+    rows = {r["grp"]: r for r in
+            INF.trimmed_stats(df, "v", "g", trim=0.1).collect()}
+    for grp in np.unique(g):
+        x = np.sort(v[g == grp])
+        n = len(x)
+        k = int(np.floor(0.1 * n))
+        body = x[k:n - k]
+        wins = np.concatenate([[x[k]] * k, body, [x[n - k - 1]] * k])
+        r = rows[int(grp)]
+        assert r["n"] == n and r["k"] == k
+        assert r["mean"] == pytest.approx(float(x.mean()), abs=1e-5)
+        assert r["trimmed_mean"] == pytest.approx(float(body.mean()),
+                                                  abs=1e-5)
+        assert r["winsor_mean"] == pytest.approx(float(wins.mean()),
+                                                 abs=1e-5)
+        assert r["v_lo"] == x[k] and r["v_hi"] == x[n - k - 1]
