@@ -215,3 +215,110 @@ def test_trimmed_stats_matches_direct_sort_based_trim(spark, seed):
         assert r["winsor_mean"] == pytest.approx(float(wins.mean()),
                                                  abs=1e-5)
         assert r["v_lo"] == x[k] and r["v_hi"] == x[n - k - 1]
+
+
+@pytest.mark.parametrize("seed", [12, 43])
+def test_welch_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 2, 100)
+    v = np.round(rng.randn(100) * (1 + g), 3)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(g, v)], "g int, v double")
+    r = INF.welch_ttest(df, "g", "v").collect()[0]
+    x0, x1 = v[g == 0], v[g == 1]
+    se2 = x0.var(ddof=1) / len(x0) + x1.var(ddof=1) / len(x1)
+    t = (x1.mean() - x0.mean()) / np.sqrt(se2)
+    dof = se2 ** 2 / (
+        (x0.var(ddof=1) / len(x0)) ** 2 / (len(x0) - 1)
+        + (x1.var(ddof=1) / len(x1)) ** 2 / (len(x1) - 1))
+    assert r["t_stat"] == pytest.approx(float(t), abs=1e-5)
+    assert r["dof"] == pytest.approx(float(dof), abs=1e-4)
+    assert r["diff"] == pytest.approx(float(x1.mean() - x0.mean()),
+                                      abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [14, 47])
+def test_cohens_kappa_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 4, 200)
+    noise = rng.randint(0, 4, 200)
+    b = np.where(rng.rand(200) < 0.6, a, noise)   # correlated labels
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a int, b int")
+    r = ME.cohens_kappa(df, "a", "b").collect()[0]
+    po = (a == b).mean()
+    pe = sum((a == k).mean() * (b == k).mean()
+             for k in range(4))
+    assert r["p_observed"] == pytest.approx(float(po), abs=1e-6)
+    assert r["p_chance"] == pytest.approx(float(pe), abs=1e-6)
+    assert r["kappa"] == pytest.approx(float((po - pe) / (1 - pe)),
+                                       abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [15, 53])
+def test_bh_adjust_matches_direct_stepup(spark, seed):
+    rng = np.random.RandomState(seed)
+    ps = np.round(rng.rand(25) ** 2, 4)
+    df = spark.createDataFrame(
+        [(f"t{i}", float(p)) for i, p in enumerate(ps)],
+        "key string, p_approx double")
+    rows = {r["key"]: r for r in
+            ME.bh_adjust(df, "key").collect()}
+    # direct BH: sort ascending, raw_i = p_(i)*m/i, adjusted = running
+    # min from the largest rank down, capped at 1
+    order = sorted(range(len(ps)), key=lambda i: (ps[i], f"t{i}"))
+    m = len(ps)
+    raw = [ps[order[i]] * m / (i + 1) for i in range(m)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    for i, oi in enumerate(order):
+        r = rows[f"t{oi}"]
+        assert r["rank"] == i + 1
+        assert r["p_adj"] == pytest.approx(min(1.0, adj[i]), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [16, 59])
+def test_log_rank_matches_direct_fold(spark, seed):
+    import datetime as dt
+    rng = np.random.RandomState(seed)
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+    lifetimes = {}
+    for u in range(80):
+        life = int(rng.randint(1, 30))
+        lifetimes[u] = life
+        rows.append((u, T0))
+        rows.append((u, T0 + dt.timedelta(days=life)))
+    rows.append((999, T0 + dt.timedelta(days=60)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    from satellitetools_spark.operators import temporal as TP
+    r = TP.log_rank_test(df, "user_id % 2").collect()[0]
+    # direct: per-user duration, died = (gmax_day - last_day) >= 7;
+    # the day-60 sentinel's own lifetime is 0 with last day 60 (never
+    # "died" — it pins the global max)
+    recs = [(999 % 2, 0, False)]
+    for u, life in lifetimes.items():
+        died = (60 - life) >= 7
+        recs.append((u % 2, life, died))
+    o1 = e1 = vv = 0.0
+    for t in sorted({d for _g, d, _x in recs}):
+        at0 = sum(1 for g, d, _x in recs if g == 0 and d >= t)
+        at1 = sum(1 for g, d, _x in recs if g == 1 and d >= t)
+        d0 = sum(1 for g, d, x in recs if g == 0 and d == t and x)
+        d1 = sum(1 for g, d, x in recs if g == 1 and d == t and x)
+        n, dd = at0 + at1, d0 + d1
+        if dd == 0 or n == 0:
+            continue
+        o1 += d1
+        e1 += dd * at1 / n
+        if n > 1:
+            vv += dd * (at1 / n) * (1 - at1 / n) * (n - dd) / (n - 1)
+    assert r["observed1"] == int(o1)
+    assert r["expected1"] == pytest.approx(e1, abs=1e-5)
+    assert r["var"] == pytest.approx(vv, abs=1e-5)
+    z = (o1 - e1) / np.sqrt(vv)
+    assert r["z"] == pytest.approx(float(z), abs=1e-5)
+    import math
+    assert r["p_approx"] == pytest.approx(
+        math.erfc(abs(z) / math.sqrt(2)), abs=1e-4)
