@@ -322,3 +322,148 @@ def test_log_rank_matches_direct_fold(spark, seed):
     import math
     assert r["p_approx"] == pytest.approx(
         math.erfc(abs(z) / math.sqrt(2)), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [18, 61])
+def test_mutual_information_matches_direct_entropies(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 4, 250)
+    b = np.where(rng.rand(250) < 0.5, a, rng.randint(0, 4, 250))
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a int, b int")
+    r = ME.mutual_information(df, "a", "b").collect()[0]
+
+    def H(labels):
+        _, c = np.unique(labels, return_counts=True)
+        p = c / c.sum()
+        return float(-(p * np.log(p)).sum())
+
+    ha, hb = H(a), H(b)
+    hab = H([f"{x}|{y}" for x, y in zip(a, b)])
+    mi = ha + hb - hab
+    assert r["h_a"] == pytest.approx(ha, abs=1e-6)
+    assert r["h_b"] == pytest.approx(hb, abs=1e-6)
+    assert r["h_ab"] == pytest.approx(hab, abs=1e-6)
+    assert r["mi"] == pytest.approx(mi, abs=1e-6)
+    assert r["nmi"] == pytest.approx(mi / np.sqrt(ha * hb), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [20, 67])
+def test_cramers_v_matches_direct_chi2(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 3, 300)
+    b = np.where(rng.rand(300) < 0.4, a % 4, rng.randint(0, 4, 300))
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a int, b int")
+    r = ME.cramers_v(df, "a", "b").collect()[0]
+    av, bv = np.unique(a), np.unique(b)
+    n = len(a)
+    chi2 = 0.0
+    for x in av:
+        for y in bv:
+            o = ((a == x) & (b == y)).sum()
+            e = (a == x).sum() * (b == y).sum() / n
+            chi2 += (o - e) ** 2 / e
+    v = np.sqrt(chi2 / (n * (min(len(av), len(bv)) - 1)))
+    assert r["chi2"] == pytest.approx(float(chi2), abs=1e-4)
+    assert r["v"] == pytest.approx(float(v), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [21, 71])
+def test_js_divergence_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 2, 400)
+    c = np.where(g == 1, rng.randint(0, 5, 400),
+                 rng.randint(0, 6, 400))
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(g, c)], "g int, c int")
+    r = ME.js_divergence(df, "g = 1", "c").collect()[0]
+    cats = np.unique(c)
+    p = np.array([(c[g == 0] == k).mean() for k in cats])
+    q = np.array([(c[g == 1] == k).mean() for k in cats])
+    m = (p + q) / 2
+
+    def kl(x, y):
+        mask = x > 0
+        return float((x[mask] * np.log(x[mask] / y[mask])).sum())
+
+    jsd = 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    assert r["jsd_nats"] == pytest.approx(jsd, abs=1e-6)
+    assert r["jsd_bits"] == pytest.approx(jsd / np.log(2), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [22, 73])
+def test_anova_f_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 4, 160)
+    v = np.round(rng.randn(160) + g * 0.3, 3)
+    df = spark.createDataFrame(
+        [(int(x), float(y)) for x, y in zip(g, v)], "g int, v double")
+    r = INF.anova_f(df, "g", "v").collect()[0]
+    gm = v.mean()
+    ssb = sum((v[g == k].mean() - gm) ** 2 * (g == k).sum()
+              for k in np.unique(g))
+    ssw = sum(((v[g == k] - v[g == k].mean()) ** 2).sum()
+              for k in np.unique(g))
+    k = len(np.unique(g))
+    f = (ssb / (k - 1)) / (ssw / (len(v) - k))
+    assert r["ss_between"] == pytest.approx(float(ssb), abs=1e-4)
+    assert r["ss_within"] == pytest.approx(float(ssw), abs=1e-4)
+    assert r["f_stat"] == pytest.approx(float(f), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [24, 79])
+def test_brown_forsythe_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 3, 150)
+    v = np.round(rng.randn(150) * (1 + g), 2)
+    df = spark.createDataFrame(
+        [(int(x), float(y)) for x, y in zip(g, v)], "g int, v double")
+    r = INF.brown_forsythe(df, "g", "v").collect()[0]
+    # z = |v - group LOWER median from the histogram convention|
+    zs = np.empty(len(v))
+    for k in np.unique(g):
+        x = np.sort(v[g == k])
+        med = x[int(np.ceil(len(x) / 2.0)) - 1]
+        zs[g == k] = np.abs(v[g == k] - med)
+    gm = zs.mean()
+    ssb = sum((zs[g == k].mean() - gm) ** 2 * (g == k).sum()
+              for k in np.unique(g))
+    ssw = sum(((zs[g == k] - zs[g == k].mean()) ** 2).sum()
+              for k in np.unique(g))
+    kk = len(np.unique(g))
+    f = (ssb / (kk - 1)) / (ssw / (len(v) - kk))
+    assert r["f"] == pytest.approx(float(f), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [25, 83])
+def test_mcnemar_matches_direct_counts(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 2, 300)
+    b = np.where(rng.rand(300) < 0.7, a, 1 - a)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a int, b int")
+    r = ME.mcnemar(df, "a = 1", "b = 1").collect()[0]
+    b10 = int(((a == 1) & (b == 0)).sum())
+    c01 = int(((a == 0) & (b == 1)).sum())
+    assert r["b10"] == b10 and r["c01"] == c01
+
+
+@pytest.mark.parametrize("seed", [26, 89])
+def test_cuped_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    t = rng.randint(0, 2, 200)
+    x = rng.randn(200)
+    y = np.round(x * 0.8 + rng.randn(200) * 0.5 + t * 0.2, 4)
+    x = np.round(x, 4)
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in zip(t, y, x)],
+        "t int, y double, x double")
+    r = INF.cuped(df, "t = 1", "y", "x").collect()[0]
+    theta = np.cov(y, x, ddof=1)[0, 1] / x.var(ddof=1)
+    ya = y - theta * (x - x.mean())
+    assert r["theta"] == pytest.approx(float(theta), abs=1e-4)
+    assert r["diff_raw"] == pytest.approx(
+        float(y[t == 1].mean() - y[t == 0].mean()), abs=1e-5)
+    assert r["diff_adj"] == pytest.approx(
+        float(ya[t == 1].mean() - ya[t == 0].mean()), abs=1e-5)
