@@ -467,3 +467,114 @@ def test_cuped_matches_direct_definition(spark, seed):
         float(y[t == 1].mean() - y[t == 0].mean()), abs=1e-5)
     assert r["diff_adj"] == pytest.approx(
         float(ya[t == 1].mean() - ya[t == 0].mean()), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [27, 97])
+def test_psi_matches_direct_smoothed_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 2, 300)
+    # bin centers only — the bin-edge rule is pinned elsewhere
+    v = (rng.randint(0, 10, 300) + 0.5) / 10.0
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(g, v)], "g int, v double")
+    rows = {r["bin"]: r for r in
+            INF.psi(df, "g = 1", "v", 0.0, 1.0).collect()}
+    nb = 12.0  # n_bins + under/overflow
+    ce = np.array([((g == 0) & (np.floor(v * 10) == b)).sum()
+                   for b in range(10)], dtype=float)
+    ca = np.array([((g == 1) & (np.floor(v * 10) == b)).sum()
+                   for b in range(10)], dtype=float)
+    # under/overflow bins are empty but SMOOTHED: with unequal group
+    # sizes pe != pa there, so they still contribute to the total
+    ce = np.concatenate([[0.0], ce, [0.0]])
+    ca = np.concatenate([[0.0], ca, [0.0]])
+    pe = (ce + 0.5) / (ce.sum() + 0.5 * nb)
+    pa = (ca + 0.5) / (ca.sum() + 0.5 * nb)
+    total = float(((pa - pe) * np.log(pa / pe)).sum())
+    pe, pa, ce, ca = pe[1:-1], pa[1:-1], ce[1:-1], ca[1:-1]
+    for b in range(10):
+        r = rows[b]
+        assert r["n_expected"] == int(ce[b])
+        assert r["p_expected"] == pytest.approx(float(pe[b]), abs=1e-6)
+        assert r["contrib"] == pytest.approx(
+            float((pa[b] - pe[b]) * np.log(pa[b] / pe[b])), abs=1e-6)
+    assert rows[0]["psi_total"] == pytest.approx(total, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [28, 101])
+def test_calibration_and_brier_match_direct_definitions(spark, seed):
+    rng = np.random.RandomState(seed)
+    s = (rng.randint(0, 10, 400) + 0.5) / 10.0
+    y = (rng.rand(400) < s).astype(int)   # roughly calibrated
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double")
+    cal = {r["bin"]: r for r in
+           ME.calibration_bins(df, "y", "s").collect()}
+    bins = np.floor(s * 10).astype(int)
+    for b in np.unique(bins):
+        m = bins == b
+        r = cal[int(b)]
+        assert r["n"] == int(m.sum())
+        assert r["avg_score"] == pytest.approx(float(s[m].mean()),
+                                               abs=1e-6)
+        assert r["frac_pos"] == pytest.approx(float(y[m].mean()),
+                                              abs=1e-6)
+    br = ME.brier_decomposition(df, "y", "s").collect()[0]
+    assert br["brier"] == pytest.approx(float(((s - y) ** 2).mean()),
+                                        abs=1e-6)
+    ybar = y.mean()
+    rel = sum(((s[bins == b].mean() - y[bins == b].mean()) ** 2)
+              * (bins == b).sum() for b in np.unique(bins)) / len(y)
+    res = sum(((y[bins == b].mean() - ybar) ** 2) * (bins == b).sum()
+              for b in np.unique(bins)) / len(y)
+    ece = sum(abs(s[bins == b].mean() - y[bins == b].mean())
+              * (bins == b).sum() for b in np.unique(bins)) / len(y)
+    assert br["reliability"] == pytest.approx(float(rel), abs=1e-5)
+    assert br["resolution"] == pytest.approx(float(res), abs=1e-5)
+    assert br["uncertainty"] == pytest.approx(
+        float(ybar * (1 - ybar)), abs=1e-6)
+    assert br["ece"] == pytest.approx(float(ece), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [30, 103])
+def test_woe_iv_matches_direct_smoothed_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 2, 300)
+    c = rng.randint(0, 5, 300)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(y, c)], "y int, c int")
+    rows = {r["category"]: r for r in
+            ME.woe_iv(df, "y = 1", "c").collect()}
+    cats = np.unique(c)
+    kk = len(cats)
+    tp, tn = (y == 1).sum(), (y == 0).sum()
+    for k in cats:
+        pos = ((c == k) & (y == 1)).sum()
+        neg = ((c == k) & (y == 0)).sum()
+        pp = (pos + 0.5) / (tp + 0.5 * kk)
+        pn = (neg + 0.5) / (tn + 0.5 * kk)
+        woe = np.log(pp / pn)
+        r = rows[int(k)]
+        assert r["n_pos"] == int(pos) and r["n_neg"] == int(neg)
+        assert r["woe"] == pytest.approx(float(woe), abs=1e-5)
+        assert r["iv"] == pytest.approx(float((pp - pn) * woe),
+                                        abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [32, 107])
+def test_bland_altman_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    a = np.round(rng.randn(150) + 10, 3)
+    b = np.round(a + rng.randn(150) * 0.2 + 0.1, 3)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)],
+        "a double, b double")
+    r = ME.bland_altman(df, "a", "b").collect()[0]
+    d = a - b
+    bias = d.mean()
+    sd = d.std(ddof=1)
+    assert r["bias"] == pytest.approx(float(bias), abs=1e-5)
+    assert r["loa_lo"] == pytest.approx(float(bias - 1.96 * sd),
+                                        abs=1e-4)
+    assert r["loa_hi"] == pytest.approx(float(bias + 1.96 * sd),
+                                        abs=1e-4)
