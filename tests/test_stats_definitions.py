@@ -578,3 +578,28 @@ def test_bland_altman_matches_direct_definition(spark, seed):
                                         abs=1e-4)
     assert r["loa_hi"] == pytest.approx(float(bias + 1.96 * sd),
                                         abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [33, 109])
+def test_confusion_at_threshold_matches_direct_counts(spark, seed):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 2, 250)
+    s = np.round(rng.rand(250), 3)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double")
+    r = ME.confusion_at_threshold(df, "y", "s", 0.5).collect()[0]
+    pred = (s >= 0.5).astype(int)
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    tn = int(((pred == 0) & (y == 0)).sum())
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert r["accuracy"] == pytest.approx((tp + tn) / len(y), abs=1e-6)
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert r["precision"] == pytest.approx(prec, abs=1e-6)
+    assert r["recall"] == pytest.approx(rec, abs=1e-6)
+    assert r["f1"] == pytest.approx(
+        2 * prec * rec / (prec + rec), abs=1e-5)
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert r["mcc"] == pytest.approx(float(mcc), abs=1e-5)
