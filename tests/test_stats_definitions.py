@@ -603,3 +603,76 @@ def test_confusion_at_threshold_matches_direct_counts(spark, seed):
     mcc = (tp * tn - fp * fn) / np.sqrt(
         float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
     assert r["mcc"] == pytest.approx(float(mcc), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [34, 113])
+def test_cumulative_gains_matches_direct_tie_safe_bucketing(spark,
+                                                            seed):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 2, 300)
+    s = rng.randint(0, 25, 300).astype(float)   # heavy ties
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double")
+    rows = {r["bucket"]: r for r in
+            ME.cumulative_gains(df, "y = 1", "s").collect()}
+    # direct: distinct scores DESC; a tie group goes WHOLE into bucket
+    # ceil(10 * cum_n / N)
+    n = len(s)
+    by_s = {}
+    for a, b in zip(y, s):
+        c = by_s.setdefault(b, [0, 0])
+        c[0] += 1
+        c[1] += a
+    cum = 0
+    bucket_n = {}
+    bucket_p = {}
+    for sv in sorted(by_s, reverse=True):
+        cn, cp = by_s[sv]
+        cum += cn
+        bkt = min(10, int(np.ceil(10.0 * cum / n)))
+        bucket_n[bkt] = bucket_n.get(bkt, 0) + cn
+        bucket_p[bkt] = bucket_p.get(bkt, 0) + cp
+    npos = y.sum()
+    cum_n = cum_p = 0
+    for bkt in sorted(bucket_n):
+        cum_n += bucket_n[bkt]
+        cum_p += bucket_p[bkt]
+        r = rows[bkt]
+        assert r["n"] == bucket_n[bkt]
+        assert r["n_pos"] == bucket_p[bkt]
+        assert r["read_frac"] == pytest.approx(cum_n / n, abs=1e-6)
+        assert r["gain"] == pytest.approx(cum_p / npos, abs=1e-6)
+        assert r["lift"] == pytest.approx(
+            (cum_p / npos) / (cum_n / n), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [35, 127])
+def test_qini_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    t = rng.randint(0, 2, 400)
+    y = (rng.rand(400) < (0.2 + 0.2 * t)).astype(int)
+    s = (rng.randint(0, 10, 400) + 0.5) / 10.0   # bin centers
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(c)) for a, b, c in zip(t, y, s)],
+        "t int, y int, s double")
+    rows = {r["bin"]: r for r in
+            ME.qini_curve(df, "t = 1", "y = 1", "s").collect()}
+    bins = np.floor(s * 10).astype(int)
+    cn_t = cn_c = cr_t = cr_c = 0
+    for b in sorted(np.unique(bins), reverse=True):
+        m = bins == b
+        n_t = int((t[m] == 1).sum())
+        n_c = int((t[m] == 0).sum())
+        r_t = int(y[m][t[m] == 1].sum())
+        r_c = int(y[m][t[m] == 0].sum())
+        cn_t += n_t
+        cn_c += n_c
+        cr_t += r_t
+        cr_c += r_c
+        r = rows[int(b)]
+        assert r["n_t"] == n_t and r["n_c"] == n_c
+        if n_t and n_c:
+            assert r["uplift"] == pytest.approx(
+                r_t / n_t - r_c / n_c, abs=1e-5)
+        assert r["qini"] == pytest.approx(
+            cr_t - cr_c * cn_t / cn_c, abs=1e-4)
