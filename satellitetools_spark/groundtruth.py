@@ -136,6 +136,47 @@ def sample_band_independent(band: str, productid: str,
     return out
 
 
+def lonlat_to_utm_kruger(lon, lat, zone: int):
+    """Forward transverse Mercator by the Karney/Krüger exact-series
+    formulation (conformal latitude + 6 α terms, ~nm accuracy) —
+    written independently of the engine's Snyder-series
+    ``geometry.lonlat_to_utm`` as its cross-check: two unrelated
+    series formulations agreeing to sub-mm over random inputs pins the
+    CRS transform far harder than fixed known points."""
+    a = 6378137.0
+    f = 1.0 / 298.257223563
+    k0, e0 = 0.9996, 500000.0
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    A = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+        - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ]
+    e = math.sqrt(f * (2 - f))
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam0 = math.radians((zone - 1) * 6 - 180 + 3)
+    lam = np.radians(lon) - lam0
+    phi = np.radians(lat)
+    t = np.sinh(np.arcsinh(np.tan(phi))
+                - e * np.arctanh(e * np.sin(phi)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xs, es = xi.copy(), eta.copy()
+    for j, aj in enumerate(alpha, start=1):
+        xs = xs + aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        es = es + aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    return e0 + k0 * A * es, k0 * A * xs
+
+
 def _jarvis_hull(pts: np.ndarray) -> np.ndarray:
     """Convex hull by gift wrapping over unique points; collinear
     points on hull edges are skipped (farthest-point rule), matching

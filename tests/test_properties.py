@@ -201,6 +201,26 @@ def test_sh_clip_area_bounds_and_idempotence(pts, wx, wy, half):
     assert abs(GT._poly_area(out2) - a_out) <= 1e-6
 
 
+# --------------------------------------------- CRS transform parity
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 60), st.floats(-3.2, 3.2),
+       st.floats(0.5, 80.0))
+def test_tm_projection_snyder_vs_kruger_sub_mm(zone, dlon, lat):
+    # two INDEPENDENT series formulations of the WGS84 transverse
+    # Mercator — the engine's Snyder series vs the Karney/Krüger
+    # conformal-latitude α-series — must agree to the engine's
+    # documented ~mm accuracy anywhere in a UTM zone (northern
+    # hemisphere, the fixture domain)
+    from satellitetools_spark.geometry import lonlat_to_utm
+    cm = (zone - 1) * 6 - 180 + 3
+    lon = np.array([cm + dlon])
+    la = np.array([lat])
+    x1, y1 = lonlat_to_utm(lon, la, zone)
+    x2, y2 = GT.lonlat_to_utm_kruger(lon, la, zone)
+    assert math.hypot(x1[0] - x2[0], y1[0] - y2[0]) < 2e-3
+
+
 # ------------------------------------------- polygon cell cover
 
 @settings(max_examples=150, deadline=None)
