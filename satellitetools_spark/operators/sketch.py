@@ -329,18 +329,21 @@ def heavy_hitters(docs: DataFrame, text_col: str = "text",
                        "token", "left")
              .groupBy(F.when(F.col("m").isNotNull(), F.col("token"))
                       .alias("tk"))
-             .agg(F.count("*").cast("long").alias("cnt")))
-    from pyspark.sql import Window as _W
-    wall = _W.partitionBy()
-    out = exact.withColumn("n_tokens",
-                           F.sum("cnt").over(wall).cast("double"))
-    return (out
+             .agg(F.count("*").cast("long").alias("cnt"))
+             .localCheckpoint(eager=False))
+    # exact global token total as a driver-side scalar off the pinned
+    # candidate table (candidate-cardinality rows, ONE value back) —
+    # a whole-frame window here would funnel the candidate table,
+    # which grows with partitions × 2/φ at cluster scale, through a
+    # single task
+    n_tokens = float(exact.agg(F.sum("cnt")).collect()[0][0] or 0)
+    return (exact
             .filter(F.col("tk").isNotNull()
                     & (F.col("cnt").cast("double")
-                       >= F.lit(phi) * F.col("n_tokens")))
+                       >= F.lit(phi * n_tokens)))
             .select(F.col("tk").alias("token"), F.col("cnt"),
                     (F.round(F.col("cnt").cast("double")
-                             / F.col("n_tokens"), 6) + 0.0)
+                             / F.lit(n_tokens), 6) + 0.0)
                     .alias("share")))
 
 

