@@ -676,3 +676,83 @@ def test_qini_matches_direct_definition(spark, seed):
                 r_t / n_t - r_c / n_c, abs=1e-5)
         assert r["qini"] == pytest.approx(
             cr_t - cr_c * cn_t / cn_c, abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [36, 131])
+def test_heavy_hitters_matches_direct_exact_counts(spark, seed):
+    from satellitetools_spark.operators.sketch import heavy_hitters
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = np.array([30, 20, 10] + [1] * 27, dtype=float)
+    weights /= weights.sum()
+    rows = []
+    all_tokens = []
+    for d in range(60):
+        toks = list(rng.choice(vocab, size=rng.randint(5, 30),
+                               p=weights))
+        all_tokens += toks
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    phi = 0.05
+    got = {r["token"]: (r["cnt"], r["share"]) for r in
+           heavy_hitters(docs, "text", phi=phi).collect()}
+    n = len(all_tokens)
+    from collections import Counter
+    want = {t: c for t, c in Counter(all_tokens).items()
+            if c >= phi * n}
+    assert set(got) == set(want)
+    for t, c in want.items():
+        assert got[t][0] == c
+        assert got[t][1] == pytest.approx(c / n, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [38, 137])
+def test_hosmer_lemeshow_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    s = (rng.randint(0, 10, 500) + 0.5) / 10.0
+    y = (rng.rand(500) < s).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double")
+    r = ME.hosmer_lemeshow(df, "y", "s").collect()[0]
+    bins = np.floor(s * 10).astype(int)
+    h = 0.0
+    gg = dg = 0
+    for b in np.unique(bins):
+        m = bins == b
+        nk = m.sum()
+        ok = y[m].sum()
+        ek = s[m].sum()
+        denom = ek * (1 - ek / nk)
+        gg += 1
+        if denom <= 0:
+            dg += 1
+            continue
+        h += (ok - ek) ** 2 / denom
+    assert r["g"] == gg and r["n_degenerate"] == dg
+    assert r["h"] == pytest.approx(float(h), abs=1e-4)
+    assert r["dof"] == gg - dg - 2
+
+
+@pytest.mark.parametrize("seed", [39, 139])
+def test_fairness_report_matches_direct_definition(spark, seed):
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 3, 400)
+    y = rng.randint(0, 2, 400)
+    pred = ((rng.rand(400) + 0.1 * g) > 0.5).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(g, y, pred)],
+        "g int, y int, p int")
+    rows = {r["grp"]: r for r in
+            ME.fairness_report(df, "y", "p = 1", "g").collect()}
+    sel_all = {k: pred[g == k].mean() for k in np.unique(g)}
+    ref_sel = max(sel_all.values())
+    for k in np.unique(g):
+        m = g == k
+        r = rows[int(k)]
+        assert r["n"] == int(m.sum())
+        assert r["selection_rate"] == pytest.approx(
+            float(pred[m].mean()), abs=1e-6)
+        tpr = pred[m & (y == 1)].mean()
+        fpr = pred[m & (y == 0)].mean()
+        assert r["tpr"] == pytest.approx(float(tpr), abs=1e-6)
+        assert r["fpr"] == pytest.approx(float(fpr), abs=1e-6)
