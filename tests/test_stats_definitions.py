@@ -756,3 +756,46 @@ def test_fairness_report_matches_direct_definition(spark, seed):
         fpr = pred[m & (y == 0)].mean()
         assert r["tpr"] == pytest.approx(float(tpr), abs=1e-6)
         assert r["fpr"] == pytest.approx(float(fpr), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [40, 149])
+def test_retrieval_metrics_match_direct_definitions(spark, seed):
+    from satellitetools_spark.operators.similarity import \
+        retrieval_metrics
+    rng = np.random.RandomState(seed)
+    n, d, k = 50, 8, 5
+    vecs = rng.randn(n, d)
+    labels = rng.randint(0, 3, n)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(labels[i]))
+         for i in range(n)],
+        "vec_id long, embedding array<double>, label int")
+    qids = [0, 1, 2]
+    rows = {r["query_id"]: r for r in
+            retrieval_metrics(emb, qids, k=k).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in qids:
+        cos = vecs @ vecs[q] / (norms * norms[q])
+        order = [i for i in np.argsort(-cos, kind="stable") if i != q]
+        # deterministic (cos DESC, id ASC) tie order
+        order = sorted(order[:n],
+                       key=lambda i: (-cos[i], i))[:k]
+        rel = [1.0 if labels[i] == labels[q] else 0.0 for i in order]
+        hits = sum(rel)
+        dcg = sum(r / np.log2(rk + 2) for rk, r in enumerate(rel))
+        n_rel = int((labels == labels[q]).sum() - 1)
+        idcg = sum(1.0 / np.log2(i + 2)
+                   for i in range(min(k, n_rel)))
+        rr = 0.0
+        for rk, r in enumerate(rel):
+            if r:
+                rr = 1.0 / (rk + 1)
+                break
+        r = rows[q]
+        assert r["n_rel"] == n_rel
+        assert r["hits"] == int(hits)
+        assert r["precision_k"] == pytest.approx(hits / k, abs=1e-6)
+        assert r["rr"] == pytest.approx(rr, abs=1e-6)
+        assert r["dcg"] == pytest.approx(float(dcg), abs=1e-5)
+        assert r["idcg"] == pytest.approx(float(idcg), abs=1e-5)
+        assert r["ndcg"] == pytest.approx(float(dcg / idcg), abs=1e-5)
