@@ -799,3 +799,103 @@ def test_retrieval_metrics_match_direct_definitions(spark, seed):
         assert r["dcg"] == pytest.approx(float(dcg), abs=1e-5)
         assert r["idcg"] == pytest.approx(float(idcg), abs=1e-5)
         assert r["ndcg"] == pytest.approx(float(dcg / idcg), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [42, 151])
+def test_vocab_richness_matches_direct_chao1(spark, seed):
+    from collections import Counter
+    import re
+    from satellitetools_spark.operators.text import vocab_richness
+    rng = np.random.RandomState(seed)
+    vocab = [f"tok{i}" for i in range(60)]
+    w = 1.0 / (np.arange(60) + 1.0)
+    w /= w.sum()
+    rows = [(d, " ".join(rng.choice(vocab, size=rng.randint(3, 25),
+                                    p=w)))
+            for d in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = vocab_richness(docs).collect()[0]
+    toks = []
+    for _d, t in rows:
+        toks += re.findall(r"[a-z0-9]+", t.lower())
+    c = Counter(toks)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    s_obs = len(c)
+    n = len(toks)
+    chao1 = (s_obs + f1 * f1 / (2.0 * f2) if f2 > 0
+             else s_obs + f1 * (f1 - 1.0) / 2.0)
+    assert r["n_tokens"] == n and r["n_types"] == s_obs
+    assert r["f1"] == f1 and r["f2"] == f2
+    assert r["chao1"] == pytest.approx(chao1, abs=1e-5)
+    assert r["coverage"] == pytest.approx(1.0 - f1 / n, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [44, 157])
+def test_adamic_adar_matches_direct_definition(spark, seed):
+    from collections import defaultdict
+    from satellitetools_spark.operators.graph import adamic_adar
+    rng = np.random.RandomState(seed)
+    edges = set()
+    for _ in range(60):
+        u, v = rng.randint(0, 15, 2)
+        if u != v:
+            edges.add((f"n{min(u, v)}", f"n{max(u, v)}"))
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    got = {(r["u"], r["v"]): r for r in adamic_adar(pairs).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    want = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue  # only NON-adjacent pairs are scored
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            aa = sum(1.0 / np.log(len(adj[z])) for z in common
+                     if len(adj[z]) > 1)
+            jac = len(common) / len(adj[u] | adj[v])
+            want[(u, v)] = (len(common), aa, jac)
+    assert set(got) == set(want)
+    for key, (cn, aa, jac) in want.items():
+        r = got[key]
+        assert r["common_neighbors"] == cn
+        assert r["adamic_adar"] == pytest.approx(aa, abs=1e-5)
+        assert r["jaccard_coef"] == pytest.approx(jac, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [45, 163])
+def test_k_core_matches_direct_peeling(spark, seed):
+    from collections import defaultdict
+    from satellitetools_spark.operators.graph import k_core
+    rng = np.random.RandomState(seed)
+    edges = set()
+    for _ in range(70):
+        u, v = rng.randint(0, 18, 2)
+        if u != v:
+            edges.add((f"n{min(u, v)}", f"n{max(u, v)}"))
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    k = 3
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(pairs, k=k, rounds=20).collect()}
+    # direct peeling to convergence
+    alive = set()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        alive.update((a, b))
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            deg = len(adj[n] & alive)
+            if deg < k:
+                alive.discard(n)
+                changed = True
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert got == want
