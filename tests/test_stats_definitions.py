@@ -899,3 +899,33 @@ def test_k_core_matches_direct_peeling(spark, seed):
                 changed = True
     want = {n: len(adj[n] & alive) for n in alive}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [46, 167])
+def test_rbo_matches_direct_prefix_formula(spark, seed):
+    from satellitetools_spark.operators.similarity import \
+        rank_biased_overlap
+    rng = np.random.RandomState(seed)
+    k, p = 8, 0.9
+    qs = [0, 1]
+    rows_l, rows_r = [], []
+    lists = {}
+    for q in qs:
+        li = list(rng.permutation(20)[:k])
+        ri = list(rng.permutation(20)[:k])
+        lists[q] = (li, ri)
+        rows_l += [(q, int(x), i + 1) for i, x in enumerate(li)]
+        rows_r += [(q, int(x), i + 1) for i, x in enumerate(ri)]
+    left = spark.createDataFrame(
+        rows_l, "query_id int, neighbor_id int, rank int")
+    right = spark.createDataFrame(
+        rows_r, "query_id int, neighbor_id int, rank int")
+    got = {r["query_id"]: r["rbo"] for r in
+           rank_biased_overlap(left, right, k=k, p=p).collect()}
+    for q in qs:
+        li, ri = lists[q]
+        rbo = 0.0
+        for d in range(1, k + 1):
+            a_d = len(set(li[:d]) & set(ri[:d])) / d
+            rbo += (1 - p) * p ** (d - 1) * a_d
+        assert got[q] == pytest.approx(rbo, abs=1e-5)
