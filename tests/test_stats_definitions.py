@@ -929,3 +929,35 @@ def test_rbo_matches_direct_prefix_formula(spark, seed):
             a_d = len(set(li[:d]) & set(ri[:d])) / d
             rbo += (1 - p) * p ** (d - 1) * a_d
         assert got[q] == pytest.approx(rbo, abs=1e-5)
+
+
+def test_span_profile_matches_direct_python_fold(spark):
+    # definition check over the REAL sf0.001 interleaved docs: the
+    # operator's JVM array folds vs a plain Python loop over the same
+    # parquet rows (per-row span-sequence semantics, the input_hint
+    # invariant surface)
+    import os
+    from satellitetools_spark.datagen import ensure_geodata
+    from satellitetools_spark.sources.docs import span_profile
+    d = ensure_geodata("sf0.001")
+    docs = spark.read.parquet(os.path.join(d, "docs.parquet"))
+    got = {r["doc_id"]: r for r in span_profile(docs).collect()}
+    rows = docs.select("doc_id", "spans").collect()
+    assert len(rows) > 0
+    for row in rows:
+        spans = row["spans"]
+        kinds = [s["kind"] for s in spans]
+        texts = [s for s in spans if s["kind"] == "text"]
+        n_text = len(texts)
+        chars = sum(len(s["text"]) for s in texts
+                    if s["text"] is not None)
+        trans = sum(1 for a, b in zip(kinds, kinds[1:]) if a != b)
+        r = got[row["doc_id"]]
+        assert r["n_spans"] == len(spans)
+        assert r["n_text"] == n_text
+        assert r["n_media"] == len(spans) - n_text
+        assert r["text_chars"] == chars
+        assert r["n_transitions"] == trans
+        if len(spans):
+            assert r["first_kind"] == kinds[0]
+            assert r["last_kind"] == kinds[-1]
