@@ -961,3 +961,73 @@ def test_span_profile_matches_direct_python_fold(spark):
         if len(spans):
             assert r["first_kind"] == kinds[0]
             assert r["last_kind"] == kinds[-1]
+
+
+def _grid_dem(spark, seed, nx=8, ny=8, cell=160.0):
+    rng = np.random.RandomState(seed)
+    elev = np.round(100 + 50 * rng.rand(ny, nx), 3)
+    rows = [(int(iy) * (2 ** 32) + int(ix), float(elev[iy, ix]))
+            for iy in range(ny) for ix in range(nx)]
+    dem = spark.createDataFrame(rows, "cell long, elevation double")
+    return dem, elev
+
+
+@pytest.mark.parametrize("seed", [48, 173])
+def test_hillshade_matches_direct_horn_kernel(spark, seed):
+    from satellitetools_spark.operators.spatial import hillshade
+    cell = 160.0
+    dem, elev = _grid_dem(spark, seed, cell=cell)
+    got = {(r["ix"], r["iy"]): r
+           for r in hillshade(dem, cell_m=cell).collect()}
+    ny, nx = elev.shape
+    az = np.radians(360.0 - 315.0 + 90.0)
+    alt = np.radians(45.0)
+    # interior cells only (full 3x3 stencil), Horn/ESRI gradients
+    for iy in range(1, ny - 1):
+        for ix in range(1, nx - 1):
+            z = elev[iy - 1:iy + 2, ix - 1:ix + 2]
+            dzdx = ((z[0, 2] + 2 * z[1, 2] + z[2, 2])
+                    - (z[0, 0] + 2 * z[1, 0] + z[2, 0])) / (8 * cell)
+            dzdy = ((z[2, 0] + 2 * z[2, 1] + z[2, 2])
+                    - (z[0, 0] + 2 * z[0, 1] + z[0, 2])) / (8 * cell)
+            slope = np.arctan(np.hypot(dzdx, dzdy))
+            aspect = np.arctan2(dzdy, -dzdx)
+            shade = max(0.0, 255.0 * (
+                np.sin(alt) * np.cos(slope)
+                + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)))
+            r = got[(ix, iy)]
+            assert r["slope_deg"] == pytest.approx(
+                float(np.degrees(slope)), abs=1e-4)
+            assert r["aspect_rad"] == pytest.approx(float(aspect),
+                                                    abs=1e-4)
+            assert r["hillshade"] == pytest.approx(float(shade),
+                                                   abs=1e-3)
+    # edges dropped
+    assert (0, 0) not in got and (nx - 1, ny - 1) not in got
+
+
+@pytest.mark.parametrize("seed", [49, 179])
+def test_morans_i_matches_direct_queen_definition(spark, seed):
+    from satellitetools_spark.operators.spatial import (dem_pixels,
+                                                        morans_i)
+    dem, elev = _grid_dem(spark, seed)
+    r = morans_i(dem_pixels(dem, cell_m=160.0)).collect()[0]
+    ny, nx = elev.shape
+    z = elev - elev.mean()
+    num = 0.0
+    w = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx < nx and 0 <= jy < ny:
+                        num += z[iy, ix] * z[jy, jx]
+                        w += 1
+    n = nx * ny
+    i_stat = (n / w) * num / (z * z).sum()
+    assert r["n_cells"] == n and r["w_links"] == w
+    assert r["moran_i"] == pytest.approx(float(i_stat), abs=1e-5)
+    assert r["e_i"] == pytest.approx(-1.0 / (n - 1), abs=1e-6)
