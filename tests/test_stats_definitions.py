@@ -1031,3 +1031,60 @@ def test_morans_i_matches_direct_queen_definition(spark, seed):
     assert r["n_cells"] == n and r["w_links"] == w
     assert r["moran_i"] == pytest.approx(float(i_stat), abs=1e-5)
     assert r["e_i"] == pytest.approx(-1.0 / (n - 1), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [50, 181])
+def test_geary_c_matches_direct_queen_definition(spark, seed):
+    from satellitetools_spark.operators.spatial import (dem_pixels,
+                                                        geary_c)
+    dem, elev = _grid_dem(spark, seed)
+    r = geary_c(dem_pixels(dem, cell_m=160.0)).collect()[0]
+    ny, nx = elev.shape
+    num = 0.0
+    w = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx < nx and 0 <= jy < ny:
+                        num += (elev[iy, ix] - elev[jy, jx]) ** 2
+                        w += 1
+    n = nx * ny
+    ss = ((elev - elev.mean()) ** 2).sum()
+    c = (n - 1) * num / (2 * w * ss)
+    assert r["n_cells"] == n and r["w_links"] == w
+    assert r["geary_c"] == pytest.approx(float(c), abs=1e-5)
+    assert r["e_c"] == 1.0
+
+
+@pytest.mark.parametrize("seed", [51, 191])
+def test_zonal_stats_matches_direct_group_moments(spark, seed):
+    from satellitetools_spark.operators.spatial import (dem_pixels,
+                                                        with_cell,
+                                                        zonal_stats)
+    dem, elev = _grid_dem(spark, seed)
+    ny, nx = elev.shape
+    cells = [(int(iy) * (2 ** 32) + int(ix), (ix + iy) % 3)
+             for iy in range(ny) for ix in range(nx)]
+    zones = spark.createDataFrame(cells, "cell long, zone int")
+    px = with_cell(dem_pixels(dem, cell_m=160.0), 160.0)
+    rows = {r["zone"]: r for r in
+            zonal_stats(px, zones, "elevation").collect()}
+    zmap = {c: z for c, z in cells}
+    by_zone = {}
+    for iy in range(ny):
+        for ix in range(nx):
+            z = zmap[iy * (2 ** 32) + ix]
+            by_zone.setdefault(z, []).append(elev[iy, ix])
+    for z, vals in by_zone.items():
+        v = np.array(vals)
+        r = rows[z]
+        assert r["n"] == len(v)
+        assert r["mean_v"] == pytest.approx(float(v.mean()), abs=1e-5)
+        assert r["min_v"] == pytest.approx(float(v.min()), abs=1e-6)
+        assert r["max_v"] == pytest.approx(float(v.max()), abs=1e-6)
+        assert r["std_v"] == pytest.approx(float(v.std(ddof=0)),
+                                           abs=1e-5)
