@@ -1088,3 +1088,63 @@ def test_zonal_stats_matches_direct_group_moments(spark, seed):
         assert r["max_v"] == pytest.approx(float(v.max()), abs=1e-6)
         assert r["std_v"] == pytest.approx(float(v.std(ddof=0)),
                                            abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [52, 193])
+def test_getis_ord_gstar_matches_direct_definition(spark, seed):
+    from satellitetools_spark.operators.spatial import (dem_pixels,
+                                                        getis_ord_gstar)
+    dem, elev = _grid_dem(spark, seed, nx=6, ny=6)
+    got = {(r["ix"], r["iy"]): r for r in
+           getis_ord_gstar(dem_pixels(dem, cell_m=160.0)).collect()}
+    ny, nx = elev.shape
+    n = nx * ny
+    xbar = elev.mean()
+    s = np.sqrt((elev ** 2).mean() - xbar ** 2)   # population S
+    for iy in range(ny):
+        for ix in range(nx):
+            nb = []
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx < nx and 0 <= jy < ny:
+                        nb.append(elev[jy, jx])
+            wi = len(nb)
+            num = sum(nb) - wi * xbar
+            den = s * np.sqrt((n * wi - wi * wi) / (n - 1))
+            z = num / den
+            r = got[(ix, iy)]
+            assert r["w_i"] == wi
+            assert r["gi_z"] == pytest.approx(float(z), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [53, 197])
+def test_mann_kendall_matches_direct_definition(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import mann_kendall
+    rng = np.random.RandomState(seed)
+    v = np.round(np.arange(14) * 0.5 + rng.randint(0, 3, 14), 2)
+    ser = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1 + i), float(v[i]))
+         for i in range(14)],
+        "aoi string, date date, v double")
+    r = mann_kendall(ser, ("aoi",), "date", "v").collect()[0]
+    n = len(v)
+    s = sum(np.sign(v[j] - v[i])
+            for i in range(n) for j in range(i + 1, n))
+    _, ties = np.unique(v, return_counts=True)
+    var_s = (n * (n - 1) * (2 * n + 5)
+             - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 18.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var_s)
+    else:
+        z = 0.0
+    slopes = sorted((v[j] - v[i]) / (j - i)
+                    for i in range(n) for j in range(i + 1, n))
+    sen = float(np.median(slopes))
+    assert r["s_stat"] == int(s)
+    assert r["var_s"] == pytest.approx(float(var_s), abs=1e-4)
+    assert r["mk_z"] == pytest.approx(float(z), abs=1e-4)
+    assert r["sen_slope"] == pytest.approx(sen, abs=1e-5)
