@@ -3096,8 +3096,13 @@ def log_rank_test(events: DataFrame, group_expr: str,
            .select(
                F.col("_g").cast("int").alias("g"),
                F.datediff(F.col("_last"), F.col("_first")).alias("dur"),
+               # STRICTLY beyond the horizon, matching kaplan_meier's
+               # `_last < gmax - horizon` exactly (the docstring
+               # promises the same censoring construction; a lifetime
+               # ending exactly `horizon` days before the observation
+               # end is CENSORED in both operators)
                (F.datediff(F.col("_gmax"), F.col("_last"))
-                >= int(censor_horizon_days)).alias("died")))
+                > int(censor_horizon_days)).alias("died")))
     hist = (per.groupBy("dur", "g")
             .agg(F.sum(F.when(F.col("died"), 1).otherwise(0)).alias("d"),
                  F.count("*").alias("m")))
@@ -3173,7 +3178,7 @@ WITH per0 AS (
 gm AS (SELECT MAX({time_col}) AS _gmax FROM {table}),
 per AS (
   SELECT g, date_diff('day', _first, _last) AS dur,
-         date_diff('day', _last, _gmax) >= {int(censor_horizon_days)}
+         date_diff('day', _last, _gmax) > {int(censor_horizon_days)}
            AS died
   FROM per0 CROSS JOIN gm
 ),

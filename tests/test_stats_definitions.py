@@ -299,7 +299,7 @@ def test_log_rank_matches_direct_fold(spark, seed):
     # "died" — it pins the global max)
     recs = [(999 % 2, 0, False)]
     for u, life in lifetimes.items():
-        died = (60 - life) >= 7
+        died = (60 - life) > 7
         recs.append((u % 2, life, died))
     o1 = e1 = vv = 0.0
     for t in sorted({d for _g, d, _x in recs}):
@@ -1148,3 +1148,56 @@ def test_mann_kendall_matches_direct_definition(spark, seed):
     assert r["var_s"] == pytest.approx(float(var_s), abs=1e-4)
     assert r["mk_z"] == pytest.approx(float(z), abs=1e-4)
     assert r["sen_slope"] == pytest.approx(sen, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [54, 199])
+def test_acf_matches_direct_standard_estimator(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import acf
+    rng = np.random.RandomState(seed)
+    v = np.round(np.sin(np.arange(30) / 3.0) + rng.randn(30) * 0.2, 3)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+          float(v[i])) for i in range(30)],
+        "user_id int, ts timestamp, value double")
+    r = acf(df, ("user_id",), max_lag=3).collect()[0]
+    mu = v.mean()
+    denom = ((v - mu) ** 2).sum()
+    for k in (1, 2, 3):
+        rk = ((v[k:] - mu) * (v[:-k] - mu)).sum() / denom
+        assert r[f"acf_{k}"] == pytest.approx(float(rk), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [55, 211])
+def test_kaplan_meier_matches_direct_product_limit(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import kaplan_meier
+    rng = np.random.RandomState(seed)
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+    lifetimes = {}
+    for u in range(50):
+        life = int(rng.randint(1, 40))
+        lifetimes[u] = life
+        rows.append((u, T0))
+        rows.append((u, T0 + dt.timedelta(days=life)))
+    rows.append((999, T0 + dt.timedelta(days=45)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {r["dur_days"]: r for r in kaplan_meier(df).collect()}
+    # direct product-limit: dur per user; died = (45 - life) >= 7;
+    # the day-45 sentinel is one more (censored) duration-0 subject
+    recs = [(0, False)] + [
+        (life, (45 - life) > 7) for life in lifetimes.values()]
+    surv = 1.0
+    for t in sorted({d for d, _x in recs}):
+        at = sum(1 for d, _x in recs if d >= t)
+        dd = sum(1 for d, x in recs if d == t and x)
+        cc = sum(1 for d, x in recs if d == t and not x)
+        if t in got:
+            r = got[t]
+            assert r["n_risk"] == at
+            assert r["d_events"] == dd
+            assert r["c_censored"] == cc
+        if dd:
+            surv *= 1.0 - dd / at
+            assert got[t]["survival"] == pytest.approx(surv, abs=1e-5)
