@@ -1201,3 +1201,100 @@ def test_kaplan_meier_matches_direct_product_limit(spark, seed):
         if dd:
             surv *= 1.0 - dd / at
             assert got[t]["survival"] == pytest.approx(surv, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [56, 223])
+def test_join_counts_matches_direct_definition(spark, seed):
+    from satellitetools_spark.operators.spatial import join_counts
+    rng = np.random.RandomState(seed)
+    nx = ny = 7
+    fg = rng.rand(ny, nx) < 0.4
+    rows = [("d", ix, iy, bool(fg[iy, ix]))
+            for ix in range(nx) for iy in range(ny)]
+    df = spark.createDataFrame(rows,
+                               "doc_id string, ix int, iy int, f boolean")
+    r = join_counts(df, "f").collect()[0]
+    bb = ww = bw = w = 0
+    for iy in range(ny):
+        for ix in range(nx):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx < nx and 0 <= jy < ny:
+                        w += 1
+                        a, b = fg[iy, ix], fg[jy, jx]
+                        if a and b:
+                            bb += 1
+                        elif not a and not b:
+                            ww += 1
+                        else:
+                            bw += 1
+    # engine counts DIRECTED links (each unordered pair twice),
+    # consistently in both the observed and expected columns
+    n = nx * ny
+    p = fg.mean()
+    assert r["n_cells"] == n and r["w_links"] == w
+    assert (r["bb"], r["ww"], r["bw"]) == (bb, ww, bw)
+    assert r["e_bb"] == pytest.approx(w * p * p, abs=1e-3)
+    assert r["e_ww"] == pytest.approx(w * (1 - p) * (1 - p), abs=1e-3)
+    assert r["e_bw"] == pytest.approx(w * 2 * p * (1 - p), abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", [57, 227])
+def test_grid_dbscan_matches_direct_clustering(spark, seed):
+    from collections import deque
+    from satellitetools_spark.operators.spatial import grid_dbscan
+    rng = np.random.RandomState(seed)
+    pts = {(int(ix), int(iy))
+           for ix, iy in zip(rng.randint(0, 12, 50),
+                             rng.randint(0, 12, 50))}
+    df = spark.createDataFrame(
+        [("d", ix, iy) for ix, iy in sorted(pts)],
+        "doc_id string, ix int, iy int")
+    got = {(r["ix"], r["iy"]): r
+           for r in grid_dbscan(df, min_pts=4).collect()}
+    # direct DBSCAN on the queen graph (eps = one step, closed
+    # neighborhood counts)
+    def nbrs(c):
+        return [(c[0] + dx, c[1] + dy)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (dx or dy) and (c[0] + dx, c[1] + dy) in pts]
+
+    core = {c for c in pts if 1 + len(nbrs(c)) >= 4}
+    label = {}
+    for c in sorted(core):
+        if c in label:
+            continue
+        q = deque([c])
+        label[c] = c
+        while q:
+            cur = q.popleft()
+            for nb in nbrs(cur):
+                if nb in core and nb not in label:
+                    label[nb] = c
+                    q.append(nb)
+    for c in sorted(pts - core):
+        cn = [n for n in nbrs(c) if n in core]
+        if cn:
+            label[c] = "border"
+    for c in pts:
+        r = got[c]
+        assert r["n_in_neigh"] == 1 + len(nbrs(c))
+        if c in core:
+            assert r["role"] == "core"
+        elif c in label:
+            assert r["role"] == "border"
+        else:
+            assert r["role"] == "noise"
+    # cluster partition of CORE cells must match the connected
+    # components exactly (label values may differ)
+    comp = {}
+    for c in core:
+        comp.setdefault(label[c], set()).add(c)
+    eng = {}
+    for c in core:
+        eng.setdefault(got[c]["label"], set()).add(c)
+    assert sorted(map(sorted, comp.values())) == \
+        sorted(map(sorted, eng.values()))
