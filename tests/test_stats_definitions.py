@@ -1298,3 +1298,79 @@ def test_grid_dbscan_matches_direct_clustering(spark, seed):
         eng.setdefault(got[c]["label"], set()).add(c)
     assert sorted(map(sorted, comp.values())) == \
         sorted(map(sorted, eng.values()))
+
+
+@pytest.mark.parametrize("seed", [58, 229])
+def test_runs_test_matches_direct_definition(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import runs_test
+    rng = np.random.RandomState(seed)
+    v = rng.randint(0, 9, 40).astype(float)
+    df = spark.createDataFrame(
+        [(1, i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+          float(v[i])) for i in range(40)],
+        "user_id int, event_id int, ts timestamp, value double")
+    r = runs_test(df, ("user_id",)).collect()[0]
+    # lower median from the distinct histogram convention
+    sv = np.sort(v)
+    med = sv[int(np.ceil(len(sv) / 2.0)) - 1]
+    signs = [1 if x > med else 0 for x in v if x != med]
+    n1 = sum(signs)
+    n0 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    mu = 1.0 + 2.0 * n1 * n0 / (n1 + n0)
+    var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+           / ((n1 + n0) ** 2 * (n1 + n0 - 1)))
+    z = (runs - mu) / np.sqrt(var)
+    assert r["n_above"] == n1 and r["n_below"] == n0
+    assert r["n_runs"] == runs
+    assert r["mu_runs"] == pytest.approx(mu, abs=1e-5)
+    assert r["z"] == pytest.approx(float(z), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [59, 233])
+def test_mad_anomaly_matches_direct_robust_z(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import mad_anomaly
+    rng = np.random.RandomState(seed)
+    v = np.concatenate([rng.randint(10, 20, 38).astype(float),
+                        [95.0, -40.0]])
+    df = spark.createDataFrame(
+        [(1, i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+          float(v[i])) for i in range(40)],
+        "user_id int, event_id int, ts timestamp, value double")
+    got = {r["event_id"]: r["rz"]
+           for r in mad_anomaly(df, ("user_id",)).collect()}
+    sv = np.sort(v)
+    med = sv[int(np.ceil(len(sv) / 2.0)) - 1]
+    ad = np.sort(np.abs(v - med))
+    mad = ad[int(np.ceil(len(ad) / 2.0)) - 1]
+    # outliers must be flagged with the classic 0.6745 scaling
+    for i in (38, 39):
+        rz = 0.6745 * (v[i] - med) / mad
+        assert got[i] == pytest.approx(float(rz), abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", [60, 239])
+def test_benford_matches_direct_first_digit_counts(spark, seed):
+    from satellitetools_spark.operators.checks import benford
+    rng = np.random.RandomState(seed)
+    vals = np.round(np.exp(rng.uniform(0, 10, 500)), 2)
+    df = spark.createDataFrame(
+        [(float(x),) for x in vals], "amount double")
+    rows = {r["digit"]: r for r in benford(df, "amount").collect()}
+    from collections import Counter
+    digs = Counter(int(str(f"{x:.10f}").lstrip("0.").lstrip("0")[0])
+                   for x in vals if x > 0)
+    n = sum(digs.values())
+    n_total = sum(digs.values())
+    for d in range(1, 10):
+        if d in rows:
+            r = rows[d]
+            assert r["n"] == digs.get(d, 0)
+            assert r["expected"] == pytest.approx(
+                np.log10(1 + 1 / d), abs=1e-5)
+            assert r["observed"] == pytest.approx(
+                digs[d] / n_total, abs=1e-5)
+        else:
+            assert digs.get(d, 0) == 0
