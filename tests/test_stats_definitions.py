@@ -1374,3 +1374,58 @@ def test_benford_matches_direct_first_digit_counts(spark, seed):
                 digs[d] / n_total, abs=1e-5)
         else:
             assert digs.get(d, 0) == 0
+
+
+@pytest.mark.parametrize("seed", [61, 241])
+def test_pettitt_matches_direct_u_statistic(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import pettitt
+    rng = np.random.RandomState(seed)
+    v = np.concatenate([rng.randint(0, 5, 12),
+                        rng.randint(4, 9, 13)]).astype(float)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+          float(v[i])) for i in range(len(v))],
+        "user_id int, ts timestamp, value double")
+    r = pettitt(df, ("user_id",)).collect()[0]
+    n = len(v)
+    # U_t = sum_{i<=t} sum_{j>t} sign(v_j - v_i); K = max |U_t|
+    best_k, best_t = -1, None
+    for t in range(n - 1):
+        u = sum(np.sign(v[j] - v[i])
+                for i in range(t + 1) for j in range(t + 1, n))
+        if abs(u) > best_k:
+            best_k, best_t = int(abs(u)), t
+    p = 2.0 * np.exp(-6.0 * best_k ** 2 / (n ** 3 + n ** 2))
+    assert r["n_obs"] == n
+    assert r["k_stat"] == best_k
+    assert r["p_value"] == pytest.approx(float(min(1.0, p)), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [62, 251])
+def test_idw_grid_matches_direct_weighting(spark, seed):
+    from satellitetools_spark.operators.spatial import idw_grid
+    rng = np.random.RandomState(seed)
+    sts = [(i, float(rng.randint(0, 50) * 10),
+            float(rng.randint(0, 50) * 10),
+            float(rng.randint(10, 90))) for i in range(12)]
+    pts = [(f"p{j}", float(rng.randint(0, 50) * 10 + 5),
+            float(rng.randint(0, 50) * 10 + 5)) for j in range(8)]
+    st = spark.createDataFrame(
+        sts, "station_id int, sx double, sy double, v double")
+    pt = spark.createDataFrame(pts, "doc_id string, x double, y double")
+    radius = 300.0
+    got = {r["doc_id"]: r for r in
+           idw_grid(pt, st, radius=radius).collect()}
+    for pid, x, y in pts:
+        nb = [(sv, np.hypot(x - sx, y - sy))
+              for _i, sx, sy, sv in sts
+              if (x - sx) ** 2 + (y - sy) ** 2 <= radius ** 2]
+        if not nb:
+            assert pid not in got or got[pid]["idw"] is None
+            continue
+        w = [1.0 / d ** 2 for _v, d in nb]
+        want = sum(wi * v for (v, _d), wi in zip(nb, w)) / sum(w)
+        r = got[pid]
+        assert r["n_stations"] == len(nb)
+        assert r["idw"] == pytest.approx(float(want), abs=1e-4)
