@@ -1429,3 +1429,63 @@ def test_idw_grid_matches_direct_weighting(spark, seed):
         r = got[pid]
         assert r["n_stations"] == len(nb)
         assert r["idw"] == pytest.approx(float(want), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [63, 257])
+def test_interarrival_matches_direct_gap_moments(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import \
+        interarrival_stats
+    rng = np.random.RandomState(seed)
+    gaps = rng.randint(60, 7200, 25)
+    ts = np.cumsum(np.concatenate([[0], gaps]))
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(t)),
+          "e") for t in ts],
+        "user_id int, ts timestamp, event_type string")
+    r = interarrival_stats(df).collect()[0]
+    g = gaps.astype(float)
+    mean, std = g.mean(), g.std(ddof=0)   # population moments
+    assert r["n_gaps"] == len(g)
+    assert r["mean_gap_s"] == pytest.approx(float(mean), abs=1e-3)
+    assert r["std_gap_s"] == pytest.approx(float(std), abs=1e-3)
+    assert r["cv"] == pytest.approx(float(std / mean), abs=1e-5)
+    assert r["burstiness"] == pytest.approx(
+        float((std - mean) / (std + mean)), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [64, 263])
+def test_markov_entropy_matches_direct_transition_entropy(spark, seed):
+    import datetime as dt
+    from collections import Counter
+    from satellitetools_spark.operators.temporal import markov_entropy
+    rng = np.random.RandomState(seed)
+    types = ["view", "click", "purchase"]
+    rows = []
+    seqs = {}
+    for u in range(6):
+        seq = [types[i] for i in rng.randint(0, 3, 20)]
+        seqs[u] = seq
+        rows += [(u, dt.datetime(2024, 1, 1)
+                  + dt.timedelta(hours=i), s)
+                 for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows,
+                               "user_id int, ts timestamp, event_type string")
+    got = {r["from_type"]: r for r in markov_entropy(df).collect()}
+    trans = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    out_tot = Counter()
+    for (a, _b), c in trans.items():
+        out_tot[a] += c
+    grand = sum(out_tot.values())
+    for a in types:
+        probs = [trans[(a, b)] / out_tot[a] for b in types
+                 if trans[(a, b)] > 0]
+        h = -sum(p * np.log(p) for p in probs)
+        r = got[a]
+        assert r["n_out"] == out_tot[a]
+        assert r["weight"] == pytest.approx(out_tot[a] / grand,
+                                            abs=1e-5)
+        assert r["entropy"] == pytest.approx(float(h), abs=1e-5)
