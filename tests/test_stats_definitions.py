@@ -1489,3 +1489,53 @@ def test_markov_entropy_matches_direct_transition_entropy(spark, seed):
         assert r["weight"] == pytest.approx(out_tot[a] / grand,
                                             abs=1e-5)
         assert r["entropy"] == pytest.approx(float(h), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [65, 269])
+def test_lexical_diversity_matches_direct_counts(spark, seed):
+    import re
+    from collections import Counter
+    from satellitetools_spark.operators.text import lexical_diversity
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [(d, " ".join(rng.choice(vocab,
+                                    size=rng.randint(4, 30))))
+            for d in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    for d, t in rows:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        c = Counter(toks)
+        r = got[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_types"] == len(c)
+        assert r["n_hapax"] == sum(1 for v in c.values() if v == 1)
+        assert r["ttr"] == pytest.approx(len(c) / len(toks), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [66, 271])
+def test_variogram_matches_direct_semivariance(spark, seed):
+    from satellitetools_spark.operators.spatial import variogram
+    dem, elev = _grid_dem(spark, seed, nx=6, ny=6)
+    got = {r["d2"]: r for r in variogram(dem).collect()}
+    ny, nx = elev.shape
+    acc = {}
+    # every unordered pair once, binned by squared grid offset <= 8
+    for iy in range(ny):
+        for ix in range(nx):
+            for jy in range(ny):
+                for jx in range(nx):
+                    if (jy, jx) <= (iy, ix):
+                        continue
+                    d2 = (ix - jx) ** 2 + (iy - jy) ** 2
+                    if 0 < d2 <= 8:
+                        s, n = acc.get(d2, (0.0, 0))
+                        acc[d2] = (s + (elev[iy, ix]
+                                        - elev[jy, jx]) ** 2, n + 1)
+    for d2, (s, n) in acc.items():
+        r = got[d2]
+        # engine counts ordered pairs (each unordered pair twice);
+        # gamma = mean squared diff / 2 is identical either way
+        assert r["n_pairs"] in (n, 2 * n)
+        assert r["lag"] == pytest.approx(np.sqrt(d2), abs=1e-5)
+        assert r["gamma"] == pytest.approx(s / (2.0 * n), abs=1e-4)
