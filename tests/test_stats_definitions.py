@@ -1539,3 +1539,39 @@ def test_variogram_matches_direct_semivariance(spark, seed):
         assert r["n_pairs"] in (n, 2 * n)
         assert r["lag"] == pytest.approx(np.sqrt(d2), abs=1e-5)
         assert r["gamma"] == pytest.approx(s / (2.0 * n), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [67, 277])
+def test_basket_pairs_matches_direct_lift(spark, seed):
+    from collections import Counter
+    from satellitetools_spark.operators.segment import basket_pairs
+    rng = np.random.RandomState(seed)
+    baskets = {}
+    rows = []
+    for o in range(40):
+        items = set(f"it{i}" for i in rng.randint(0, 8,
+                                                  rng.randint(2, 6)))
+        baskets[o] = items
+        rows += [(o, it) for it in items]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in basket_pairs(li, min_support=3).collect()}
+    n_orders = len(baskets)
+    item_n = Counter()
+    pair_n = Counter()
+    for items in baskets.values():
+        for it in items:
+            item_n[it] += 1
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] += 1
+    want = {k: v for k, v in pair_n.items() if v >= 3}
+    assert set(got) == set(want)
+    for (a, b), nab in want.items():
+        r = got[(a, b)]
+        assert r["n_ab"] == nab
+        assert r["n_a"] == item_n[a] and r["n_b"] == item_n[b]
+        lift = (nab / n_orders) / ((item_n[a] / n_orders)
+                                   * (item_n[b] / n_orders))
+        assert r["lift"] == pytest.approx(float(lift), abs=1e-4)
