@@ -1575,3 +1575,56 @@ def test_basket_pairs_matches_direct_lift(spark, seed):
         lift = (nab / n_orders) / ((item_n[a] / n_orders)
                                    * (item_n[b] / n_orders))
         assert r["lift"] == pytest.approx(float(lift), abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [68, 281])
+def test_ripley_k_matches_direct_definition(spark, seed):
+    from satellitetools_spark.operators.spatial import ripley_k
+    rng = np.random.RandomState(seed)
+    xs = rng.uniform(0, 400, 25)
+    ys = rng.uniform(0, 400, 25)
+    df = spark.createDataFrame(
+        [("d", float(x), float(y)) for x, y in zip(xs, ys)],
+        "doc_id string, x double, y double")
+    r = ripley_k(df).collect()[0]
+    n = len(xs)
+    # pixel-extent convention: each coordinate span padded by one gsd
+    area = ((xs.max() - xs.min() + 20.0)
+            * (ys.max() - ys.min() + 20.0))
+    assert r["n_points"] == n
+    assert r["area"] == pytest.approx(float(area), rel=1e-4)
+    for rad in (30.0, 60.0, 90.0):
+        pairs = sum(1 for i in range(n) for j in range(i + 1, n)
+                    if np.hypot(xs[i] - xs[j], ys[i] - ys[j]) <= rad)
+        k = area * 2.0 * pairs / (n * (n - 1))
+        key = str(int(rad))
+        assert r[f"pairs_{key}"] == pairs
+        assert r[f"k_{key}"] == pytest.approx(float(k), rel=1e-4)
+        assert r[f"l_{key}"] == pytest.approx(
+            float(np.sqrt(k / np.pi)), rel=1e-4)
+
+
+@pytest.mark.parametrize("seed", [69, 283])
+def test_kde_grid_matches_direct_gaussian_sum(spark, seed):
+    from satellitetools_spark.operators.spatial import kde_grid
+    rng = np.random.RandomState(seed)
+    h, cell = 40.0, 160.0
+    xs = rng.uniform(0, 600, 30)
+    ys = rng.uniform(0, 600, 30)
+    df = spark.createDataFrame(
+        [("d", float(x), float(y)) for x, y in zip(xs, ys)],
+        "doc_id string, x double, y double")
+    rows = kde_grid(df, bandwidth=h, cell_m=cell).collect()
+    assert rows
+    cutoff = 3.0 * h
+    n = len(xs)
+    for r in rows:
+        cx = (r["cx"] + 0.5) * cell
+        cy = (r["cy"] + 0.5) * cell
+        d = np.hypot(xs - cx, ys - cy)
+        m = d <= cutoff
+        ks = float(np.exp(-d[m] ** 2 / (2 * h * h)).sum())
+        assert r["n_contrib"] == int(m.sum())
+        assert r["kernel_sum"] == pytest.approx(ks, abs=1e-4)
+        assert r["density"] == pytest.approx(
+            round(ks, 6) / (2 * np.pi * h * h * n), rel=1e-4)
