@@ -1628,3 +1628,31 @@ def test_kde_grid_matches_direct_gaussian_sum(spark, seed):
         assert r["kernel_sum"] == pytest.approx(ks, abs=1e-4)
         assert r["density"] == pytest.approx(
             round(ks, 6) / (2 * np.pi * h * h * n), rel=1e-4)
+
+
+@pytest.mark.parametrize("seed", [70, 293])
+def test_ccf_matches_direct_lagged_correlation(spark, seed):
+    import datetime as dt
+    from satellitetools_spark.operators.temporal import ccf
+    rng = np.random.RandomState(seed)
+    n = 40
+    b = np.round(rng.randn(n), 3)
+    a = np.round(np.concatenate([[0.0], b[:-1]]) + rng.randn(n) * 0.3,
+                 3)  # a follows b by one step
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+          float(a[i]), float(b[i])) for i in range(n)],
+        "key string, t timestamp, va double, vb double")
+    r = ccf(df, ("key",), "t", max_lag=2).collect()[0]
+    am, bm = a.mean(), b.mean()
+    den = np.sqrt(((a - am) ** 2).sum() * ((b - bm) ** 2).sum())
+    for k in (-2, -1, 0, 1, 2):
+        # r_k pairs a_t with b_{t-k}
+        if k >= 0:
+            num = ((a[k:] - am) * (b[:n - k] - bm)).sum()
+        else:
+            num = ((a[:n + k] - am) * (b[-k:] - bm)).sum()
+        col = f"ccf_{k}" if k >= 0 else f"ccf_m{-k}"
+        assert r[col] == pytest.approx(float(num / den), abs=1e-4)
+    # the planted lead shows up at k=+1
+    assert r["ccf_1"] > 0.5
