@@ -319,12 +319,20 @@ def main() -> None:
         p = query_probes.get(name, 9e9)
         if p <= q_tol * cal_probe and p <= ABS_CLEAN and sf >= 0.1:
             prev = q_hist.get(name)
-            if prev is None or sec < prev.get("sec", 9e9):
+            prev_sf = prev.get("sf") if prev else None
+            # sf-aware (r4 advisor): min-compare only against reps at
+            # the SAME scale factor — a fast small-sf rep must not
+            # permanently shadow larger-sf evidence, and a larger-sf
+            # rep (more authoritative for the gate) replaces a
+            # smaller-sf entry outright. Smaller-sf candidates leave
+            # an existing larger-sf entry untouched.
+            if (prev is None or prev_sf is None or sf > prev_sf
+                    or (sf == prev_sf and sec < prev.get("sec", 9e9))):
                 q_hist[name] = {"sec": sec, "probe": p, "sf": sf,
                                 "captured_utc": now,
                                 "latest_sec": sec,
                                 "latest_utc": now}
-            else:
+            elif sf == prev_sf:
                 q_hist[name] = {**prev, "latest_sec": sec,
                                 "latest_utc": now}
             updated = True

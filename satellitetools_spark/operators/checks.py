@@ -606,8 +606,15 @@ def spearman_corr(df: DataFrame, key_cols, a_col: str, b_col: str
     from satellitetools_spark.operators.cumsum import \
         grouped_prefix_sums
     keys = list(key_cols)
-    cells = (df.groupBy(*keys, F.col(a_col).alias("_a"),
-                        F.col(b_col).alias("_b"))
+    # NULL semantics (r5, advisor): pairwise-complete observations —
+    # rows where either value is NULL are excluded up front, and the
+    # oracle SQL carries the same WHERE so both sides share one
+    # documented semantic (the equality join back onto the marginal
+    # tables would silently drop NULLs on the Spark side only).
+    cells = (df.filter(F.col(a_col).isNotNull()
+                       & F.col(b_col).isNotNull())
+             .groupBy(*keys, F.col(a_col).alias("_a"),
+                      F.col(b_col).alias("_b"))
              .agg(F.count("*").cast("double").alias("_c")))
 
     def _marginal_mid(value_alias):
@@ -643,10 +650,14 @@ def spearman_corr(df: DataFrame, key_cols, a_col: str, b_col: str
 def spearman_corr_sql(source_sql: str, key_cols, a_col: str, b_col: str
                       ) -> str:
     """DuckDB oracle: identical midrank construction and moment-form
-    Pearson on the ranks."""
+    Pearson on the ranks. Pairwise-complete: NULL a/b rows are
+    excluded, matching the operator's explicit filter."""
     keys = ", ".join(key_cols)
     return f"""
-WITH spsrc AS ({source_sql}),
+WITH spsrc AS (
+  SELECT * FROM ({source_sql})
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+),
 spr AS (
   SELECT {keys},
          RANK() OVER (PARTITION BY {keys} ORDER BY {a_col})

@@ -42,6 +42,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Above this partition count the per-row literal offset array
+# (element_at(array(lit...), pid+1) — one N-wide array PER SUM COLUMN)
+# bloats codegen; prefix_sums switches to ONE broadcast (pid → offsets)
+# table joined map-side instead (r4 advisor). Both paths produce
+# identical values (pinned in tests/test_cumsum.py).
+LITERAL_OFFSET_MAX = 64
+
 
 def prefix_sums(df: DataFrame, order_by: Sequence[Column],
                 sum_cols: Sequence[str],
@@ -94,12 +101,15 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
         aggs.append(F.min(lead_of).alias("_head"))
     if with_index:
         aggs.append(F.count("*").alias("_cnt"))
-    partials = ranged.groupBy("_pspid").agg(*aggs).collect()
+    pdf = ranged.groupBy("_pspid").agg(*aggs)
+    pschema = pdf.schema
+    partials = pdf.collect()
     pmap = {int(r["_pspid"]): r for r in partials}
-    w = (Window.partitionBy("_pspid").orderBy(*order_by)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    out = ranged
+
+    # Driver-side running offsets per partition (O(partitions) rows —
+    # independent of data row count), one list per sum column.
     grand = {}
+    off_lists = {}
     for c in sum_cols:
         vals = [pmap[i][c] for i in sorted(pmap)
                 if pmap[i][c] is not None]
@@ -112,27 +122,20 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
             if r is not None and r[c] is not None:
                 acc += r[c] if is_dec else float(r[c])
         grand[c] = acc
-        off = F.element_at(
-            F.array(*[F.lit(o) for o in offs]),
-            F.col("_pspid").cast("int") + 1)
-        out = out.withColumn(prefix + c, F.sum(c).over(w) + off)
+        off_lists[c] = offs
+    ioffs = None
     if with_index:
-        acc, offs = 0, []
+        acc, ioffs = 0, []
         for i in range(n):
-            offs.append(acc)
+            ioffs.append(acc)
             r = pmap.get(i)
             if r is not None:
                 acc += int(r["_cnt"])
         grand["_count"] = acc
-        ioff = F.element_at(
-            F.array(*[F.lit(int(o)).cast("long") for o in offs]),
-            F.col("_pspid").cast("int") + 1)
-        wrn = Window.partitionBy("_pspid").orderBy(*order_by)
-        out = out.withColumn(
-            "_idx", (F.row_number().over(wrn).cast("long") + ioff))
+    heads = None
     if lead_of is not None:
-        # next-partition heads as a driver literal: heads[pid] = the
-        # min of lead_of over the first NON-EMPTY partition after pid
+        # next-partition heads: heads[pid] = the min of lead_of over
+        # the first NON-EMPTY partition after pid
         heads = [None] * n
         nxt = None
         for i in range(n - 1, -1, -1):
@@ -140,14 +143,76 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
             r = pmap.get(i)
             if r is not None and r["_head"] is not None:
                 nxt = r["_head"]
-        head_arr = F.array(*[F.lit(h).cast("double") for h in heads])
+
+    # Offsets reach the rows one of two ways. SMALL n: per-row literal
+    # arrays — zero extra operators, but each is an N-wide codegen
+    # expression per column. LARGE n: ONE broadcast (pid → offsets)
+    # table joined map-side (no shuffle; O(n) broadcast) — same
+    # values, codegen stays flat at production partition counts.
+    # Decimal offsets keep exact Decimal typing on BOTH paths (the
+    # broadcast table reuses the partial-agg column types).
+    use_join = n > LITERAL_OFFSET_MAX
+    out = ranged
+    if use_join:
+        from pyspark.sql import types as T
+        fields = [T.StructField("_pspid", T.IntegerType())]
+        fields += [T.StructField("_poff_" + c,
+                                 pschema[c].dataType)
+                   for c in sum_cols]
+        if with_index:
+            fields.append(T.StructField("_pioff", T.LongType()))
+        if lead_of is not None:
+            fields.append(T.StructField("_phead", T.DoubleType()))
+        rows = []
+        for i in range(n):
+            row = [i]
+            row += [off_lists[c][i] for c in sum_cols]
+            if with_index:
+                row.append(int(ioffs[i]))
+            if lead_of is not None:
+                h = heads[i]
+                row.append(None if h is None else float(h))
+            rows.append(tuple(row))
+        odf = spark.createDataFrame(rows, T.StructType(fields))
+        out = out.join(F.broadcast(odf), "_pspid")
+        off_cols = {c: F.col("_poff_" + c) for c in sum_cols}
+        ioff_col = F.col("_pioff") if with_index else None
+        head_col = (F.col("_phead") if lead_of is not None else None)
+    else:
+        off_cols = {
+            c: F.element_at(
+                F.array(*[F.lit(o) for o in off_lists[c]]),
+                F.col("_pspid").cast("int") + 1)
+            for c in sum_cols}
+        ioff_col = (F.element_at(
+            F.array(*[F.lit(int(o)).cast("long") for o in ioffs]),
+            F.col("_pspid").cast("int") + 1) if with_index else None)
+        head_col = (F.element_at(
+            F.array(*[F.lit(h).cast("double") for h in heads]),
+            F.col("_pspid").cast("int") + 1)
+            if lead_of is not None else None)
+
+    w = (Window.partitionBy("_pspid").orderBy(*order_by)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in sum_cols:
+        out = out.withColumn(prefix + c, F.sum(c).over(w) + off_cols[c])
+    if with_index:
+        wrn = Window.partitionBy("_pspid").orderBy(*order_by)
+        out = out.withColumn(
+            "_idx", (F.row_number().over(wrn).cast("long") + ioff_col))
+    if lead_of is not None:
         wl = Window.partitionBy("_pspid").orderBy(*order_by)
         out = out.withColumn(
             "lead_" + lead_of,
-            F.coalesce(F.lead(lead_of).over(wl),
-                       F.element_at(head_arr,
-                                    F.col("_pspid").cast("int") + 1)))
-    out = out.drop("_pspid")
+            F.coalesce(F.lead(lead_of).over(wl), head_col))
+    drop = ["_pspid"]
+    if use_join:
+        drop += ["_poff_" + c for c in sum_cols]
+        if with_index:
+            drop.append("_pioff")
+        if lead_of is not None:
+            drop.append("_phead")
+    out = out.drop(*drop)
     return (out, grand) if return_totals else out
 
 
@@ -157,7 +222,10 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
                         num_partitions: int = None,
                         prefix: str = "cum_",
                         totals_prefix: str = "tot_",
-                        with_index: bool = False) -> DataFrame:
+                        with_index: bool = False,
+                        many_groups_threshold: int = 10_000,
+                        max_partials_rows: int = 2_000_000
+                        ) -> DataFrame:
     """Per-group running sums in a per-group total order, plus the
     per-group grand totals — the two-level form of
     ``SUM(c) OVER (PARTITION BY g ORDER BY ...)`` +
@@ -179,8 +247,36 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
     appends ``_idx`` — the 1-based rank WITHIN the group in the given
     order (``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...)``), from
     the same partials.
+
+    SELF-GUARDING (r4 verdict #3): the two-level plan is only right in
+    the few-groups × huge-alphabet regime — its partials collect and
+    broadcast offsets table are O(partitions + groups). The function
+    probes the group cardinality off the pinned range partition (one
+    cheap approx agg, the same adaptive-split pattern as
+    ``segment.rfm_segments``) and, above ``many_groups_threshold``,
+    falls back to the ordinary ``Window.partitionBy(g)`` form — with
+    many small groups that window is already parallel and collect-free,
+    so the fallback IS the scale-correct plan there. If the probed
+    partials size still exceeds ``max_partials_rows`` the function
+    fails fast instead of attempting an unbounded driver collect.
+    Outputs are identical on both paths (pinned in
+    tests/test_cumsum.py).
+
+    Sum columns must NOT be DecimalType: the grouped offsets table is
+    Double-typed, which would silently break decimal exactness (the
+    ungrouped :func:`prefix_sums` DOES preserve Decimal — use it, or
+    cast deliberately).
     """
+    from pyspark.sql import types as T
     spark = df.sparkSession
+    for c in sum_cols:
+        if isinstance(df.schema[c].dataType, T.DecimalType):
+            raise TypeError(
+                f"grouped_prefix_sums: sum column {c!r} is "
+                f"{df.schema[c].dataType.simpleString()}; grouped "
+                "offsets are Double-typed and would lose decimal "
+                "exactness. Cast explicitly or use prefix_sums "
+                "(which preserves Decimal).")
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
     gsort = [F.col(c).asc() for c in group_cols]
@@ -188,6 +284,37 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
                 .sortWithinPartitions(*(gsort + list(order_by)))
                 .withColumn("_pspid", F.spark_partition_id())
                 .localCheckpoint(eager=False))
+    n_groups = int(ranged.agg(F.approx_count_distinct(
+        F.struct(*[F.col(c) for c in group_cols])).alias("g"))
+        .collect()[0]["g"])
+    if n_groups > many_groups_threshold:
+        # MANY-GROUPS regime: plain per-group window over the pinned
+        # checkpoint (df's lineage still computed once). Parallelism
+        # comes from the group count itself; no driver collect at all.
+        wcum = (Window.partitionBy(*group_cols).orderBy(*order_by)
+                .rowsBetween(Window.unboundedPreceding, 0))
+        wtot = Window.partitionBy(*group_cols)
+        out = ranged.drop("_pspid")
+        for c in sum_cols:
+            out = out.withColumn(
+                prefix + c, F.sum(F.col(c).cast("double")).over(wcum))
+        if with_index:
+            wrn = Window.partitionBy(*group_cols).orderBy(*order_by)
+            out = out.withColumn(
+                "_idx", F.row_number().over(wrn).cast("long"))
+        for c in sum_cols:
+            out = out.withColumn(
+                totals_prefix + c,
+                F.sum(F.col(c).cast("double")).over(wtot))
+        return out
+    if n + n_groups > max_partials_rows:
+        raise RuntimeError(
+            f"grouped_prefix_sums: partials table would hold about "
+            f"{n + n_groups} rows (partitions={n}, groups~{n_groups})"
+            f" > max_partials_rows={max_partials_rows}; refusing the "
+            "driver collect. Lower many_groups_threshold so the "
+            "window fallback engages, or raise max_partials_rows "
+            "deliberately.")
     paggs = [F.sum(c).alias(c) for c in sum_cols]
     if with_index:
         paggs.append(F.count("*").alias("_gcnt"))

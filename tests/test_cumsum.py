@@ -143,3 +143,98 @@ def test_kendall_guard_rejects_unbounded_alphabet(spark):
         [(1, 1), (2, 2), (3, 3), (1, 2)], ["x", "y"])
     r = kendall_tau_b(small, "x", "y").collect()[0]
     assert r["n"] == 4 and r["concordant"] > r["discordant"]
+
+
+def test_prefix_sums_broadcast_offset_path_matches_literal(
+        spark, monkeypatch):
+    # r4 advisor: above LITERAL_OFFSET_MAX partitions the per-row
+    # N-literal offset arrays are replaced by ONE broadcast
+    # (pid -> offsets) join. Force the join path and pin value
+    # equality against the literal path for sums, _idx, lead, totals
+    # AND Decimal exactness.
+    from satellitetools_spark.operators import cumsum
+
+    df = spark.range(300).select(
+        (F.col("id") * 7 % 113).cast("double").alias("v"),
+        F.lit(1.0).alias("t"),
+        (F.col("id") % 5).cast("decimal(10,2)").alias("d"))
+    h = (df.groupBy("v")
+         .agg(F.sum("t").alias("t"), F.sum("d").alias("d")))
+
+    def run():
+        out, tot = prefix_sums(
+            h, [F.col("v").asc()], ["t", "d"], num_partitions=9,
+            return_totals=True, lead_of="v", with_index=True)
+        rows = {r["v"]: (r["cum_t"], str(r["cum_d"]), r["_idx"],
+                         r["lead_v"]) for r in out.collect()}
+        return rows, tot
+
+    lit_rows, lit_tot = run()
+    monkeypatch.setattr(cumsum, "LITERAL_OFFSET_MAX", 0)
+    join_rows, join_tot = run()
+    assert join_rows == lit_rows
+    assert join_tot == lit_tot
+    import decimal
+    assert isinstance(join_tot["d"], decimal.Decimal)  # no float trip
+
+
+def test_grouped_prefix_sums_many_groups_fallback_matches(spark):
+    # r4 verdict #3: with MANY groups the partials collect is the
+    # constraint — grouped_prefix_sums must self-guard by probing the
+    # group count and switching to the ordinary per-group window.
+    # Outputs must be identical on both paths.
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    df = spark.range(2000).select(
+        (F.col("id") % 400).cast("string").alias("grp"),
+        (F.col("id") * 13 % 97).cast("double").alias("v"),
+        F.lit(1.0).alias("nv"),
+        F.col("id"))
+
+    def run(threshold):
+        out = grouped_prefix_sums(
+            df, ["grp"], [F.col("v").asc(), F.col("id").asc()],
+            ["nv"], num_partitions=5, with_index=True,
+            many_groups_threshold=threshold)
+        assert [c for c in out.columns] == \
+            ["grp", "v", "nv", "id", "cum_nv", "_idx", "tot_nv"] or \
+            set(out.columns) == {"grp", "v", "nv", "id", "cum_nv",
+                                 "_idx", "tot_nv"}
+        return ({(r["grp"], r["v"], r["id"]):
+                 (r["cum_nv"], r["_idx"], r["tot_nv"])
+                 for r in out.collect()}, out)
+
+    two_level, _ = run(10**9)
+    fallback, fb_df = run(10)  # 400 groups > 10 -> window path
+    assert fallback == two_level
+    # the fallback plan's windows are partitioned by the GROUP column,
+    # not the stamped _pspid (proof the window path actually engaged;
+    # _pspid itself still rides in the checkpoint scan schema)
+    plan = fb_df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln]
+    assert win_lines and all("_pspid" not in ln for ln in win_lines)
+
+
+def test_grouped_prefix_sums_rejects_decimal(spark):
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    df = spark.createDataFrame(
+        [("a", 1.0, "2.50")], "grp string, v double, m string"
+    ).select("grp", "v", F.col("m").cast("decimal(10,2)").alias("m"))
+    with pytest.raises(TypeError, match="decimal"):
+        grouped_prefix_sums(df, ["grp"], [F.col("v").asc()], ["m"])
+
+
+def test_grouped_prefix_sums_partials_bound_fail_fast(spark):
+    from satellitetools_spark.operators.cumsum import \
+        grouped_prefix_sums
+    df = spark.range(200).select(
+        (F.col("id") % 50).cast("string").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(1.0).alias("nv"))
+    with pytest.raises(RuntimeError, match="partials"):
+        grouped_prefix_sums(
+            df, ["grp"], [F.col("v").asc()], ["nv"],
+            num_partitions=4, many_groups_threshold=10**9,
+            max_partials_rows=10)
