@@ -620,6 +620,17 @@ def main() -> None:
                ("metric", "value", "unit", "queries", "sf")}
     if "flagship" in result:
         compact["flagship"] = result["flagship"]
+    # sf1 rehearsal evidence (r4 verdict #4): recorded once by
+    # scripts/sf1_rehearsal.py (10x gate scale, ~20 min) and attached
+    # here so it lands in the driver's BENCH_r{N}.json without paying
+    # the rehearsal on every bench run.
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_SF1.json")) as f:
+            compact["sf1_rehearsal"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     if "scaling" in result:
         s = result["scaling"]
         compact["scaling"] = {k: s[k] for k in

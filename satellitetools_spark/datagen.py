@@ -116,6 +116,12 @@ SIZE_PRESETS = {
     # efficiency (fewer task waves amortizing stragglers) so the evidence
     # stays conservative for the >= 0.8 bar
     "sfquarter": (None, 60, 153),
+    # 10x the bench gate scale (r4 verdict #4 "sf1 rehearsal"): same
+    # date range as sf0.1, ~10x the AOI count — validates that the
+    # scale-profile knobs (approx-median sketch, AQE skew) engage and
+    # nothing degrades super-linearly one decade above the evidence
+    # scale. No oracle tables (correctness stays at sf0.01).
+    "sf1": (None, 60, 384),
     # ragged-ingest variant of the correctness scale: a deterministic
     # subset of documents is malformed — one band is missing a chunk span,
     # so its per-band chunk counts disagree with its resolution group (the
@@ -123,7 +129,7 @@ SIZE_PRESETS = {
     # P9 consistency filter; no pixel oracle needed (docs-level check).
     "sf0.01r": (None, 10, 0),
 }
-NO_ORACLE_TAGS = {"sfbench", "sfscale", "sfquarter", "sf0.01r"}
+NO_ORACLE_TAGS = {"sfbench", "sfscale", "sfquarter", "sf0.01r", "sf1"}
 RAGGED_TAGS = {"sf0.01r"}
 
 

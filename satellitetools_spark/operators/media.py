@@ -34,12 +34,14 @@ Decoder = Callable[[bytes], np.ndarray]
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode (PIL/libjpeg) — STUB: not available in this
     environment. Inject any :data:`Decoder` via
-    ``media_features(decoder=...)``; :func:`decode_zlib_gray8` is a
-    working stdlib-only reference implementation of the contract."""
+    ``media_features(decoder=...)``; :func:`decode_png_gray8` is a
+    working stdlib-only REAL codec (8-bit grayscale PNG) satisfying
+    the contract, :func:`decode_zlib_gray8` a minimal reference."""
     raise NotImplementedError(
         "image decode requires an imaging library not present in this "
-        "environment; pass decoder= (e.g. decode_zlib_gray8) or "
-        "fake=True for the deterministic stand-in")
+        "environment; pass decoder= (e.g. decode_png_gray8 for real "
+        "grayscale PNGs, decode_zlib_gray8 for the minimal bitmap "
+        "codec) or fake=True for the deterministic stand-in")
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
@@ -68,6 +70,146 @@ def decode_zlib_gray8(payload: bytes) -> np.ndarray:
     h, w = struct.unpack(">II", payload[:8])
     px = np.frombuffer(zlib.decompress(payload[8:]), dtype=np.uint8)
     return px.reshape(h, w)
+
+
+# -- real PNG codec (stdlib only): 8-bit grayscale, non-interlaced --
+# PNG is DEFLATE (zlib) over per-scanline filtered bytes plus CRC-32
+# framed chunks — every primitive is in the stdlib, so the "real
+# codec" decode path is exercisable offline (r4 verdict #6). The
+# decoder validates the signature, every chunk CRC, and the IHDR
+# (8-bit, color type 0 = grayscale, no interlace), reassembles the
+# IDAT stream, and inverts all five scanline filters (None/Sub/Up/
+# Average/Paeth, RFC 2083 §6). The encoder emits spec-conformant
+# PNGs and can cycle filter types per row so round-trip tests cover
+# every filter.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083): nearest of left/up/up-left to
+    a + b - c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_gray8(arr: np.ndarray, filters=(0,)) -> bytes:
+    """Encode a 2-D uint8 array as a real 8-bit grayscale PNG.
+
+    ``filters`` cycles per scanline (row y uses
+    ``filters[y % len(filters)]``), so ``filters=(0, 1, 2, 3, 4)``
+    produces a stream that exercises every PNG filter type."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_png_gray8: expected a 2-D gray image")
+    h, w = a.shape
+    prior = np.zeros(w, dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        row = a[y]
+        ft = int(filters[y % len(filters)])
+        left = np.concatenate(([0], row[:-1])).astype(np.uint8)
+        upleft = np.concatenate(([0], prior[:-1])).astype(np.uint8)
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - left  # uint8 wraparound == mod-256 delta
+        elif ft == 2:
+            out = row - prior
+        elif ft == 3:
+            out = row - ((left.astype(np.uint16)
+                          + prior.astype(np.uint16)) // 2).astype(
+                              np.uint8)
+        elif ft == 4:
+            pred = np.array(
+                [_paeth(int(left[x]), int(prior[x]), int(upleft[x]))
+                 for x in range(w)], dtype=np.uint8)
+            out = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend(out.tobytes())
+        prior = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_gray8(payload: bytes) -> np.ndarray:
+    """Decode a real 8-bit grayscale non-interlaced PNG byte stream —
+    a working :data:`Decoder` for the non-fake media path, pure
+    stdlib (zlib inflate + CRC-32 + the five scanline filters)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("decode_png_gray8: not a PNG signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"decode_png_gray8: bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("decode_png_gray8: missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            "decode_png_gray8: only 8-bit grayscale (color type 0), "
+            f"non-interlaced PNGs are supported; IHDR={ihdr}")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("decode_png_gray8: IDAT length mismatch")
+    img = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(
+            raw[y * (w + 1):(y + 1) * (w + 1)], dtype=np.uint8)
+        ft, row = int(line[0]), line[1:]
+        if ft == 0:
+            recon = row.copy()
+        elif ft == 1:
+            # Sub with bpp=1 is a running mod-256 prefix sum
+            recon = np.cumsum(row.astype(np.uint64)).astype(np.uint8)
+        elif ft == 2:
+            recon = row + prior
+        elif ft == 3:
+            recon = np.zeros(w, dtype=np.uint8)
+            left = 0
+            for x in range(w):
+                left = (int(row[x]) + (left + int(prior[x])) // 2) & 255
+                recon[x] = left
+        elif ft == 4:
+            recon = np.zeros(w, dtype=np.uint8)
+            left = upleft = 0
+            for x in range(w):
+                left = (int(row[x])
+                        + _paeth(left, int(prior[x]), upleft)) & 255
+                recon[x] = left
+                upleft = int(prior[x])
+        else:
+            raise ValueError(f"decode_png_gray8: bad filter byte {ft}")
+        img[y] = recon
+        prior = recon
+    return img
 
 
 def _array_features(arr: np.ndarray, dim: int) -> np.ndarray:

@@ -142,6 +142,85 @@ def test_media_features_real_decoder_end_to_end(spark):
             M.decode_zlib_gray8(M.encode_zlib_gray8(img)), img)
 
 
+def test_png_gray8_decode_handbuilt_stream_bit_identical():
+    # a real PNG byte stream assembled BY THE TEST, chunk by chunk,
+    # independent of encode_png_gray8 (its own CRC framing, its own
+    # Up-filtered second scanline) — the decoder must reproduce the
+    # pixel array bit-identically (r4 verdict #6).
+    import struct
+    import zlib
+
+    want = np.array([[10, 20, 30], [13, 24, 35]], dtype=np.uint8)
+    scan = bytes([0, 10, 20, 30]) + bytes([2, 3, 4, 5])  # None, Up
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(M.decode_png_gray8(png), want)
+
+
+def test_png_gray8_roundtrip_all_filters():
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (2, 7), (9, 4), (16, 16)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            png = M.encode_png_gray8(img, filters=filters)
+            np.testing.assert_array_equal(M.decode_png_gray8(png), img)
+    # gradient image (filters shine on smooth data) through every
+    # filter cycle, and the stream really is smaller than raw
+    grad = np.add.outer(np.arange(32), np.arange(32)).astype(np.uint8)
+    png = M.encode_png_gray8(grad, filters=(4,))
+    assert len(png) < grad.size
+    np.testing.assert_array_equal(M.decode_png_gray8(png), grad)
+
+
+def test_png_gray8_rejects_corruption_and_unsupported():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    png = bytearray(M.encode_png_gray8(img))
+    png[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png_gray8(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png_gray8(b"NOTAPNG!" + bytes(16))
+    # RGB color type (2) is out of contract -> loud error, not garbage
+    import struct
+    import zlib
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    rgb = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3])))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="grayscale"):
+        M.decode_png_gray8(rgb)
+
+
+def test_media_features_png_decoder_end_to_end(spark):
+    # the real-codec seam with an actual PNG byte stream: payloads are
+    # spec-conformant PNGs (all five filters in the stream), decoded on
+    # the executors through the NON-fake mapInPandas path, features
+    # computed from the true pixels — bit-identical to local
+    rng = np.random.RandomState(23)
+    imgs = {"p1": rng.randint(0, 256, (8, 5), dtype=np.uint8),
+            "p2": np.add.outer(np.arange(6), np.arange(9))
+                    .astype(np.uint8)}
+    rows = [(k, f"ref://{k}.png",
+             bytearray(M.encode_png_gray8(v, filters=(0, 1, 2, 3, 4))))
+            for k, v in imgs.items()]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary")
+    out = {r["doc_id"]: r["feature"]
+           for r in M.media_features(
+               docs, dim=8, decoder=M.decode_png_gray8).collect()}
+    for k, img in imgs.items():
+        np.testing.assert_allclose(out[k], M._array_features(img, 8),
+                                   atol=0)
+
+
 def test_knn_fill_matches_local_idw(spark):
     rng = np.random.RandomState(7)
     n = 60
