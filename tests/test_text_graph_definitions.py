@@ -293,3 +293,139 @@ def test_hits_matches_dense_numpy_iteration(spark):
     for v, i in di.items():
         assert abs(got[("authority", v)] - auth[i]) <= 2e-9
     assert len(got) == len(srcs) + len(dsts)
+
+
+def test_gini_concentration_matches_pairwise_mad_definition(spark):
+    # the operator computes Gini by the sorted-rank closed form over
+    # exact decimals; the DEFINITION is the mean absolute difference:
+    # G = sum_ij |xi - xj| / (2 n^2 mu). Algebraically equal, but a
+    # rank/offset bug would break one and not the other.
+    from satellitetools_spark.operators.segment import \
+        gini_concentration
+    rng = np.random.RandomState(31)
+    rows = [(int(rng.randint(1, 41)), float(rng.gamma(2.0, 50.0)))
+            for _ in range(300)]
+    li = spark.createDataFrame(
+        rows, "l_suppkey int, l_extendedprice double")
+    got = gini_concentration(li).collect()[0]
+    # direct fold: per-key totals at cents precision (the operator
+    # casts to DECIMAL(18,2)), then the O(n^2) pairwise sum
+    from decimal import Decimal
+    per = {}
+    for k, v in rows:
+        per[k] = per.get(k, Decimal(0)) + Decimal(repr(v)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP)
+    xs = sorted(per.values())
+    n = len(xs)
+    mad = sum(abs(float(a) - float(b)) for a in xs for b in xs)
+    gini = mad / (2.0 * n * n * (float(sum(xs)) / n))
+    assert got["n_keys"] == n
+    assert abs(got["gini"] - gini) <= 2e-6
+    # top-decile share by the same (total asc, key asc) boundary order
+    n_top = math.ceil(0.1 * n)
+    ordered = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+    top = sum(float(v) for _, v in ordered[-n_top:])
+    assert abs(got["top_share"] - top / float(sum(xs))) <= 2e-6
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    # independent math: numpy least squares + corrcoef on the log-log
+    # top-200 cut of the REAL sf0.001 corpus, vs the operator's
+    # moment-form OLS expressions.
+    from satellitetools_spark.operators.text import zipf_fit
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    got = {r["lang"]: r for r in zipf_fit(docs).collect()}
+    freq = {}
+    for r in docs.select("lang", "text").collect():
+        for tok in r["text"].split(" "):
+            if tok:
+                key = (r["lang"], tok)
+                freq[key] = freq.get(key, 0) + 1
+    langs = {lang for lang, _ in freq}
+    for lang in langs:
+        items = sorted(((f, t) for (lg, t), f in freq.items()
+                        if lg == lang), key=lambda p: (-p[0], p[1]))
+        items = items[:200]
+        x = np.log(np.arange(1, len(items) + 1, dtype=float))
+        y = np.log(np.array([f for f, _ in items], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+        g = got[lang]
+        assert g["n_types"] == len(items)
+        assert abs(g["zipf_slope"] - slope) <= 1e-5
+        assert abs(g["intercept"] - intercept) <= 1e-5
+        assert abs(g["r2"] - r2) <= 1e-5
+
+
+def test_cusum_alarms_matches_plain_python_fold(spark):
+    # Page's test re-folded in plain Python over a planted drift: the
+    # operator's aggregate() expression fold and its reset-on-alarm
+    # semantics must reproduce the sequential recursion exactly.
+    from satellitetools_spark.operators.temporal import cusum_alarms
+    import datetime as dt
+    rng = np.random.RandomState(5)
+    rows = []
+    for u in range(8):
+        n = 60
+        drift = (np.linspace(0, 4.0, n) if u % 2 == 0
+                 else np.zeros(n))
+        vals = rng.normal(0, 1, n) + drift
+        for i, v in enumerate(vals):
+            rows.append((u, dt.datetime(2024, 1, 1)
+                         + dt.timedelta(minutes=7 * i), float(v)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, "
+                                     "value double")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {r["user_id"]: (r["n_obs"], r["n_alarms"])
+           for r in cusum_alarms(df, k=0.5, h=4.0).collect()}
+    per = {}
+    for u, ts, v in rows:
+        per.setdefault(u, []).append((ts, v))
+    for u, lst in per.items():
+        vs = np.array([v for _, v in lst])
+        mu = vs.sum() / len(vs)
+        sd = math.sqrt(max(float((vs * vs).sum()) / len(vs)
+                           - mu * mu, 0.0))
+        zs = [((v - mu) / sd if sd > 0 else 0.0)
+              for _, v in sorted(lst, key=lambda p: p[0])]
+        sp = sn = 0.0
+        alarms = 0
+        for z in zs:
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            if sp > 4.0 or sn > 4.0:
+                alarms += 1
+                sp = sn = 0.0
+        assert got[u] == (len(zs), alarms)
+
+
+def test_transition_counts_matches_direct_pair_fold(spark):
+    # first-order Markov matrix over the REAL sf0.001 event stream vs
+    # a plain per-user consecutive-pair count in Python.
+    from satellitetools_spark.operators.temporal import \
+        transition_counts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")) \
+        .select("user_id", "event_type", "ts")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_counts(ev).collect()}
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) FROM "
+        f"'{os.path.join(SF, 'events.parquet')}'").fetchall()
+    per = {}
+    for u, et, us in rows:
+        per.setdefault(u, []).append((us, et))
+    counts = {}
+    for u, lst in per.items():
+        lst.sort()  # (us, type) — the operator's documented tie order
+        for (_, a), (_, b) in zip(lst, lst[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert set(got) == set(counts)
+    row_tot = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    for (a, b), n in counts.items():
+        gn, gp = got[(a, b)]
+        assert gn == n
+        assert gp == _r(n / row_tot[a], 6)
