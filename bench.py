@@ -583,8 +583,17 @@ def main() -> None:
         # run's `efficiency` stays the honest live measurement; the ledger
         # gives the auditor the most recent uncontaminated evidence and
         # when it was captured.
+        # Non-default scaling inputs (e.g. the sf1 rehearsal) persist to
+        # their OWN ledger file: the flat BENCH_SCALING_CLEAN.json is the
+        # default-workload (sfquarter) evidence that every driver bench
+        # attaches as scaling.last_clean — an off-tag run must not
+        # overwrite it with an incomparable pool (r5 incident: an sf1
+        # run clobbered the sfquarter block; restored from git).
+        lname = ("BENCH_SCALING_CLEAN.json" if stag == "sfquarter"
+                 else "BENCH_SCALING_CLEAN_"
+                 + os.path.basename(os.path.normpath(stag)) + ".json")
         ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_SCALING_CLEAN.json")
+                              lname)
         if not contended and len(his_ok) >= clean_target \
                 and len(los_ok) >= clean_target:
             import datetime
