@@ -238,3 +238,28 @@ def test_grouped_prefix_sums_partials_bound_fail_fast(spark):
             df, ["grp"], [F.col("v").asc()], ["nv"],
             num_partitions=4, many_groups_threshold=10**9,
             max_partials_rows=10)
+
+
+def test_prefix_sums_broadcast_path_plan_shape(spark, monkeypatch):
+    # the offsets join must be a map-side BroadcastHashJoin adding NO
+    # shuffle: exactly one non-broadcast Exchange (the _pspid window's)
+    # in the whole plan, exactly one BroadcastHashJoin
+    import re
+
+    from satellitetools_spark.operators import cumsum
+    monkeypatch.setattr(cumsum, "LITERAL_OFFSET_MAX", 0)
+    df = spark.range(5000).select(
+        (F.col("id") % 997).cast("double").alias("v"),
+        F.lit(1.0).alias("t"))
+    h = df.groupBy("v").agg(F.sum("t").alias("t"))
+    out = prefix_sums(h, [F.col("v").asc()], ["t"],
+                      num_partitions=96, with_index=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    shuffles = [ln for ln in plan.splitlines()
+                if re.search(r"\bExchange (hash|range)", ln)
+                and "Reused" not in ln]
+    # range partition feeds the checkpoint (outside this plan); the
+    # only live exchange is the _pspid hash for the window
+    assert len(shuffles) == 1, shuffles
+    assert "_pspid" in shuffles[0]
