@@ -632,12 +632,23 @@ def main() -> None:
     # sf1 rehearsal evidence (r4 verdict #4): recorded once by
     # scripts/sf1_rehearsal.py (10x gate scale, ~20 min) and attached
     # here so it lands in the driver's BENCH_r{N}.json without paying
-    # the rehearsal on every bench run.
+    # the rehearsal on every bench run. Attached as a TRIMMED summary
+    # — the stdout line must stay small (the round-2 driver failed on
+    # an oversized line); full detail stays in BENCH_SF1.json.
     try:
         with open(os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "BENCH_SF1.json")) as f:
-            compact["sf1_rehearsal"] = json.load(f)
+            s1 = json.load(f)
+        compact["sf1_rehearsal"] = {
+            k: s1[k] for k in
+            ("sf", "cpus", "queries", "scale_ratio_vs_sf0.1_clean",
+             "super_linear", "flagship", "captured_utc") if k in s1}
+        if "scaling" in s1:
+            compact["sf1_rehearsal"]["scaling"] = {
+                k: s1["scaling"][k] for k in
+                ("cores_lo", "cores_hi", "sec_lo", "sec_hi",
+                 "efficiency", "contended") if k in s1["scaling"]}
     except (OSError, ValueError):
         pass
     if "scaling" in result:
