@@ -56,15 +56,28 @@ SRC_DOCS = "/root/testdata/sf0.1/documents.parquet"
 REPLICAS = 10
 ID_STRIDE = 10_000_000
 
-# The five most expensive headline queries from the r4 ledger, plus the
-# two cheap geo probes that anchor the decode path.
+# The most expensive headline queries from the r4 ledger plus the rest
+# of the headline set whose inputs the sf1 synth provides (documents /
+# events / orders / geo) — near-full headline coverage one decade up.
 QUERIES = [
     "geo_lai_timeseries",
     "geo_qi_filter",
     "geo_ndvi_timeseries",
+    # geo_change is absent: it reads the oracle_pixels table, which
+    # NO_ORACLE tags (sf1 included) deliberately do not generate
+    "geo_pixels",
+    "geo_qi",
     "docs_minhash_pairs",
     "docs_dice_pairs",
     "docs_naive_bayes",
+    "docs_exact_dedup",
+    "docs_quality",
+    "docs_token_stats",
+    "docs_train_pipeline",
+    "docs_rake",
+    "events_hourly",
+    "events_scd2",
+    "orders_rfm",
 ]
 
 # Sandbox rendition of the README "100 TB scale profile" conf block:
@@ -94,24 +107,50 @@ def _shuffled_text(text: str, k: int) -> str:
 
 
 def ensure_docs_sf1() -> str:
-    out = os.path.join(SF1_DIR, "documents.parquet")
-    marker = os.path.join(SF1_DIR, "_COMPLETE")
-    if os.path.exists(marker):
-        return SF1_DIR
     os.makedirs(SF1_DIR, exist_ok=True)
-    base = pd.read_parquet(SRC_DOCS)
-    parts = [base]
-    for k in range(1, REPLICAS):
-        r = base.copy()
-        r["doc_id"] = r["doc_id"] + k * ID_STRIDE
-        r["text"] = [_shuffled_text(t, k) for t in base["text"]]
-        r["n_chars"] = r["text"].str.len()
-        parts.append(r)
-    all_docs = pd.concat(parts, ignore_index=True)
-    all_docs.to_parquet(out, index=False)
-    with open(marker, "w") as f:
-        f.write("ok")
-    log(f"documents x{REPLICAS}: {len(all_docs)} rows -> {out}")
+    out = os.path.join(SF1_DIR, "documents.parquet")
+    if not os.path.exists(out):
+        base = pd.read_parquet(SRC_DOCS)
+        parts = [base]
+        for k in range(1, REPLICAS):
+            r = base.copy()
+            r["doc_id"] = r["doc_id"] + k * ID_STRIDE
+            r["text"] = [_shuffled_text(t, k) for t in base["text"]]
+            r["n_chars"] = r["text"].str.len()
+            parts.append(r)
+        all_docs = pd.concat(parts, ignore_index=True)
+        all_docs.to_parquet(out, index=False)
+        log(f"documents x{REPLICAS}: {len(all_docs)} rows -> {out}")
+    # events/orders replicate by shifting the entity keys — each
+    # replica is an independent population with identical per-entity
+    # behavior, so session/RFM/hourly workloads scale linearly.
+    ev_out = os.path.join(SF1_DIR, "events.parquet")
+    if not os.path.exists(ev_out):
+        ev = pd.read_parquet("/root/testdata/sf0.1/events.parquet")
+        max_eid = int(ev["event_id"].max()) + 1 \
+            if "event_id" in ev.columns else 0
+        parts = [ev]
+        for k in range(1, REPLICAS):
+            r = ev.copy()
+            r["user_id"] = r["user_id"] + k * ID_STRIDE
+            if "event_id" in r.columns:
+                r["event_id"] = r["event_id"] + k * max_eid
+            parts.append(r)
+        pd.concat(parts, ignore_index=True).to_parquet(ev_out,
+                                                      index=False)
+        log(f"events x{REPLICAS} -> {ev_out}")
+    ord_out = os.path.join(SF1_DIR, "orders.parquet")
+    if not os.path.exists(ord_out):
+        od = pd.read_parquet("/root/testdata/sf0.1/orders.parquet")
+        parts = [od]
+        for k in range(1, REPLICAS):
+            r = od.copy()
+            r["o_orderkey"] = r["o_orderkey"] + k * ID_STRIDE
+            r["o_custkey"] = r["o_custkey"] + k * ID_STRIDE
+            parts.append(r)
+        pd.concat(parts, ignore_index=True).to_parquet(ord_out,
+                                                      index=False)
+        log(f"orders x{REPLICAS} -> {ord_out}")
     return SF1_DIR
 
 
@@ -197,6 +236,15 @@ def main():
     result["captured_utc"] = datetime.datetime.now(
         datetime.timezone.utc).isoformat(timespec="seconds")
     out = os.path.join(ROOT, "BENCH_SF1.json")
+    # a prior sf1 SCALING pair (recorded by a separate bench run with
+    # BENCH_SCALING_TAG pointing at the sf1 geodata) rides along
+    try:
+        with open(out) as f:
+            prev = json.load(f)
+        if "scaling" in prev:
+            result["scaling"] = prev["scaling"]
+    except (OSError, ValueError):
+        pass
     with open(out, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     log(f"wrote {out}")
