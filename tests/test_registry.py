@@ -46,14 +46,25 @@ def test_driver_window_self_rotation(monkeypatch):
     window as checked and assert a fresh 50 surface."""
     import __spark_entry__ as E
     base = list(E.queries())
-    checked_now = E._driver_checked_names()
+    checked_now = E._driver_checked_rounds()
     assert all(n not in checked_now for n in base[:50])
-    # simulate round N+1: today's window has artifacts
-    future = checked_now | set(base[:50])
-    monkeypatch.setattr(E, "_driver_checked_names", lambda: future)
+    # simulate round N+1: today's window has artifacts (round 5)
+    future = dict(checked_now)
+    for n in base[:50]:
+        future[n] = 5
+    monkeypatch.setattr(E, "_driver_checked_rounds", lambda: future)
     rotated = list(E.queries())
     assert set(rotated) == set(base)          # registry frozen
     fresh = [n for n in rotated[:50] if n not in future]
     # everything never-checked (if any remain) sorts before checked
     n_never = len([n for n in base if n not in future])
     assert len(fresh) == min(50, n_never)
+    # spare window slots (48 never-checked left vs a 50 window) go to
+    # the STALEST previously-checked names (r4 advisor: rolling
+    # re-check instead of check-once-forever), oldest round first
+    spare = [n for n in rotated[:50] if n in future]
+    if spare:
+        min_round = min(future.values())
+        assert future[spare[0]] == min_round
+        rounds = [future[n] for n in spare]
+        assert rounds == sorted(rounds)
