@@ -589,9 +589,12 @@ def main() -> None:
         # attaches as scaling.last_clean — an off-tag run must not
         # overwrite it with an incomparable pool (r5 incident: an sf1
         # run clobbered the sfquarter block; restored from git).
-        lname = ("BENCH_SCALING_CLEAN.json" if stag == "sfquarter"
-                 else "BENCH_SCALING_CLEAN_"
-                 + os.path.basename(os.path.normpath(stag)) + ".json")
+        # compare by BASENAME: a directory path to the sfquarter data
+        # is the same workload as the default tag and must keep
+        # feeding the flat ledger the driver bench attaches
+        stag_base = os.path.basename(os.path.normpath(stag))
+        lname = ("BENCH_SCALING_CLEAN.json" if stag_base == "sfquarter"
+                 else "BENCH_SCALING_CLEAN_" + stag_base + ".json")
         ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               lname)
         if not contended and len(his_ok) >= clean_target \

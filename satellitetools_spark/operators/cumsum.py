@@ -108,12 +108,16 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
 
     # Driver-side running offsets per partition (O(partitions) rows —
     # independent of data row count), one list per sum column.
+    from pyspark.sql import types as T
     grand = {}
     off_lists = {}
+    dec_cols = set()
     for c in sum_cols:
-        vals = [pmap[i][c] for i in sorted(pmap)
-                if pmap[i][c] is not None]
-        is_dec = bool(vals) and isinstance(vals[0], decimal.Decimal)
+        # decimal detection by SCHEMA, not value sniffing: a partial
+        # batch that is all-NULL must still accumulate as Decimal
+        is_dec = isinstance(pschema[c].dataType, T.DecimalType)
+        if is_dec:
+            dec_cols.add(c)
         acc = decimal.Decimal(0) if is_dec else 0.0
         offs = []
         for i in range(n):
@@ -156,9 +160,15 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
     if use_join:
         from pyspark.sql import types as T
         fields = [T.StructField("_pspid", T.IntegerType())]
-        fields += [T.StructField("_poff_" + c,
-                                 pschema[c].dataType)
-                   for c in sum_cols]
+        # offsets accumulate as Python floats for every non-Decimal
+        # dtype (matching the literal path's F.lit(float) semantics —
+        # long/int sums become double offsets there too), so the
+        # broadcast column must be DoubleType for them; only Decimal
+        # keeps its exact partial-agg type
+        fields += [T.StructField(
+            "_poff_" + c,
+            pschema[c].dataType if c in dec_cols else T.DoubleType())
+            for c in sum_cols]
         if with_index:
             fields.append(T.StructField("_pioff", T.LongType()))
         if lead_of is not None:
@@ -223,7 +233,7 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
                         prefix: str = "cum_",
                         totals_prefix: str = "tot_",
                         with_index: bool = False,
-                        many_groups_threshold: int = 10_000,
+                        many_groups_threshold: int = 100_000,
                         max_partials_rows: int = 2_000_000
                         ) -> DataFrame:
     """Per-group running sums in a per-group total order, plus the
@@ -253,12 +263,17 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
     broadcast offsets table are O(partitions + groups). The function
     probes the group cardinality off the pinned range partition (one
     cheap approx agg, the same adaptive-split pattern as
-    ``segment.rfm_segments``) and, above ``many_groups_threshold``,
-    falls back to the ordinary ``Window.partitionBy(g)`` form — with
-    many small groups that window is already parallel and collect-free,
-    so the fallback IS the scale-correct plan there. If the probed
-    partials size still exceeds ``max_partials_rows`` the function
-    fails fast instead of attempting an unbounded driver collect.
+    ``segment.rfm_segments``) and, above ``many_groups_threshold``
+    (default 10⁵ — the two-level scan stays preferable as long as its
+    O(partitions + groups) partials/broadcast stay cheap, because it
+    bounds per-task state even when individual groups carry huge
+    alphabets), falls back to the ordinary ``Window.partitionBy(g)``
+    form — at that cardinality the window is parallel across groups
+    and collect-free, so the fallback is the scale-correct plan.
+    ``max_partials_rows`` is the independent override guard: a caller
+    who RAISES ``many_groups_threshold`` past it (to force the
+    two-level path) fails fast instead of attempting an unbounded
+    driver collect — with the defaults it never fires, by design.
     Outputs are identical on both paths (pinned in
     tests/test_cumsum.py).
 

@@ -154,6 +154,10 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        if pos + 12 + ln > len(payload):
+            raise ValueError(
+                "decode_png_gray8: truncated chunk (declared length "
+                f"{ln} runs past end of payload)")
         tag = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(

@@ -224,13 +224,16 @@ def main():
             clean = json.load(f)
         ratios = {}
         for name, sec in result["queries"].items():
-            base = clean.get(name, {}).get("sec")
+            ent = clean.get(name, {})
+            # the key says sf0.1 — only divide by sf0.1 baselines (the
+            # ledger is sf-aware and may hold larger-sf entries)
+            base = ent.get("sec") if ent.get("sf") == 0.1 else None
             if base:
                 ratios[name] = round(sec / base, 2)
         result["scale_ratio_vs_sf0.1_clean"] = ratios
         result["super_linear"] = sorted(
             n for n, r in ratios.items() if r > 20)
-    except OSError:
+    except (OSError, ValueError):
         pass
     import datetime
     result["captured_utc"] = datetime.datetime.now(

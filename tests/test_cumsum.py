@@ -263,3 +263,31 @@ def test_prefix_sums_broadcast_path_plan_shape(spark, monkeypatch):
     # only live exchange is the _pspid hash for the window
     assert len(shuffles) == 1, shuffles
     assert "_pspid" in shuffles[0]
+
+
+def test_prefix_sums_broadcast_path_long_and_allnull_decimal(
+        spark, monkeypatch):
+    # review r5: the broadcast-offset table must accept LONG sum
+    # columns (offsets accumulate as floats -> DoubleType column, the
+    # literal path's semantics) and DECIMAL columns whose partials are
+    # ALL NULL (schema-driven decimal detection, not value sniffing)
+    from satellitetools_spark.operators import cumsum
+    monkeypatch.setattr(cumsum, "LITERAL_OFFSET_MAX", 0)
+    df = spark.range(200).select(
+        (F.col("id") % 61).cast("double").alias("v"),
+        F.lit(1).cast("long").alias("t"),
+        F.lit(None).cast("decimal(10,2)").alias("d"))
+    h = df.groupBy("v").agg(F.sum("t").alias("t"),
+                            F.sum("d").alias("d"))
+    out, tot = prefix_sums(h, [F.col("v").asc()], ["t", "d"],
+                           num_partitions=5, return_totals=True)
+    rows = sorted(out.collect(), key=lambda r: r["v"])
+    # long sums: running total of per-value counts
+    acc = 0.0
+    for r in rows:
+        acc += float(r["t"])
+        assert r["cum_t"] == acc
+        assert r["cum_d"] is None  # all-null decimal stays null
+    assert tot["t"] == 200.0
+    import decimal
+    assert tot["d"] == decimal.Decimal(0)

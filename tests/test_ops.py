@@ -185,6 +185,13 @@ def test_png_gray8_rejects_corruption_and_unsupported():
         M.decode_png_gray8(bytes(png))
     with pytest.raises(ValueError, match="signature"):
         M.decode_png_gray8(b"NOTAPNG!" + bytes(16))
+    # truncated mid-chunk: cut INSIDE the IDAT body (signature 8 +
+    # IHDR chunk 25 + IDAT header 8 + 4 data bytes = 45) so the
+    # declared length runs past the payload — must be the documented
+    # ValueError, not a struct.error
+    full = bytes(M.encode_png_gray8(img))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_png_gray8(full[:45])
     # RGB color type (2) is out of contract -> loud error, not garbage
     import struct
     import zlib

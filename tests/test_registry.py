@@ -47,7 +47,12 @@ def test_driver_window_self_rotation(monkeypatch):
     import __spark_entry__ as E
     base = list(E.queries())
     checked_now = E._driver_checked_rounds()
-    assert all(n not in checked_now for n in base[:50])
+    # the never-checked prefix fills the window; once the backlog
+    # shrinks below 50 the remaining slots legitimately hold recheck
+    # names, so only the first min(50, backlog) must be fresh
+    n_backlog = len([n for n in base if n not in checked_now])
+    assert all(n not in checked_now
+               for n in base[:min(50, n_backlog)])
     # simulate round N+1: today's window has artifacts (round 5)
     future = dict(checked_now)
     for n in base[:50]:
