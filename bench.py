@@ -317,22 +317,21 @@ def main() -> None:
     updated = False
     for name, sec in per_query.items():
         p = query_probes.get(name, 9e9)
-        if p <= q_tol * cal_probe and p <= ABS_CLEAN and sf >= 0.1:
+        if p <= q_tol * cal_probe and p <= ABS_CLEAN and sf == 0.1:
+            # sf-aware (r4 advisor + r5 review): this flat ledger is
+            # THE sf0.1 gate-scale evidence — only sf0.1 reps enter,
+            # so a rep at any other scale can neither shadow the
+            # baseline nor freeze the latest_sec regression channel.
+            # Other scales carry their own artifacts (BENCH_SF1.json).
             prev = q_hist.get(name)
-            prev_sf = prev.get("sf") if prev else None
-            # sf-aware (r4 advisor): min-compare only against reps at
-            # the SAME scale factor — a fast small-sf rep must not
-            # permanently shadow larger-sf evidence, and a larger-sf
-            # rep (more authoritative for the gate) replaces a
-            # smaller-sf entry outright. Smaller-sf candidates leave
-            # an existing larger-sf entry untouched.
-            if (prev is None or prev_sf is None or sf > prev_sf
-                    or (sf == prev_sf and sec < prev.get("sec", 9e9))):
+            prev_sf = prev.get("sf", 0.1) if prev else None
+            if (prev is None or prev_sf != 0.1
+                    or sec < prev.get("sec", 9e9)):
                 q_hist[name] = {"sec": sec, "probe": p, "sf": sf,
                                 "captured_utc": now,
                                 "latest_sec": sec,
                                 "latest_utc": now}
-            elif sf == prev_sf:
+            else:
                 q_hist[name] = {**prev, "latest_sec": sec,
                                 "latest_utc": now}
             updated = True
@@ -354,6 +353,12 @@ def main() -> None:
         # A tag may also be a ready-made directory path.
         stag = os.environ.get("BENCH_SCALING_TAG", "sfquarter")
         sdir = stag if os.path.isdir(stag) else ensure_geodata(stag)
+        # canonicalize to the BASENAME for every workload-identity use
+        # (pool key, ledger routing): a directory path to the same
+        # dataset is the same workload — a raw-path key would start an
+        # empty pool whose weaker minima could then overwrite the flat
+        # ledger (r5 review)
+        stag = os.path.basename(os.path.normpath(stag))
         reps = int(os.environ.get("BENCH_REPS", "12"))
         budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1500"))
         clean_target = int(os.environ.get("BENCH_CLEAN_REPS", "2"))
@@ -589,12 +594,11 @@ def main() -> None:
         # attaches as scaling.last_clean — an off-tag run must not
         # overwrite it with an incomparable pool (r5 incident: an sf1
         # run clobbered the sfquarter block; restored from git).
-        # compare by BASENAME: a directory path to the sfquarter data
-        # is the same workload as the default tag and must keep
-        # feeding the flat ledger the driver bench attaches
-        stag_base = os.path.basename(os.path.normpath(stag))
-        lname = ("BENCH_SCALING_CLEAN.json" if stag_base == "sfquarter"
-                 else "BENCH_SCALING_CLEAN_" + stag_base + ".json")
+        # stag is already basename-canonical (see resolution above):
+        # the default workload feeds the flat ledger the driver bench
+        # attaches; any other tag gets its own side ledger
+        lname = ("BENCH_SCALING_CLEAN.json" if stag == "sfquarter"
+                 else "BENCH_SCALING_CLEAN_" + stag + ".json")
         ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               lname)
         if not contended and len(his_ok) >= clean_target \

@@ -41,6 +41,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Above this partition count the per-row literal offset array
 # (element_at(array(lit...), pid+1) — one N-wide array PER SUM COLUMN)
@@ -108,7 +109,6 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
 
     # Driver-side running offsets per partition (O(partitions) rows —
     # independent of data row count), one list per sum column.
-    from pyspark.sql import types as T
     grand = {}
     off_lists = {}
     dec_cols = set()
@@ -158,7 +158,6 @@ def prefix_sums(df: DataFrame, order_by: Sequence[Column],
     use_join = n > LITERAL_OFFSET_MAX
     out = ranged
     if use_join:
-        from pyspark.sql import types as T
         fields = [T.StructField("_pspid", T.IntegerType())]
         # offsets accumulate as Python floats for every non-Decimal
         # dtype (matching the literal path's F.lit(float) semantics —
@@ -282,7 +281,6 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
     ungrouped :func:`prefix_sums` DOES preserve Decimal — use it, or
     cast deliberately).
     """
-    from pyspark.sql import types as T
     spark = df.sparkSession
     for c in sum_cols:
         if isinstance(df.schema[c].dataType, T.DecimalType):
@@ -350,7 +348,6 @@ def grouped_prefix_sums(df: DataFrame, group_cols: Sequence[str],
         for c in sum_cols:
             if r[c] is not None:
                 cur[c] += float(r[c])
-    from pyspark.sql import types as T
     gfields = [ranged.schema[c] for c in group_cols]
     off_schema = T.StructType(
         [T.StructField("_pspid", T.IntegerType())] + gfields

@@ -166,6 +166,9 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"decode_png_gray8: bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(
+                    f"decode_png_gray8: IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat.extend(data)
@@ -174,12 +177,18 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("decode_png_gray8: missing IHDR")
+    if not idat:
+        raise ValueError("decode_png_gray8: missing IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
         raise ValueError(
             "decode_png_gray8: only 8-bit grayscale (color type 0), "
             f"non-interlaced PNGs are supported; IHDR={ihdr}")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(
+            f"decode_png_gray8: bad IDAT deflate stream: {ex}") from ex
     if len(raw) != h * (w + 1):
         raise ValueError("decode_png_gray8: IDAT length mismatch")
     img = np.zeros((h, w), dtype=np.uint8)

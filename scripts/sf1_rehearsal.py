@@ -103,7 +103,15 @@ def _shuffled_text(text: str, k: int) -> str:
     words = text.split()
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
     order = rng.permutation(len(words))
-    return " ".join(words[i] for i in order)
+    out = " ".join(words[i] for i in order)
+    if out == text and k > 0 and len(words) > 1:
+        # identity permutation (or permutation-invariant text) would
+        # leave the replica byte-identical to the original — dup
+        # groups would then span replicas and grow quadratically in
+        # REPLICAS. Rotate one word as a guaranteed, deterministic
+        # change (same length/vocab distribution).
+        out = " ".join(words[1:] + words[:1])
+    return out
 
 
 def ensure_docs_sf1() -> str:
@@ -231,8 +239,12 @@ def main():
             if base:
                 ratios[name] = round(sec / base, 2)
         result["scale_ratio_vs_sf0.1_clean"] = ratios
-        result["super_linear"] = sorted(
+        # [] means "compared and clean"; None means "no sf0.1
+        # baselines existed" — missing evidence must not read as a
+        # pass
+        result["super_linear"] = (sorted(
             n for n, r in ratios.items() if r > 20)
+            if ratios else None)
     except (OSError, ValueError):
         pass
     import datetime
